@@ -1,0 +1,151 @@
+"""Freki-style segmentation of raw page content into lines/blocks.
+
+The reference consumes pre-segmented freki files produced offline by
+pdf-to-text tooling. Our engine ingests Common-Crawl-style ``pages`` rows
+(``url, warc_ts, html, text, lang`` — driver input_hint) and performs the
+segmentation itself. Deterministic rules, shared verbatim by the oracle and
+the Spark ``mapInPandas`` UDF:
+
+- pages (PDF-text convention): form-feed ``\\f`` separates pages, 1-based.
+- blocks: maximal runs of non-blank lines (blank = ``strip() == ''``);
+  ``block_id = "{page}-{k}"`` with ``k`` a per-page 1-based counter.
+- line numbers: doc-global, 1-based, over non-blank lines only (blank lines
+  are separators, not lines — matches the freki sample numbering).
+- llx: plain text has no layout, so indentation stands in — llx = leading
+  space count (tabs count 4) of the line, block llx = min over its lines
+  (mirrors ``line.block.llx`` granularity the features consume).
+- fonts: unknown from plain text → every line gets the default ``F0-12.0``
+  (font features then never fire, exactly like a single-font freki doc).
+
+HTML rows (``html`` non-null wins over ``text``) are boilerplate-stripped
+with deterministic DOM-free heuristics (north_rule: "HTML boilerplate
+strip"): drop <script>/<style>/<head> content, block-level tags become
+paragraph breaks, <br> a line break, remaining tags stripped, entities
+unescaped — then the plain-text segmentation above applies.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+DEFAULT_FONT = ("F0", 12.0)
+
+
+@dataclass
+class SegmentedLine:
+    line_no: int          # doc-global, 1-based
+    page: int
+    block_id: str
+    block_llx: float
+    line_llx: float
+    text: str
+
+
+_TAB_WIDTH = 4
+
+
+def _leading_ws(line: str) -> int:
+    n = 0
+    for ch in line:
+        if ch == " ":
+            n += 1
+        elif ch == "\t":
+            n += _TAB_WIDTH
+        else:
+            break
+    return n
+
+
+def segment_text(text: str) -> list[SegmentedLine]:
+    """Segment one plain-text document into numbered lines with block ids."""
+    out: list[SegmentedLine] = []
+    line_no = 0
+    pages = text.split("\f")
+    for page_idx, page_text in enumerate(pages, start=1):
+        block_no = 0
+        cur_block: list[tuple[int, str]] = []  # (line_no, text)
+
+        def flush(cur_block, block_no):
+            if not cur_block:
+                return block_no
+            block_no += 1
+            block_id = f"{page_idx}-{block_no}"
+            llx = float(min(_leading_ws(t) for _, t in cur_block))
+            for ln, t in cur_block:
+                out.append(
+                    SegmentedLine(
+                        line_no=ln,
+                        page=page_idx,
+                        block_id=block_id,
+                        block_llx=llx,
+                        line_llx=float(_leading_ws(t)),
+                        text=t,
+                    )
+                )
+            return block_no
+
+        for raw in page_text.split("\n"):
+            line = raw.rstrip("\r")
+            if line.strip() == "":
+                block_no = flush(cur_block, block_no)
+                cur_block = []
+            else:
+                line_no += 1
+                cur_block.append((line_no, line))
+        block_no = flush(cur_block, block_no)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip (deterministic, regex-based)
+# ---------------------------------------------------------------------------
+
+_RE_DROP = re.compile(
+    r"<(script|style|head|noscript|template|svg)\b[^>]*>.*?</\1\s*>",
+    re.I | re.S,
+)
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_RE_BR = re.compile(r"<br\s*/?>", re.I)
+_BLOCK_TAGS = (
+    "p|div|section|article|header|footer|nav|aside|main|h[1-6]|li|ul|ol|"
+    "table|tr|td|th|blockquote|pre|figure|figcaption|form|hr"
+)
+_RE_BLOCK_OPEN = re.compile(r"<(?:%s)\b[^>]*>" % _BLOCK_TAGS, re.I)
+_RE_BLOCK_CLOSE = re.compile(r"</(?:%s)\s*>" % _BLOCK_TAGS, re.I)
+_RE_ANY_TAG = re.compile(r"<[^>]+>")
+_RE_MULTIBLANK = re.compile(r"\n{3,}")
+
+
+def strip_html(html_bytes: bytes | str) -> str:
+    """HTML → plain text with paragraph structure, deterministically."""
+    if isinstance(html_bytes, (bytes, bytearray)):
+        s = bytes(html_bytes).decode("utf-8", errors="replace")
+    else:
+        s = html_bytes
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_DROP.sub(" ", s)
+    s = _RE_BR.sub("\n", s)
+    s = _RE_BLOCK_OPEN.sub("\n\n", s)
+    s = _RE_BLOCK_CLOSE.sub("\n\n", s)
+    s = _RE_ANY_TAG.sub("", s)
+    s = _htmlmod.unescape(s)
+    # normalize: strip per-line trailing ws, collapse 3+ blank lines to one
+    lines = [ln.rstrip() for ln in s.split("\n")]
+    s = "\n".join(lines)
+    s = _RE_MULTIBLANK.sub("\n\n", s)
+    return s.strip("\n")
+
+
+def extract_page_text(html: Optional[bytes], text: Optional[str]) -> str:
+    """Pick the page's content source: html wins when present, else text
+    (the pdf-to-text path)."""
+    if html is not None and len(html) > 0:
+        return strip_html(html)
+    return text or ""
+
+
+def segment_page(html: Optional[bytes], text: Optional[str]) -> list[SegmentedLine]:
+    return segment_text(extract_page_text(html, text))
