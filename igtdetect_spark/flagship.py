@@ -1,0 +1,42 @@
+"""Flagship model: a classifier trained on the deterministic synthetic
+corpus (seed 42, 40 docs) — used by the driver entry, tests and benches so
+that span detection produces meaningful non-trivial output on synthetic
+pages (the reference pretrained model relies on ODIN layout cues that
+plain webtext lacks; it remains the parity model for the freki sample
+docs).
+
+Training is deterministic → the model is identical across processes; it is
+trained once per process and memoized.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from .config import DEFAULT_CONFIG
+from .labels import handle_label
+from .lexicons import load_reference_lexicons
+from .oracle.corpus import doc_from_text, make_corpus
+from .oracle.pipeline import extract_doc_features
+from .refmodel import ModelWeights
+from .training import train_model
+
+TRAIN_DOCS = 40
+TRAIN_SEED = 42
+
+
+@lru_cache(maxsize=1)
+def get_lexicons():
+    return load_reference_lexicons()
+
+
+@lru_cache(maxsize=1)
+def get_synthetic_model() -> ModelWeights:
+    lex = get_lexicons()
+    fds, labels = [], []
+    for d in make_corpus(TRAIN_DOCS, seed=TRAIN_SEED):
+        doc = doc_from_text(d.url, d.text, d.gold_tags)
+        for li in extract_doc_features(doc, lex, DEFAULT_CONFIG):
+            fds.append(li.feats)
+            labels.append(li.norm_label)
+    return train_model(fds, labels, max_features=5000, iters=200)

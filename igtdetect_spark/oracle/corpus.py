@@ -174,6 +174,46 @@ def make_corpus(n_docs: int, seed: int = 42, html_every: int = 5,
     return docs
 
 
+def doc_from_text(url: str, text: str, tags: list[str] | None = None):
+    """Build a FrekiDoc from plain text via the shared segmentation rules —
+    the oracle-side mirror of the Spark ``segment_pages`` operator. Gold
+    ``tags`` (one per non-blank line) get span_ids over contiguous non-O
+    runs (s1, s2, …) so the BI rewrite sees training spans."""
+    from ..segmentation import DEFAULT_FONT, segment_text
+    from .freki import FrekiBlock, FrekiDoc, FrekiLine
+
+    doc = FrekiDoc(url)
+    blocks: dict[str, FrekiBlock] = {}
+    segs = segment_text(text)
+    for i, s in enumerate(segs):
+        b = blocks.get(s.block_id)
+        if b is None:
+            b = FrekiBlock(
+                doc_id=url, page=s.page, block_id=s.block_id,
+                bbox=(s.block_llx, 0.0, 0.0, 0.0),
+                start_line=s.line_no, stop_line=s.line_no,
+            )
+            blocks[s.block_id] = b
+            doc.add_block(b)
+        ln = FrekiLine(
+            lineno=s.line_no, text=s.text, fonts=[DEFAULT_FONT],
+            tag=(tags[i] if tags else "O"),
+        )
+        ln.block = b
+        b.lines.append(ln)
+        b.stop_line = s.line_no
+        doc._by_lineno[s.line_no] = ln
+    if tags:
+        run, prev = 0, "O"
+        for ln, t in zip(doc.lines(), tags):
+            if t != "O":
+                if prev == "O":
+                    run += 1
+                ln.span_id = f"s{run}"
+            prev = t
+    return doc
+
+
 def corpus_rows(docs) -> list[dict]:
     """Rows in the driver input_hint shape (url, warc_ts, html, text, lang)."""
     return [

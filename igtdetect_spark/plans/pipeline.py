@@ -1,0 +1,130 @@
+"""End-to-end IGT detection pipelines (reference `test` lifecycle,
+SURVEY.md §3.1).
+
+Two physical strategies, identical results (parity-tested):
+
+- **fused** (flagship): pages → spans in ONE narrow ``mapInPandas`` stage.
+  Each input row is a whole document, so segmentation, features, scoring
+  and span assembly are document-local — zero shuffles, zero windows,
+  zero joins. On a 1000-executor cluster over 100 TB this is a pure scan
+  → scan-shaped job: throughput = executors × per-core kernel speed, no
+  skew interactions between documents (a mega-doc only occupies one task
+  slot while it lasts; AQE-balanced input splits keep slots busy).
+- **staged**: the relational composition (segment → window features →
+  grouped scoring → span windows) for when the input is an already-
+  sharded ``lines`` table — one shuffle on url.
+
+Model + lexicons travel as broadcast variables (~2 MB).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..featurespec import Lexicons
+from ..refmodel import ModelWeights
+from ..operators.schema import LINES_SCHEMA, SPANS_SCHEMA
+from ..operators.segment import _rows_for_text, segment_pages
+from ..operators.score import score_lines
+from ..operators.spans import assign_spans_df, detected_span_text
+from ..operators.vectorized import (
+    base_feature_matrix,
+    score_matrix,
+    spans_from_labels,
+)
+from ..segmentation import extract_page_text
+
+
+class DetectContext:
+    """Broadcast bundle for the detection pipeline."""
+
+    def __init__(self, spark: SparkSession, model: ModelWeights,
+                 lex: Lexicons, cfg: PipelineConfig = DEFAULT_CONFIG):
+        sc = spark.sparkContext
+        self.cfg = cfg
+        self.model_bc = sc.broadcast(model.as_broadcastable())
+        self.lex_bc = sc.broadcast(lex)
+
+    @classmethod
+    def from_reference(cls, spark: SparkSession,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> "DetectContext":
+        from ..config import REF_MODEL_PATH
+        from ..lexicons import load_reference_lexicons
+        from ..refmodel import load_reference_model
+
+        return cls(
+            spark,
+            load_reference_model(REF_MODEL_PATH),
+            load_reference_lexicons(),
+            cfg,
+        )
+
+
+_LINE_COLS = [f.name for f in LINES_SCHEMA.fields]
+_SPAN_COLS = [f.name for f in SPANS_SCHEMA.fields]
+
+
+def detect_spans_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
+    """pages → spans, one narrow stage (no shuffle)."""
+    cfg = ctx.cfg
+    model_bc, lex_bc = ctx.model_bc, ctx.lex_bc
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = ModelWeights.from_broadcastable(model_bc.value)
+        lex = lex_bc.value
+        for pdf in batches:
+            rows: list[dict] = []
+            slices: list[tuple[str, int, int]] = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                content = extract_page_text(
+                    bytes(html) if html is not None else None, text
+                )
+                start = len(rows)
+                rows.extend(_rows_for_text(url, content))
+                if len(rows) > start:
+                    slices.append((url, start, len(rows)))
+            if not rows:
+                yield pd.DataFrame(columns=_SPAN_COLS)
+                continue
+            lines = pd.DataFrame(rows, columns=_LINE_COLS)
+            X = base_feature_matrix(lines, lex, cfg, model)
+            labels: list[str] = []
+            for url, a, b in slices:
+                lab, _ = score_matrix(X[a:b], model, cfg)
+                labels.extend(lab)
+            span_rows = spans_from_labels(
+                lines["url"].to_numpy(),
+                lines["line_no"].to_numpy(),
+                lines["block_id"].to_numpy(),
+                lines["text"].to_numpy(),
+                labels,
+                slices,
+                cfg,
+            )
+            yield pd.DataFrame(span_rows, columns=_SPAN_COLS)
+
+    return pages.select("url", "html", "text").mapInPandas(
+        gen, schema=SPANS_SCHEMA
+    )
+
+
+def detect_spans_staged(pages: DataFrame, ctx: DetectContext) -> DataFrame:
+    """pages → spans via the relational operator chain (one url shuffle)."""
+    lines = segment_pages(pages)
+    scored = score_lines(lines, ctx.model_bc, ctx.lex_bc, ctx.cfg)
+    joined = lines.select(
+        "url", "line_no", "block_id", "text"
+    ).join(scored.select("url", "line_no", "pred"), ["url", "line_no"])
+    with_ids = assign_spans_df(joined, tag_col="pred")
+    return detected_span_text(with_ids, ctx.cfg)
+
+
+def detected_text_df(spans: DataFrame) -> DataFrame:
+    from ..operators.spans import detected_text_per_url
+
+    return detected_text_per_url(spans)

@@ -1,0 +1,82 @@
+"""The ``pages`` input table (driver input_hint shape).
+
+``pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+lang STRING)`` — Common-Crawl-style. In production this is an Iceberg
+table; here parquet stands in (same columnar scan path, same pushdown
+semantics). Helpers synthesize the deterministic test corpus and adapt the
+driver's ``documents`` table into the pages shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def synthetic_pages(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    html_every: int = 5,
+    mega_doc_every: int = 0,
+    mega_doc_lines: int = 100_000,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic corpus as a pages DataFrame (FIXTURES.md §1).
+
+    Generation is distributed: doc indices are parallelized and each
+    partition builds its own documents (the per-doc RNG is seeded by doc
+    index, so placement doesn't affect content).
+    """
+    from ..oracle.corpus import corpus_rows, make_doc
+
+    n_partitions = n_partitions or max(2, min(64, n_docs // 8 or 2))
+    sc = spark.sparkContext
+
+    def build(idx_iter):
+        for i in idx_iter:
+            mega = mega_doc_every and i > 0 and i % mega_doc_every == 0
+            d = make_doc(
+                i,
+                seed=seed,
+                as_html=bool(html_every and i % html_every == 1) and not mega,
+                lines_target=mega_doc_lines if mega else None,
+            )
+            yield corpus_rows([d])[0]
+
+    rdd = sc.parallelize(range(n_docs), n_partitions).mapPartitions(build)
+    return spark.createDataFrame(rdd, PAGES_SCHEMA)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` test table (doc_id, text, lang,
+    source, n_chars) into the pages shape — used by the flagship entry."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
