@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...extras}.
+
+The flagship measurement is the fused IGT detection pipeline over a
+deterministic synthetic webtext corpus sized to the SF (BASELINE.md:
+docs/sec and lines/sec), plus representative relational / dedup /
+similarity queries over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from igtdetect_spark.entry_queries import queries as registry
+    from igtdetect_spark.flagship import get_lexicons, get_synthetic_model
+    from igtdetect_spark.plans.pipeline import DetectContext, detect_spans_fused
+    from igtdetect_spark.session import build_session
+    from igtdetect_spark.sources.pages import synthetic_pages
+
+    spark = build_session(
+        app_name="igtdetect_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: fused IGT detection over synthetic webtext at SF scale
+    n_docs = max(50, int(50000 * sf))           # SF=0.1 → 5000 docs
+    mega_every = 2000 if n_docs >= 4000 else 0  # skew: a few 100k-line docs
+    pages = synthetic_pages(
+        spark, n_docs, mega_doc_every=mega_every, mega_doc_lines=100_000,
+        n_partitions=cpus * 2,
+    ).cache()
+    docs = pages.count()  # materialize corpus outside the timed window
+
+    ctx = DetectContext(spark, get_synthetic_model(), get_lexicons())
+
+    t0 = time.time()
+    spans = detect_spans_fused(pages, ctx)
+    n_spans = spans.count()
+    t_detect = time.time() - t0
+    timings["igt_detect_spans_synthetic"] = round(t_detect, 3)
+
+    # line throughput: count segmented lines once (not in the timed window)
+    from igtdetect_spark.operators.segment import segment_pages
+
+    n_lines = segment_pages(pages).count()
+
+    # --- registry queries over the driver tables
+    qs = registry()
+    bench_queries = [
+        "igt_classify_lines", "igt_detect_spans", "span_islands_events",
+        "tpch_q1", "revenue_topk", "minhash_bands", "ngram_jaccard",
+        "token_stats", "quality_scores", "ann_cosine_topk", "simhash",
+        "dedup_exact",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        cnt = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(docs / t_detect, 1) if t_detect else None
+    lines_per_sec = round(n_lines / t_detect, 1) if t_detect else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "synthetic_docs": docs,
+                "synthetic_lines": n_lines,
+                "detected_spans": n_spans,
+                "docs_per_sec": docs_per_sec,
+                "lines_per_sec": lines_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

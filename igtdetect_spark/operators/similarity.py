@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small) query
+  side, dot products as native ``aggregate``/``zip_with`` expressions
+  (JVM-side), per-query top-k via window. The right baseline, and the
+  right *plan*: at 100 TB the corpus side streams through a narrow scan;
+  only k rows per query survive the window.
+- ``lsh_bucketed_ann``: random-hyperplane LSH — deterministic seeded
+  planes broadcast from the driver; sign-bit bucket equi-join prunes the
+  candidate set before exact rescoring. The scale path when the query set
+  is large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_sim_e6): exact top-k cosine
+    neighbors for each query id (self excluded). Similarity is emitted as
+    floor(sim·1e6) so cross-engine float comparison is stable."""
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    queries = emb.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("_v").alias("_q")
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("_q"), F.col("_v")) / (
+        _norm(F.col("_q")) * _norm(F.col("_v"))
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-bit bucket of seeded random hyperplanes."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array([F.lit(float(x)) for x in p])
+        bit = (_dot(v, plane) > 0).cast("int")
+        bucket = bucket + F.shiftleft(bit, i)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket.alias("bucket")
+    )
+
+
+def lsh_bucketed_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket, then exact cosine rescoring. Same output shape as
+    ``cosine_topk`` (ranks may differ where the bucket pruned a true
+    neighbor — that's the approximation)."""
+    buckets = hyperplane_buckets(
+        embeddings, n_planes, seed, dim, id_col, vec_col
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(buckets.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    queries = emb.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("_v").alias("_q"),
+        F.col("bucket").alias("_qb"),
+    )
+    joined = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("_qb"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    )
+    sim = _dot(F.col("_q"), F.col("_v")) / (
+        _norm(F.col("_q")) * _norm(F.col("_v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        joined.select(
+            "query_id",
+            "neighbor_id",
+            F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
+    )
+
+
+def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-label embedding statistics: count + mean L2 norm (stable e6)."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        embeddings.select(F.col("label"), _norm(v).alias("_n"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.floor(F.avg("_n") * 1e6).cast("long").alias("avg_norm_e6"),
+        )
+    )

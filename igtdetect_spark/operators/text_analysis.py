@@ -1,0 +1,114 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID,
+fingerprinting. All native column expressions (whole-stage codegen) —
+each has a DuckDB-SQL mirror in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# Deterministic English stopword list (inlined — heuristic language-ID /
+# quality cue; not the reference wordlists, which stay the IGT features').
+EN_STOPWORDS = [
+    "the", "a", "an", "of", "to", "in", "and", "is", "are", "was", "were",
+    "that", "this", "it", "for", "on", "with", "as", "by", "at", "from",
+    "or", "be", "not", "but", "we", "you", "they", "he", "she", "have",
+]
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars, avg_token_len)."""
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(text_col).alias("n_chars"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def stopword_ratio(text_col):
+    toks = _tokens(F.lower(text_col))
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.array_intersect(F.array_distinct(toks), sw)) / F.size(
+        F.array_distinct(toks)
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, distinct_ratio, stopword_hits, alnum_ratio,
+    quality): deterministic quality heuristics — length, vocabulary
+    diversity, stopword coverage, punctuation density."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    lower_toks = _tokens(F.lower(t))
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    stopword_hits = F.size(F.array_intersect(F.array_distinct(lower_toks), sw))
+    alnum_ratio = (
+        F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")) / F.length(t)
+    )
+    quality = (
+        F.when(n_tokens >= 20, F.lit(1)).otherwise(F.lit(0))
+        + F.when(distinct_ratio >= 0.3, F.lit(1)).otherwise(F.lit(0))
+        + F.when(stopword_hits >= 2, F.lit(1)).otherwise(F.lit(0))
+        + F.when(alnum_ratio >= 0.8, F.lit(1)).otherwise(F.lit(0))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.floor(distinct_ratio * 1e6).cast("long").alias("distinct_ratio_e6"),
+        stopword_hits.alias("stopword_hits"),
+        F.floor(alnum_ratio * 1e6).cast("long").alias("alnum_ratio_e6"),
+        quality.cast("int").alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, sw_hits, pred_lang): heuristic language-ID — English
+    stopword coverage + script detection (the n-gram-scoring shape of the
+    reference's wordlist features, over web text)."""
+    t = F.col(text_col)
+    lower_toks = _tokens(F.lower(t))
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS])
+    hits = F.size(F.array_intersect(F.array_distinct(lower_toks), sw))
+    has_cyr = t.rlike("[Ѐ-ӿ]")
+    has_cjk = t.rlike("[一-鿿぀-ヿ]")
+    has_kor = t.rlike("[가-힣]")
+    pred = (
+        F.when(has_kor, F.lit("ko"))
+        .when(has_cjk, F.lit("ja"))
+        .when(has_cyr, F.lit("ru"))
+        .when(hits >= 2, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        hits.alias("sw_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): md5 over normalized text — the document-
+    fingerprinting primitive (also the exact-dedup key)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )

@@ -113,6 +113,58 @@ def detect_spans_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
     )
 
 
+def classify_lines_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
+    """pages → per-line predictions (url, line_no, page, block_id, text,
+    pred) in one narrow stage — the flagship classified-lines sink."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    cfg = ctx.cfg
+    model_bc, lex_bc = ctx.model_bc, ctx.lex_bc
+    out_schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("line_no", IntegerType(), False),
+        StructField("page", IntegerType(), True),
+        StructField("block_id", StringType(), True),
+        StructField("text", StringType(), True),
+        StructField("pred", StringType(), True),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = ModelWeights.from_broadcastable(model_bc.value)
+        lex = lex_bc.value
+        for pdf in batches:
+            rows: list[dict] = []
+            slices: list[tuple[str, int, int]] = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                content = extract_page_text(
+                    bytes(html) if html is not None else None, text
+                )
+                start = len(rows)
+                rows.extend(_rows_for_text(url, content))
+                if len(rows) > start:
+                    slices.append((url, start, len(rows)))
+            if not rows:
+                yield pd.DataFrame(
+                    columns=[f.name for f in out_schema.fields]
+                )
+                continue
+            lines = pd.DataFrame(rows, columns=_LINE_COLS)
+            X = base_feature_matrix(lines, lex, cfg, model)
+            labels: list[str] = []
+            for url, a, b in slices:
+                lab, _ = score_matrix(X[a:b], model, cfg)
+                labels.extend(lab)
+            out = lines[["url", "line_no", "page", "block_id", "text"]].copy()
+            out["pred"] = labels
+            yield out
+
+    return pages.select("url", "html", "text").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def detect_spans_staged(pages: DataFrame, ctx: DetectContext) -> DataFrame:
     """pages → spans via the relational operator chain (one url shuffle)."""
     lines = segment_pages(pages)

@@ -80,3 +80,47 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+# Deterministic IGT instances planted into driver documents so the span
+# detector has real work over the TPC-H-ish corpus (documents.text is
+# word-salad with no IGT). Chosen by doc_id % 3; every 4th doc gets none.
+_IGT_BLOCKS = [
+    "(1)   Russian example:\n"
+    "(1)      kard-e   žena   ʃto\n"
+    "          tie_up-PERF   leg-PL-1SG   what-2SG\n"
+    "          ‘They sent me.’",
+    "(2)   Cypriot Greek example:\n"
+    "(2)       другой   книга   пишу\n"
+    "           love-2SG   ERG.DET   1SG.PRON\n"
+    "           ‘His legs were tied up.’",
+    "(3)   French example:\n"
+    "(3)       tlɨ-kato   kono   père\n"
+    "           NOM-DAT   send-3_PL   ACC\n"
+    "           ‘What did you tie up?’",
+]
+
+
+def pages_with_planted_igt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pages with a deterministic IGT block appended to 3 of
+    every 4 docs (selected by doc_id) — gives the detect-spans query
+    non-trivial, reproducible output over the driver tables."""
+    pages = pages_from_documents(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"doc://(\d+)", 1).cast("long")
+    block = (
+        F.when(doc_id % 4 == 3, F.lit(None).cast("string"))
+        .when(doc_id % 3 == 0, F.lit(_IGT_BLOCKS[0]))
+        .when(doc_id % 3 == 1, F.lit(_IGT_BLOCKS[1]))
+        .otherwise(F.lit(_IGT_BLOCKS[2]))
+    )
+    new_text = F.when(
+        block.isNull(), F.col("text")
+    ).otherwise(
+        F.concat(
+            F.col("text"), F.lit("\n\n"), block,
+            # trailing prose so the span is not EOF-open (reference quirk
+            # drops unflushed EOF spans)
+            F.lit("\n\nThe data in this section were collected during fieldwork."),
+        )
+    )
+    return pages.withColumn("text", new_text)
