@@ -51,11 +51,21 @@ def main():
 
     ctx = DetectContext(spark, get_synthetic_model(), get_lexicons())
 
+    # warm-up: python workers + broadcast distribution are one-time costs
+    detect_spans_fused(pages.limit(64), ctx).count()
+
     t0 = time.time()
     spans = detect_spans_fused(pages, ctx)
     n_spans = spans.count()
     t_detect = time.time() - t0
     timings["igt_detect_spans_synthetic"] = round(t_detect, 3)
+
+    from igtdetect_spark.plans.pipeline import detect_spans_salted
+
+    t0 = time.time()
+    n_spans_salted = detect_spans_salted(pages, ctx, chunk_lines=10_000).count()
+    timings["igt_detect_spans_salted"] = round(time.time() - t0, 3)
+    assert n_spans_salted == n_spans, "salted/fused span count diverged"
 
     # line throughput: count segmented lines once (not in the timed window)
     from igtdetect_spark.operators.segment import segment_pages

@@ -40,7 +40,13 @@ def with_features(
 
     :param lex_bc: ``sc.broadcast(Lexicons)`` handle.
     """
-    schema = lines.schema.add("features", "array<string>")
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # NB: StructType.add mutates in place — build a fresh copy
+    schema = StructType(
+        list(lines.schema.fields)
+        + [StructField("features", ArrayType(StringType()), True)]
+    )
     out_cols = [f.name for f in schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,8 +132,10 @@ def bi_rewrite_tags(lines: DataFrame) -> DataFrame:
     ).otherwise(F.lit("B"))
     rewritten = F.concat(bi, F.lit("-"), stripped)
     rewritten = F.when(noisy, F.concat(F.lit("*"), rewritten)).otherwise(rewritten)
+    # non-IGT lines keep the '*'-stripped label (the reference strips '*'
+    # before the rewrite and only re-applies it on the rewritten form)
     return lines.withColumn(
-        "bi_tag", F.when(is_igt, rewritten).otherwise(F.col("tag"))
+        "bi_tag", F.when(is_igt, rewritten).otherwise(stripped)
     )
 
 

@@ -72,3 +72,70 @@ def score_lines(
         .groupBy("url")
         .applyInPandas(decode, schema=SCORED_SCHEMA)
     )
+
+
+def score_lines_salted(
+    lines: DataFrame,
+    model_bc,
+    lex_bc,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    chunk_lines: int = 20_000,
+) -> DataFrame:
+    """Skew-safe scoring: mega-documents are split into ``chunk_lines``
+    salted chunks with a ±2-line halo, so no single task owns a whole
+     10⁵-line document (SURVEY.md §4 "salted windows with halo recompute";
+    north_rule skew requirement).
+
+    Context features reach lines n−2…n+1 (prev_prev/prev/next copies), so
+    replicating two predecessor lines and one successor line into the
+    neighboring chunk makes chunked batch scoring bit-identical to
+    whole-document scoring. Halo rows are scored but not emitted.
+
+    Only valid for batch-mode models (no ``prev_tag_*`` in the vocabulary —
+    true for the reference pretrained models); the sequential greedy decode
+    is inherently whole-document, use ``score_lines`` for it.
+    """
+    from ..refmodel import ModelWeights
+
+    K = chunk_lines
+    base = lines.select(*_SCORE_INPUT_COLS)
+    pos = F.col("line_no") - 1  # 0-based
+    own = base.select(
+        F.floor(pos / K).cast("int").alias("chunk"),
+        F.lit(False).alias("is_halo"),
+        "*",
+    )
+    # last two lines of a chunk → halo for the next chunk (prev/prev_prev)
+    halo_fwd = base.filter((pos % K) >= K - 2).select(
+        (F.floor(pos / K) + 1).cast("int").alias("chunk"),
+        F.lit(True).alias("is_halo"),
+        "*",
+    )
+    # first line of a chunk → halo for the previous chunk (next-line ctx)
+    halo_bwd = base.filter(((pos % K) == 0) & (pos >= K)).select(
+        (F.floor(pos / K) - 1).cast("int").alias("chunk"),
+        F.lit(True).alias("is_halo"),
+        "*",
+    )
+    chunked = own.unionByName(halo_fwd).unionByName(halo_bwd)
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        model = ModelWeights.from_broadcastable(model_bc.value)
+        lex = lex_bc.value
+        pdf = pdf.sort_values("line_no", kind="mergesort").reset_index(drop=True)
+        X = base_feature_matrix(pdf, lex, cfg, model)
+        labels, _ = score_matrix(X, model, cfg, want_probs=False)
+        keep = ~pdf["is_halo"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "url": pdf["url"][keep],
+                "line_no": pdf["line_no"][keep],
+                "pred": np.asarray(labels, dtype=object)[keep],
+            }
+        )
+        out["probs"] = None
+        return out
+
+    return chunked.groupBy("url", "chunk").applyInPandas(
+        decode, schema=SCORED_SCHEMA
+    )

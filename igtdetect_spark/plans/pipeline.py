@@ -24,12 +24,13 @@ from typing import Iterator, Optional
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..featurespec import Lexicons
 from ..refmodel import ModelWeights
 from ..operators.schema import LINES_SCHEMA, SPANS_SCHEMA
-from ..operators.segment import _rows_for_text, segment_pages
+from ..operators.segment import _plain_frame, batch_to_columns, segment_pages
 from ..operators.score import score_lines
 from ..operators.spans import assign_spans_df, detected_span_text
 from ..operators.vectorized import (
@@ -37,7 +38,6 @@ from ..operators.vectorized import (
     score_matrix,
     spans_from_labels,
 )
-from ..segmentation import extract_page_text
 
 
 class DetectContext:
@@ -78,30 +78,21 @@ def detect_spans_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
         model = ModelWeights.from_broadcastable(model_bc.value)
         lex = lex_bc.value
         for pdf in batches:
-            rows: list[dict] = []
-            slices: list[tuple[str, int, int]] = []
-            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
-                content = extract_page_text(
-                    bytes(html) if html is not None else None, text
-                )
-                start = len(rows)
-                rows.extend(_rows_for_text(url, content))
-                if len(rows) > start:
-                    slices.append((url, start, len(rows)))
-            if not rows:
+            cols, slices = batch_to_columns(pdf["url"], pdf["html"], pdf["text"])
+            if not slices:
                 yield pd.DataFrame(columns=_SPAN_COLS)
                 continue
-            lines = pd.DataFrame(rows, columns=_LINE_COLS)
+            lines = _plain_frame(cols)
             X = base_feature_matrix(lines, lex, cfg, model)
             labels: list[str] = []
             for url, a, b in slices:
                 lab, _ = score_matrix(X[a:b], model, cfg)
                 labels.extend(lab)
             span_rows = spans_from_labels(
-                lines["url"].to_numpy(),
-                lines["line_no"].to_numpy(),
-                lines["block_id"].to_numpy(),
-                lines["text"].to_numpy(),
+                cols["url"],
+                cols["line_no"],
+                cols["block_id"],
+                cols["text"],
                 labels,
                 slices,
                 cfg,
@@ -135,22 +126,13 @@ def classify_lines_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
         model = ModelWeights.from_broadcastable(model_bc.value)
         lex = lex_bc.value
         for pdf in batches:
-            rows: list[dict] = []
-            slices: list[tuple[str, int, int]] = []
-            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
-                content = extract_page_text(
-                    bytes(html) if html is not None else None, text
-                )
-                start = len(rows)
-                rows.extend(_rows_for_text(url, content))
-                if len(rows) > start:
-                    slices.append((url, start, len(rows)))
-            if not rows:
+            cols, slices = batch_to_columns(pdf["url"], pdf["html"], pdf["text"])
+            if not slices:
                 yield pd.DataFrame(
                     columns=[f.name for f in out_schema.fields]
                 )
                 continue
-            lines = pd.DataFrame(rows, columns=_LINE_COLS)
+            lines = _plain_frame(cols)
             X = base_feature_matrix(lines, lex, cfg, model)
             labels: list[str] = []
             for url, a, b in slices:
@@ -174,6 +156,43 @@ def detect_spans_staged(pages: DataFrame, ctx: DetectContext) -> DataFrame:
     ).join(scored.select("url", "line_no", "pred"), ["url", "line_no"])
     with_ids = assign_spans_df(joined, tag_col="pred")
     return detected_span_text(with_ids, ctx.cfg)
+
+
+def detect_spans_salted(
+    pages: DataFrame,
+    ctx: DetectContext,
+    chunk_lines: int = 20_000,
+    mega_doc_chars: int = 1_000_000,
+) -> DataFrame:
+    """Skew-safe pages → spans: documents under ``mega_doc_chars`` take the
+    zero-shuffle fused path; mega-documents are segmented, salt-chunked
+    with halo for scoring, and span-assembled with window operators —
+    results identical to the fused path (parity-tested), wall-clock no
+    longer bounded by the largest document.
+
+    The split predicate is a native ``length(text)`` filter — both sides
+    prune at the scan."""
+    from ..operators.score import score_lines_salted
+
+    is_mega = (F.length(F.coalesce(F.col("text"), F.lit(""))) >= mega_doc_chars) | (
+        F.length(F.coalesce(F.col("html"), F.lit(b""))) >= mega_doc_chars
+    )
+    small = pages.filter(~is_mega)
+    mega = pages.filter(is_mega)
+
+    small_spans = detect_spans_fused(small, ctx)
+
+    lines = segment_pages(mega)
+    scored = score_lines_salted(
+        lines, ctx.model_bc, ctx.lex_bc, ctx.cfg, chunk_lines=chunk_lines
+    )
+    joined = lines.select("url", "line_no", "block_id", "text").join(
+        scored.select("url", "line_no", "pred"), ["url", "line_no"]
+    )
+    mega_spans = detected_span_text(
+        assign_spans_df(joined, tag_col="pred"), ctx.cfg
+    )
+    return small_spans.unionByName(mega_spans)
 
 
 def detected_text_df(spans: DataFrame) -> DataFrame:

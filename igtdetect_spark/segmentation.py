@@ -99,6 +99,59 @@ def segment_text(text: str) -> list[SegmentedLine]:
     return out
 
 
+def segment_text_columns(text: str) -> dict[str, list]:
+    """Columnar fast path of ``segment_text`` — same rules, but emits
+    parallel lists instead of per-line objects (the per-line dataclass
+    allocation dominates mega-document segmentation cost). Parity with
+    ``segment_text`` is pinned by tests."""
+    line_no: list[int] = []
+    page_col: list[int] = []
+    block_id: list[str] = []
+    block_llx: list[float] = []
+    line_llx: list[float] = []
+    texts: list[str] = []
+
+    n_total = 0
+    for page_idx, page_text in enumerate(text.split("\f"), start=1):
+        block_no = 0
+        blk_start = None  # index into the output arrays
+        blk_min_ws = 0
+        for raw in page_text.split("\n"):
+            line = raw.rstrip("\r")
+            if not line.strip():
+                if blk_start is not None:
+                    llx = float(blk_min_ws)
+                    for i in range(blk_start, n_total):
+                        block_llx[i] = llx
+                    blk_start = None
+                continue
+            if blk_start is None:
+                block_no += 1
+                blk_start = n_total
+                blk_min_ws = 1 << 30
+            ws = _leading_ws(line)
+            blk_min_ws = min(blk_min_ws, ws)
+            n_total += 1
+            line_no.append(n_total)
+            page_col.append(page_idx)
+            block_id.append(f"{page_idx}-{block_no}")
+            block_llx.append(0.0)
+            line_llx.append(float(ws))
+            texts.append(line)
+        if blk_start is not None:
+            llx = float(blk_min_ws)
+            for i in range(blk_start, n_total):
+                block_llx[i] = llx
+    return {
+        "line_no": line_no,
+        "page": page_col,
+        "block_id": block_id,
+        "block_llx": block_llx,
+        "line_llx": line_llx,
+        "text": texts,
+    }
+
+
 # ---------------------------------------------------------------------------
 # HTML boilerplate strip (deterministic, regex-based)
 # ---------------------------------------------------------------------------

