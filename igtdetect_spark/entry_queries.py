@@ -617,6 +617,38 @@ FROM m
 """
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata extraction over opaque binary payloads (the
+    codec-independent part — byte length + content hash), SQL-mirrored."""
+    from .operators.multimodal import media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.substring(F.sha2(F.col("payload"), 256), 1, 16).alias("sha"),
+    )
+
+
+SQL_MEDIA_META = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       substring(sha256(text), 1, 16) AS sha
+FROM documents
+"""
+
+
+def q_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-decoded media embeddings (deterministic fake codec) — rows-only."""
+    from .operators.multimodal import extract_media_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_media_features(media)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import cosine_topk
 
@@ -705,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "embedding_stats": q_embedding_stats,
+        "media_meta": q_media_meta,
+        "media_embeddings": q_media_embeddings,
     }
 
 
@@ -730,7 +764,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID.replace("{SW}", sw),
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "embedding_stats": SQL_EMBEDDING_STATS,
-        # igt_classify_lines / igt_detect_spans / simhash / ann_lsh:
-        # model scoring, bit-mix hashing and seeded hyperplanes are not
-        # SQL-expressible → rows-only checks.
+        "media_meta": SQL_MEDIA_META,
+        # igt_classify_lines / igt_detect_spans / simhash / ann_lsh /
+        # media_embeddings: model scoring, bit-mix hashing, seeded
+        # hyperplanes and the stub codec are not SQL-expressible →
+        # rows-only checks.
     }

@@ -1,0 +1,145 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing — schemas, Arrow batch shape, partition-friendly
+``mapInPandas`` decode/extract/resize/frame-sample operators — is real and
+tested; the codec step is stubbed (image/audio libraries are not in this
+container): ``decode_stub`` raises ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces seeded, reproducible features
+derived from the bytes (md5-keyed), so downstream pipelines are testable.
+
+At 100 TB the shape matters more than the codec: binary payloads stay in
+Arrow buffers end-to-end (no base64, no per-row Python), metadata columns
+are pruned/pushed down independently of the blob, and the decode UDF is a
+narrow map — partitioning strategy is inherited from the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),       # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("meta_width", IntegerType(), True),
+        StructField("meta_height", IntegerType(), True),
+        StructField("meta_duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("sha", StringType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> np.ndarray:
+    """Codec stand-in. Real deployment plugs a decoder here (PIL/ffmpeg);
+    this container has none, so either fail loudly or produce a seeded
+    deterministic fake derived from the payload bytes."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            f"no {kind} codec in this environment — pass deterministic_fake=True "
+            "for the seeded stand-in"
+        )
+    digest = hashlib.md5(payload or b"").digest()
+    seed = int.from_bytes(digest[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal(16).astype(np.float32)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents test table: the text
+    bytes become the opaque payload (deterministic), metadata derived."""
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.pmod(F.col("doc_id"), F.lit(1920)).cast("int").alias("meta_width"),
+        F.pmod(F.col("doc_id"), F.lit(1080)).cast("int").alias("meta_height"),
+        (F.col("n_chars") * 10).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def extract_media_features(
+    media: DataFrame, deterministic_fake: bool = True
+) -> DataFrame:
+    """Batch decode + feature-extract: Arrow batches of binary payloads →
+    (n_bytes, sha, 16-dim embedding). One narrow mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs, shas, sizes = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                b = bytes(payload) if payload is not None else b""
+                sizes.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest()[:16])
+                embs.append(
+                    decode_stub(b, kind, deterministic_fake).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "sha": shas,
+                    "embedding": embs,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame-sampling plumbing: explode sample timestamps from the
+    duration metadata (native expressions; the actual frame grab would sit
+    in the decode UDF). Output: (media_id, frame_no, ts_ms)."""
+    n_frames = F.least(
+        F.floor(F.col("meta_duration_ms") / every_ms).cast("int") + 1,
+        F.lit(max_frames),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_frames - 1),
+                    lambda i: i * every_ms,
+                )
+            ).alias("frame_no", "ts_ms"),
+        )
+    )

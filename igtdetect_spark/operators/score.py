@@ -126,16 +126,21 @@ def score_lines_salted(
         X = base_feature_matrix(pdf, lex, cfg, model)
         labels, _ = score_matrix(X, model, cfg, want_probs=False)
         keep = ~pdf["is_halo"].to_numpy()
-        out = pd.DataFrame(
+        # block_id/text ride along so downstream span assembly needs no
+        # join back to the (twice-recomputed) segmentation
+        return pd.DataFrame(
             {
                 "url": pdf["url"][keep],
                 "line_no": pdf["line_no"][keep],
+                "block_id": pdf["block_id"][keep],
+                "text": pdf["text"][keep],
                 "pred": np.asarray(labels, dtype=object)[keep],
             }
         )
-        out["probs"] = None
-        return out
 
+    out_schema = (
+        "url string, line_no int, block_id string, text string, pred string"
+    )
     return chunked.groupBy("url", "chunk").applyInPandas(
-        decode, schema=SCORED_SCHEMA
+        decode, schema=out_schema
     )

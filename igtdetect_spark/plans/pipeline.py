@@ -186,11 +186,8 @@ def detect_spans_salted(
     scored = score_lines_salted(
         lines, ctx.model_bc, ctx.lex_bc, ctx.cfg, chunk_lines=chunk_lines
     )
-    joined = lines.select("url", "line_no", "block_id", "text").join(
-        scored.select("url", "line_no", "pred"), ["url", "line_no"]
-    )
     mega_spans = detected_span_text(
-        assign_spans_df(joined, tag_col="pred"), ctx.cfg
+        assign_spans_df(scored, tag_col="pred"), ctx.cfg
     )
     return small_spans.unionByName(mega_spans)
 

@@ -1,0 +1,88 @@
+"""Incremental page ingestion via Structured Streaming (SURVEY.md §2.9).
+
+The reference is batch-only; this is the engine's incremental path for a
+continuously-crawled pages table: ``readStream`` on the pages directory →
+the same fused detection stages (document-local, so they run unchanged
+inside ``foreachBatch``) → idempotent append of spans keyed by batch id.
+Watermarked per-window counters bound state for the monitoring aggregate.
+
+Checkpointing: the streaming checkpoint directory plays the role of the
+reference's feature-file cache (``DocData.load`` overwrite-or-reuse,
+igtdetect.py:122-132) — a restarted job resumes from the last committed
+batch without re-detecting earlier pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import DetectContext, detect_spans_fused
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def start_detect_stream(
+    pages_stream: DataFrame,
+    ctx: DetectContext,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Stream pages → spans parquet, exactly-once per micro-batch.
+
+    ``foreachBatch`` is the right seam: the detection pipeline is a batch
+    transformation over whole documents, and each page appears in exactly
+    one micro-batch, so per-batch append + streaming checkpoint gives
+    end-to-end idempotence on restart."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spans = detect_spans_fused(batch_df, ctx).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        spans.write.mode("append").parquet(out_dir)
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_ingest_monitor(
+    pages_stream: DataFrame,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked event-time monitoring aggregate: pages per crawl-time
+    window per lang. The watermark on ``warc_ts`` bounds state; late pages
+    beyond it are dropped (the only cross-document aggregation in the
+    engine, hence the only place a watermark is needed)."""
+    agg = (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("lang"))
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("n_chars"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ingest_monitor")
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -17,7 +17,7 @@ CHECKED = [
     "igt_segment_lines", "span_islands_events", "deterministic_mode",
     "confusion_pivot", "topk_parts", "label_normalize", "tpch_q1",
     "dedup_exact", "fingerprints", "token_stats", "quality_scores",
-    "lang_id", "embedding_stats", "ann_cosine_topk",
+    "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
 ]
 
 
@@ -71,6 +71,7 @@ def test_registry_consistency():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "igt_classify_lines", "igt_detect_spans", "simhash", "ann_lsh",
+        "media_embeddings",
     }
 
 

@@ -33,8 +33,9 @@ from igtdetect_spark.operators.segment import segment_pages
 
 cpus = int(sys.argv[1])
 mode = sys.argv[2]  # uniform | skewed
-# identical input + partitioning at both levels; only parallelism differs
-spark = build_session(master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+# identical input + partitioning + shuffle plan at both levels; only
+# parallelism differs
+spark = build_session(master=f"local[{cpus}]", shuffle_partitions=128)
 spark.sparkContext.setLogLevel("ERROR")
 if mode == "uniform":
     pages = synthetic_pages(spark, 150_000, n_partitions=256).cache()
@@ -63,9 +64,14 @@ spark.stop()
 
 
 def run_level(cpus: int, mode: str) -> dict:
+    # Pin the whole process tree (JVM + python workers) to exactly `cpus`
+    # cores — otherwise the "N-core" run borrows the idle cores for JVM
+    # threads/OS and the baseline is inflated (local-mode artifact a real
+    # N-executor cluster would not have).
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", RUNNER,
+           str(cpus), mode]
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), mode],
-        capture_output=True, text=True, cwd="/root/repo", timeout=1200,
+        cmd, capture_output=True, text=True, cwd="/root/repo", timeout=2400,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
