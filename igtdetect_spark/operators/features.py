@@ -39,6 +39,12 @@ def with_features(
     """lines → lines + ``features ARRAY<STRING>`` (fired, sorted).
 
     :param lex_bc: ``sc.broadcast(Lexicons)`` handle.
+
+    NB: when ``cfg.word_overlap`` is on (off by default), the overlap
+    features need the previous line of the same document — input batches
+    must then be document-contiguous in line order (true for
+    ``segment_pages``/``segment_freki_files`` output; use the grouped
+    scoring path for arbitrarily sharded tables).
     """
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 

@@ -252,6 +252,42 @@ def static_feature_columns(
     return out
 
 
+def overlap_feature_columns(
+    pdf: pd.DataFrame,
+    tokens: pd.Series,
+    cfg: PipelineConfig,
+) -> dict[str, np.ndarray]:
+    """Word-overlap-with-previous-line features (igtdetect.py:453-470),
+    computed against the previous line *of the same document* (url
+    transitions reset the context). Off by default."""
+    n = len(pdf)
+    out = {
+        "high_overlap": np.zeros(n, dtype=bool),
+        "med_overlap": np.zeros(n, dtype=bool),
+        "no_overlap": np.zeros(n, dtype=bool),
+    }
+    urls = pdf["url"].to_numpy(dtype=object)
+    tk = tokens.to_numpy(dtype=object)
+    prev_words: set | None = None
+    prev_url = None
+    for i in range(n):
+        if urls[i] != prev_url:
+            prev_words = None
+            prev_url = urls[i]
+        words = tk[i]
+        if prev_words is not None and words:
+            overlapping = sum(1 for w in words if w in prev_words)
+            ratio = overlapping / len(words)
+            if ratio > cfg.high_overlap:
+                out["high_overlap"][i] = True
+            if ratio > cfg.med_overlap:
+                out["med_overlap"][i] = True
+            if ratio == 0:
+                out["no_overlap"][i] = True
+        prev_words = set(words)
+    return out
+
+
 def base_feature_matrix(
     pdf: pd.DataFrame,
     lex: Lexicons,
@@ -267,6 +303,8 @@ def base_feature_matrix(
     X = np.zeros((n, model.n_base), dtype=np.float64)
     tokens = tokenize_series(pdf["text"].fillna(""))
     cols = static_feature_columns(pdf, tokens, lex, cfg)
+    if cfg.word_overlap and cfg.text_feats_enabled:
+        cols.update(overlap_feature_columns(pdf, tokens, cfg))
     idx = model.base_index
     for name, arr in cols.items():
         j = idx.get(name)
@@ -293,6 +331,8 @@ def fired_name_lists(
     n = len(pdf)
     tokens = tokenize_series(pdf["text"].fillna(""))
     cols = static_feature_columns(pdf, tokens, lex, cfg)
+    if cfg.word_overlap and cfg.text_feats_enabled:
+        cols.update(overlap_feature_columns(pdf, tokens, cfg))
     names = list(cols.keys())
     mat = np.column_stack([cols[c] for c in names]) if names else np.zeros((n, 0), bool)
     tk_arr = tokens.to_numpy(dtype=object)

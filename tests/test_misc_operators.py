@@ -1,0 +1,179 @@
+"""Coverage for the remaining SURVEY §2 operators: sqlite docs-db source
+(testdb), nfold cross-validation, word-overlap features, freki rendering,
+doc-stats distributed path, dedup/similarity sanity."""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from igtdetect_spark.config import DEFAULT_CONFIG, REF_SAMPLE_TEST
+from igtdetect_spark.flagship import get_lexicons, get_synthetic_model
+
+
+class TestDocsDb:
+    def test_read_and_join(self, spark, tmp_path):
+        from igtdetect_spark.sources.docsdb import (
+            pages_matching_docs_db,
+            read_docs_db,
+        )
+
+        db = str(tmp_path / "docs.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE docs (doc_id TEXT, posprob REAL)")
+        con.executemany(
+            "INSERT INTO docs VALUES (?, ?)",
+            [("94", 0.9), ("2629", 0.4), ("555", 0.7)],
+        )
+        con.commit()
+        con.close()
+
+        docs = read_docs_db(spark, db)
+        assert {r["doc_id"] for r in docs.collect()} == {"94", "555"}
+
+        pages = spark.createDataFrame(
+            [
+                ("http://x/94.tetml.html", "a"),
+                ("http://x/2629.tetml.html", "b"),
+                ("http://x/777.tetml.html", "c"),
+            ],
+            "url string, text string",
+        )
+        matched = pages_matching_docs_db(pages, docs)
+        assert {r["url"] for r in matched.collect()} == {"http://x/94.tetml.html"}
+
+
+class TestWordOverlap:
+    def test_fired_names_match_oracle(self):
+        from igtdetect_spark.operators.segment import _plain_frame, batch_to_columns
+        from igtdetect_spark.operators.vectorized import fired_name_lists
+        from igtdetect_spark.oracle.corpus import doc_from_text, make_doc
+        from igtdetect_spark.oracle.pipeline import extract_doc_features
+
+        cfg = DEFAULT_CONFIG.with_(word_overlap=True)
+        lex = get_lexicons()
+        text = (
+            "the quick brown fox\nthe quick brown fox\nentirely different words\n"
+            "\nthe quick brown fox jumps again today"
+        )
+        d = doc_from_text("u", text)
+        inst = extract_doc_features(d, lex, cfg)
+        from igtdetect_spark.refmodel import split_prefix
+
+        def is_base(k):
+            ctx, base = split_prefix(k)
+            return ctx == "cur" and not base.startswith("prev_tag_")
+
+        want = [sorted(k for k, v in li.feats.items() if v and is_base(k))
+                for li in inst]
+        cols, _ = batch_to_columns(["u"], [None], [text])
+        got = fired_name_lists(_plain_frame(cols), lex, cfg)
+        assert got == want
+        flat = [f for fs in got for f in fs]
+        assert "high_overlap" in flat and "no_overlap" in flat
+
+    def test_overlap_resets_at_doc_boundary(self):
+        import pandas as pd
+
+        from igtdetect_spark.operators.vectorized import (
+            overlap_feature_columns,
+            tokenize_series,
+        )
+
+        cfg = DEFAULT_CONFIG.with_(word_overlap=True)
+        pdf = pd.DataFrame(
+            {"url": ["a", "a", "b"], "text": ["x y z", "x y z", "x y z"]}
+        )
+        toks = tokenize_series(pdf["text"])
+        cols = overlap_feature_columns(pdf, toks, cfg)
+        # line 2 of doc a overlaps fully; line 1 of doc b has no context
+        assert list(cols["high_overlap"]) == [False, True, False]
+
+
+class TestNfold:
+    def test_nfold_runs_and_scores(self, spark):
+        from igtdetect_spark.functions.labels import normalize_label_col
+        from igtdetect_spark.operators.features import (
+            bi_rewrite_tags,
+            widen_context_df,
+            with_features,
+        )
+        from igtdetect_spark.operators.segment import segment_pages
+        from igtdetect_spark.plans.nfold import run_nfold
+        from igtdetect_spark.oracle.corpus import doc_from_text, make_corpus
+        from igtdetect_spark.sources.pages import synthetic_pages
+        from pyspark.sql import functions as F
+
+        lex_bc = spark.sparkContext.broadcast(get_lexicons())
+        pages = synthetic_pages(spark, 20, html_every=0)
+        lines = segment_pages(pages)
+        rows = []
+        for d in make_corpus(20, html_every=0):
+            doc = doc_from_text(d.url, d.text, d.gold_tags)
+            for ln in doc.lines():
+                rows.append((d.url, ln.lineno, ln.tag, ln.span_id))
+        gold = spark.createDataFrame(
+            rows, "url string, line_no int, tag string, span_id string"
+        )
+        lines = lines.drop("tag", "span_id").join(gold, ["url", "line_no"])
+        widened = widen_context_df(
+            bi_rewrite_tags(with_features(lines, lex_bc))
+        ).withColumn("norm_label", normalize_label_col(F.col("bi_tag")))
+
+        results, summary = run_nfold(
+            widened, ratio=0.8, iters=3, seed=232, max_features=2000
+        )
+        assert len(results) == 3
+        accs = [r.accuracy for r in results]
+        assert all(a > 0.9 for a in accs), accs
+        assert 0 <= summary["accuracy"][1] < 0.2  # σ sane
+
+    def test_seeded_order_deterministic(self):
+        from igtdetect_spark.plans.nfold import seeded_doc_order
+
+        urls = [f"u{i}" for i in range(50)]
+        a = seeded_doc_order(urls, 232)
+        b = seeded_doc_order(list(reversed(urls)), 232)
+        assert a == b
+        assert a != sorted(urls)
+
+
+class TestDocStatsDistributed:
+    def test_matches_denormalized(self, spark):
+        """attach_doc_stats on a stripped lines table reproduces the
+        segmentation-denormalized stats + adjacency."""
+        from igtdetect_spark.operators.doc_stats import attach_doc_stats
+        from igtdetect_spark.operators.segment import segment_freki_files
+
+        lines = segment_freki_files(spark, [REF_SAMPLE_TEST]).cache()
+        redone = attach_doc_stats(lines)
+        want = {
+            r["line_no"]: (
+                r["prev_block_id"], r["next_block_id"], r["doc_llx_mode"],
+                r["def_font_id"], r["def_font_size"],
+            )
+            for r in lines.collect()
+        }
+        got = {
+            r["line_no"]: (
+                r["prev_block_id"], r["next_block_id"], r["doc_llx_mode"],
+                r["def_font_id"], r["def_font_size"],
+            )
+            for r in redone.collect()
+        }
+        assert got == want
+
+
+class TestFrekiRender:
+    def test_render_round_trip(self):
+        """Oracle freki renderer round-trips through the parser (the
+        classified-doc sink shape, reference str(fd) :1281)."""
+        from igtdetect_spark.oracle.freki import parse_freki, read_freki
+
+        doc = read_freki(REF_SAMPLE_TEST)
+        doc2 = parse_freki(doc.render())
+        assert len(doc2) == len(doc)
+        for a, b in zip(doc.lines(), doc2.lines()):
+            assert (a.lineno, a.text, a.tag, a.span_id, a.fonts) == (
+                b.lineno, b.text, b.tag, b.span_id, b.fonts
+            )
