@@ -157,6 +157,56 @@ def rows_for_freki_doc(url: str, doc: FrekiDoc) -> Iterable[dict]:
         }
 
 
+def render_freki_df(lines: DataFrame, tag_col: str = "tag") -> DataFrame:
+    """Classified-doc sink: re-serialize lines to freki text per url
+    (reference str(fd) write, igtdetect.py:1281) — grouped-map UDF, one
+    group per document, byte-parity with the oracle renderer (it IS the
+    oracle renderer, fed from columns). Output: (url, freki_text)."""
+    from ..oracle.freki import FrekiBlock, FrekiDoc, FrekiLine
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("line_no", kind="mergesort")
+        url = pdf["url"].iloc[0]
+        doc = FrekiDoc(url)
+        blocks: dict[str, FrekiBlock] = {}
+        for r in pdf.itertuples(index=False):
+            b = blocks.get(r.block_id)
+            if b is None:
+                b = FrekiBlock(
+                    doc_id=url, page=int(r.page), block_id=r.block_id,
+                    bbox=(float(r.llx or 0.0), 0.0, 0.0, 0.0),
+                    start_line=int(r.line_no), stop_line=int(r.line_no),
+                )
+                blocks[r.block_id] = b
+                doc.add_block(b)
+            raw_fonts = r.fonts if r.fonts is not None else []
+            fonts = [
+                (f["font_id"], f["size"]) if isinstance(f, dict) else tuple(f)
+                for f in raw_fonts
+            ]
+            ln = FrekiLine(
+                lineno=int(r.line_no), text=r.text or "",
+                tag=getattr(r, tag_col) or "O",
+                span_id=r.span_id, lang_name=r.lang_name,
+                lang_code=r.lang_code, fonts=fonts,
+            )
+            ln.block = b
+            b.lines.append(ln)
+            b.stop_line = int(r.line_no)
+            doc._by_lineno[ln.lineno] = ln
+        return pd.DataFrame({"url": [url], "freki_text": [doc.render()]})
+
+    cols = [
+        "url", "line_no", "page", "block_id", "llx", "text", "fonts",
+        "span_id", "lang_name", "lang_code",
+    ]
+    if tag_col not in cols:
+        cols.append(tag_col)
+    return lines.select(*cols).groupBy("url").applyInPandas(
+        render, schema="url string, freki_text string"
+    )
+
+
 def segment_freki_files(spark, paths: list[str]) -> DataFrame:
     """Read freki text files (one doc per file) → lines DataFrame.
 
