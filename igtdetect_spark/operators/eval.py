@@ -189,11 +189,16 @@ def render_report(
     csv: bool = False,
 ) -> str:
     """The reference eval report shape (igtdetect.py:1326-1344)."""
+    from ..labels import label_sort_key
+
     d = "," if csv else "\t"
     lines = []
-    pivot = confusion_matrix_pivot(counts).orderBy("gold").collect()
+    pivot = confusion_matrix_pivot(counts).collect()
     if pivot:
-        cols = [c for c in pivot[0].asDict() if c != "gold"]
+        # reference label_sort order: O,B,I,L,L-T,G,T,M then unknown
+        order = lambda l: (label_sort_key(l), l)
+        cols = sorted((c for c in pivot[0].asDict() if c != "gold"), key=order)
+        pivot = sorted(pivot, key=lambda r: order(r["gold"]))
         lines.append(d.join([""] + cols))
         for r in pivot:
             rd = r.asDict()
