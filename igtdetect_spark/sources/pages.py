@@ -34,6 +34,26 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def glob_paths(pattern: str) -> list[str]:
+    """Expand a glob, descending one level into matched directories;
+    error on empty (reference globfiles, igtdetect.py:1412-1426)."""
+    import glob as _glob
+    import os
+
+    g = _glob.glob(pattern)
+    if not g:
+        raise FileNotFoundError(
+            f'No files found matching pattern "{pattern}".'
+        )
+    paths: list[str] = []
+    for p in g:
+        if os.path.isdir(p):
+            paths.extend(os.path.join(p, x) for x in sorted(os.listdir(p)))
+        else:
+            paths.append(p)
+    return paths
+
+
 def synthetic_pages(
     spark: SparkSession,
     n_docs: int,
