@@ -12,9 +12,15 @@ SURVEY.md §2 plus the training-data pipeline operators; registry lives in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 

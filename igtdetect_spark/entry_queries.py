@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)  # executors import the zipped package
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -31,6 +34,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _detect_ctx(spark: SparkSession):
     from .flagship import get_lexicons, get_synthetic_model
     from .plans.pipeline import DetectContext
+    from .shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
 
     if not hasattr(_detect_ctx, "_cache"):
         _detect_ctx._cache = {}
@@ -387,6 +393,53 @@ ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join (region→nation→customer+supplier→orders→
+    lineitem) with local-supplier predicate — broadcast dim chain, integer
+    cents."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    dims = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_c"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT r.r_name, n.n_name,
+       SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT)) AS revenue_c,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -725,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_normalize": q_label_normalize,
         "tpch_q1": q_tpch_q1,
         "revenue_topk": q_revenue_topk,
+        "local_supplier_volume": q_local_supplier_volume,
         "dedup_exact": q_dedup_exact,
         "fingerprints": q_fingerprints,
         "minhash_bands": q_minhash_bands,
@@ -754,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "label_normalize": SQL_LABEL_NORMALIZE,
         "tpch_q1": SQL_TPCH_Q1,
         "revenue_topk": SQL_REVENUE_TOPK,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprints": SQL_FINGERPRINTS,
         "minhash_bands": SQL_MINHASH_BANDS,

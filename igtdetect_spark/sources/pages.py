@@ -92,6 +92,9 @@ def synthetic_pages(
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's ``documents`` test table (doc_id, text, lang,
     source, n_chars) into the pages shape — used by the flagship entry."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
