@@ -105,6 +105,26 @@ def static_feature_columns(
     def contains(pat) -> np.ndarray:
         return s.str.contains(pat, regex=True).to_numpy(dtype=bool)
 
+    # Every unicode-script class matches only non-ASCII codepoints, and most
+    # web-text lines are pure ASCII — evaluate the 9 script regexes on the
+    # non-ASCII subset only (bitwise parity, big constant-factor win).
+    _non_ascii_mask: np.ndarray | None = None
+    _s_non_ascii = None
+
+    def contains_nonascii(pat) -> np.ndarray:
+        nonlocal _non_ascii_mask, _s_non_ascii
+        if _non_ascii_mask is None:
+            _non_ascii_mask = s.str.contains(
+                "[^\x00-\x7f]", regex=True
+            ).to_numpy(dtype=bool)
+            _s_non_ascii = s[_non_ascii_mask]
+        res = np.zeros(n, dtype=bool)
+        if _s_non_ascii is not None and len(_s_non_ascii):
+            res[_non_ascii_mask] = _s_non_ascii.str.contains(
+                pat, regex=True
+            ).to_numpy(dtype=bool)
+        return res
+
     if cfg.text_feats_enabled:
         if T_HAS_LANGNAME in te:
             ln = lex.langnames
@@ -161,17 +181,23 @@ def static_feature_columns(
         hj = hg = hk = hc = ha = hd = None
         need_uni = T_HAS_UNI in te
         if T_HAS_JPN in te or need_uni:
-            hj = contains(_RE_KANJI) | contains(_RE_HIRAGANA) | contains(_RE_KATAKANA)
+            hj = (
+                contains_nonascii(_RE_KANJI)
+                | contains_nonascii(_RE_HIRAGANA)
+                | contains_nonascii(_RE_KATAKANA)
+            )
         if T_HAS_GRK in te or need_uni:
-            hg = contains(_RE_GRK)
+            hg = contains_nonascii(_RE_GRK)
         if T_HAS_KOR in te or need_uni:
-            hk = contains(_RE_KOR)
+            hk = contains_nonascii(_RE_KOR)
         if T_HAS_CYR in te or need_uni:
-            hc = contains(_RE_CYR)
+            hc = contains_nonascii(_RE_CYR)
         if T_HAS_ACC in te or need_uni:
-            ha = contains(_RE_ACC_LAT)
+            ha = contains_nonascii(_RE_ACC_LAT)
         if T_HAS_DIA in te or need_uni:
-            hd = contains(_RE_DIA_BUGGY if cfg.buggy_diacritic_class else _RE_DIA_FIXED)
+            hd = contains_nonascii(
+                _RE_DIA_BUGGY if cfg.buggy_diacritic_class else _RE_DIA_FIXED
+            )
         if T_HAS_JPN in te:
             out[T_HAS_JPN] = hj
         if T_HAS_GRK in te:
