@@ -32,11 +32,16 @@ def get_lexicons():
 
 @lru_cache(maxsize=1)
 def get_synthetic_model() -> ModelWeights:
+    # Trained WITHOUT the prev_tag feature (like the reference pretrained
+    # nobio model): scoring then takes the fully-vectorized batch path
+    # everywhere, and the salted chunked-halo skew path is exactly valid
+    # (the sequential greedy decode cannot cross chunk boundaries).
+    cfg = DEFAULT_CONFIG.with_(prev_tag=False)
     lex = get_lexicons()
     fds, labels = [], []
     for d in make_corpus(TRAIN_DOCS, seed=TRAIN_SEED):
         doc = doc_from_text(d.url, d.text, d.gold_tags)
-        for li in extract_doc_features(doc, lex, DEFAULT_CONFIG):
+        for li in extract_doc_features(doc, lex, cfg):
             fds.append(li.feats)
             labels.append(li.norm_label)
     return train_model(fds, labels, max_features=5000, iters=200)

@@ -91,11 +91,22 @@ def score_lines_salted(
     neighboring chunk makes chunked batch scoring bit-identical to
     whole-document scoring. Halo rows are scored but not emitted.
 
-    Only valid for batch-mode models (no ``prev_tag_*`` in the vocabulary —
-    true for the reference pretrained models); the sequential greedy decode
-    is inherently whole-document, use ``score_lines`` for it.
+    Only valid for batch-mode scoring (no ``prev_tag_*`` in the model
+    vocabulary, or cfg.prev_tag off — true for the reference pretrained
+    models and the flagship model); the sequential greedy decode is
+    inherently whole-document and cannot cross chunk boundaries, so this
+    operator refuses it — use ``score_lines``.
     """
     from ..refmodel import ModelWeights
+
+    if cfg.prev_tag:
+        probe = ModelWeights.from_broadcastable(model_bc.value)
+        if any(k.startswith("prev_tag_") for k in probe.base_index):
+            raise ValueError(
+                "score_lines_salted cannot chunk a sequential (prev_tag) "
+                "model — decode state does not cross chunk boundaries; "
+                "use score_lines (whole-document groups)"
+            )
 
     K = chunk_lines
     base = lines.select(*_SCORE_INPUT_COLS)
