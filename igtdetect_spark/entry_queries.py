@@ -746,6 +746,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic k-means lists, n_probe=2) — rows-only."""
+    from .operators.similarity import ivf_ann
+
+    return ivf_ann(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3
+    )
+
+
+def q_confusion_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix WITH margins in one pass — cube('gold','pred')
+    (SURVEY §2.5: the eval report's matrix + per-label margins is the one
+    rollup-shaped output). NULL dims = margin rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_orderstatus")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .cube(
+            F.col("o_orderstatus").alias("gold"),
+            F.col("l_returnflag").alias("pred"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CONFUSION_CUBE = """
+SELECT o.o_orderstatus AS gold, l.l_returnflag AS pred, COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY CUBE (1, 2)
+"""
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_stats
 
@@ -790,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "confusion_cube": q_confusion_cube,
         "embedding_stats": q_embedding_stats,
         "media_meta": q_media_meta,
         "media_embeddings": q_media_embeddings,
@@ -818,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY_SCORES.replace("{SW}", sw),
         "lang_id": SQL_LANG_ID.replace("{SW}", sw),
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "confusion_cube": SQL_CONFUSION_CUBE,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "media_meta": SQL_MEDIA_META,
         # igt_classify_lines / igt_detect_spans / simhash / ann_lsh /

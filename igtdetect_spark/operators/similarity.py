@@ -142,6 +142,110 @@ def lsh_bucketed_ann(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2000,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer for IVF: seeds are the k
+    lowest-id vectors of a hash-ordered sample, Lloyd iterations on the
+    driver over a bounded sample (numpy). At 100 TB the sample is a tiny
+    sketch of the corpus; assignment/search stay distributed."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    # seeded init: first k rows of the hash order
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic k-means coarse
+    quantizer (broadcast centroids), every vector assigned to its nearest
+    list as a native expression, queries probe their ``n_probe`` closest
+    lists, exact cosine rescoring inside the probed lists. Same output
+    shape as ``cosine_topk``; recall rises with n_probe.
+
+    The scale shape: list assignment is a narrow map; the search join
+    fans each query to n_probe list-partitions instead of the full
+    corpus — candidate volume drops ~n_lists/n_probe-fold."""
+    spark = embeddings.sparkSession
+    C = kmeans_centroids(embeddings, k=n_lists, id_col=id_col, vec_col=vec_col)
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def dist2_to(c: np.ndarray):
+        plane = F.array([F.lit(float(x)) for x in c])
+        diff = F.zip_with(v, plane, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    list_id = F.lit(0)
+    best = dist2_to(C[0])
+    for c in range(1, len(C)):
+        d2 = dist2_to(C[c])
+        list_id = F.when(d2 < best, F.lit(c)).otherwise(list_id)
+        best = F.least(best, d2)
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("_v"), list_id.alias("list_id")
+    )
+
+    # queries probe their n_probe nearest centroid lists
+    q_rows = assigned.filter(F.col("neighbor_id").isin(query_ids)).collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.asarray(r["_v"])
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        for lid in np.argsort(d2)[:n_probe]:
+            probe_pairs.append((r["neighbor_id"], list(map(float, qv)), int(lid)))
+    queries = spark.createDataFrame(
+        probe_pairs, "query_id long, _q array<double>, list_id int"
+    )
+
+    joined = assigned.join(F.broadcast(queries), "list_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("_q"), F.col("_v")) / (
+        _norm(F.col("_q")) * _norm(F.col("_v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        joined.select(
+            "query_id",
+            "neighbor_id",
+            F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
+    )
+
+
 def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-label embedding statistics: count + mean L2 norm (stable e6)."""

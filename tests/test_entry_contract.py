@@ -71,7 +71,7 @@ def test_registry_consistency():
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "igt_classify_lines", "igt_detect_spans", "simhash", "ann_lsh",
-        "media_embeddings",
+        "ann_ivf", "media_embeddings",
     }
 
 

@@ -1,0 +1,82 @@
+"""Similarity-search tests: exact top-k vs approximate variants (LSH,
+IVF) — recall behavior and the exactness limit."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, emb):
+    from igtdetect_spark.operators.similarity import cosine_topk
+
+    return {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, [0, 1, 2, 3, 4], k=3).collect()
+    }
+
+
+def test_exact_topk_shape(spark, emb):
+    from igtdetect_spark.operators.similarity import cosine_topk
+
+    rows = cosine_topk(emb, [0, 1, 2], k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        sims = [r["cos_sim_e6"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_ivf_full_probe_is_exact(spark, emb, exact):
+    """Probing every list = brute force (the approximation is only the
+    list pruning)."""
+    from igtdetect_spark.operators.similarity import ivf_ann
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann(emb, [0, 1, 2, 3, 4], k=3, n_lists=8, n_probe=8).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_probe_recall_curve(spark, emb, exact):
+    """Recall rises monotonically with n_probe (these synthetic
+    embeddings are near-uniform, so coarse pruning is maximally hostile —
+    measured curve at k=3: 0.33 → 0.73 → 1.0 for probe 2/4/8)."""
+    from igtdetect_spark.operators.similarity import ivf_ann
+
+    def recall(p):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann(
+                emb, [0, 1, 2, 3, 4], k=3, n_lists=8, n_probe=p
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r2, r4 = recall(2), recall(4)
+    assert r2 >= 0.25
+    assert r4 >= r2
+    assert r4 >= 0.6
+
+
+def test_lsh_ann_overlap(spark, emb, exact):
+    from igtdetect_spark.operators.similarity import lsh_bucketed_ann
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_ann(emb, [0, 1, 2, 3, 4], k=3, n_planes=4).collect()
+    }
+    # every LSH result is a genuine vector pair; overlap with exact top-k
+    # is nonzero (buckets are coarse at 4 planes)
+    assert got
+    assert len(got & exact) >= 1
