@@ -113,6 +113,9 @@ class PipelineConfig:
     buggy_diacritic_class: bool = True  # en-dash in has_dia char class
     flush_eof_span: bool = False      # reference never flushes span open at EOF
 
+    # -- ingestion --
+    html_main_content: bool = False   # density-based boilerplate removal
+
     # -- scale knobs --
     salt_buckets: int = 0             # >0: salt mega-docs in feature stages
     max_doc_lines_sequential: int = 200_000  # above: fall back to batch decode

@@ -62,7 +62,7 @@ def _empty_cols() -> dict[str, list]:
 
 
 def batch_to_columns(
-    urls, htmls, texts
+    urls, htmls, texts, html_main_content: bool = False
 ) -> tuple[dict[str, list], list[tuple[str, int, int]]]:
     """Segment a batch of pages into one columnar frame + per-doc row
     slices [(url, start, stop)]."""
@@ -71,7 +71,8 @@ def batch_to_columns(
     n = 0
     for url, html, text in zip(urls, htmls, texts):
         content = extract_page_text(
-            bytes(html) if html is not None else None, text
+            bytes(html) if html is not None else None, text,
+            html_main_content=html_main_content,
         )
         doc = doc_columns(url, content)
         if doc is None:
@@ -96,14 +97,16 @@ def _plain_frame(cols: dict[str, list]) -> pd.DataFrame:
     return pdf
 
 
-def segment_pages(pages: DataFrame) -> DataFrame:
+def segment_pages(pages: DataFrame, html_main_content: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → lines DataFrame."""
 
     fid, fsize = DEFAULT_FONT
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cols, _ = batch_to_columns(pdf["url"], pdf["html"], pdf["text"])
+            cols, _ = batch_to_columns(
+                pdf["url"], pdf["html"], pdf["text"], html_main_content
+            )
             n = len(cols["line_no"])
             out = pd.DataFrame(cols)
             font_cell = [{"font_id": fid, "size": fsize}]

@@ -78,7 +78,9 @@ def detect_spans_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
         model = ModelWeights.from_broadcastable(model_bc.value)
         lex = lex_bc.value
         for pdf in batches:
-            cols, slices = batch_to_columns(pdf["url"], pdf["html"], pdf["text"])
+            cols, slices = batch_to_columns(
+                pdf["url"], pdf["html"], pdf["text"], cfg.html_main_content
+            )
             if not slices:
                 yield pd.DataFrame(columns=_SPAN_COLS)
                 continue
@@ -126,7 +128,9 @@ def classify_lines_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
         model = ModelWeights.from_broadcastable(model_bc.value)
         lex = lex_bc.value
         for pdf in batches:
-            cols, slices = batch_to_columns(pdf["url"], pdf["html"], pdf["text"])
+            cols, slices = batch_to_columns(
+                pdf["url"], pdf["html"], pdf["text"], cfg.html_main_content
+            )
             if not slices:
                 yield pd.DataFrame(
                     columns=[f.name for f in out_schema.fields]
@@ -149,7 +153,7 @@ def classify_lines_fused(pages: DataFrame, ctx: DetectContext) -> DataFrame:
 
 def detect_spans_staged(pages: DataFrame, ctx: DetectContext) -> DataFrame:
     """pages → spans via the relational operator chain (one url shuffle)."""
-    lines = segment_pages(pages)
+    lines = segment_pages(pages, ctx.cfg.html_main_content)
     scored = score_lines(lines, ctx.model_bc, ctx.lex_bc, ctx.cfg)
     joined = lines.select(
         "url", "line_no", "block_id", "text"
@@ -182,7 +186,7 @@ def detect_spans_salted(
 
     small_spans = detect_spans_fused(small, ctx)
 
-    lines = segment_pages(mega)
+    lines = segment_pages(mega, ctx.cfg.html_main_content)
     scored = score_lines_salted(
         lines, ctx.model_bc, ctx.lex_bc, ctx.cfg, chunk_lines=chunk_lines
     )

@@ -192,10 +192,99 @@ def strip_html(html_bytes: bytes | str) -> str:
     return s.strip("\n")
 
 
-def extract_page_text(html: Optional[bytes], text: Optional[str]) -> str:
+# ---------------------------------------------------------------------------
+# Main-content extraction (DOM-free density heuristics, north_rule)
+# ---------------------------------------------------------------------------
+
+_A_OPEN = "\x02"
+_A_CLOSE = "\x03"
+_RE_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.I | re.S)
+_EN_STOP_SMALL = frozenset(
+    "the a an of to in and is are was were that this it for on with as by".split()
+)
+
+
+def _mark_anchors(s: str) -> str:
+    return _RE_ANCHOR.sub(lambda m: _A_OPEN + m.group(1) + _A_CLOSE, s)
+
+
+def main_content_text(
+    html_bytes: bytes | str,
+    min_block_chars: int = 25,
+    max_link_frac: float = 0.4,
+    min_stopword_hits: int = 1,
+) -> str:
+    """Main-content extraction: boilerplate blocks (navigation, footers,
+    link farms) are dropped by deterministic density heuristics —
+    per-block link-character fraction (chars inside <a> tags), block text
+    mass, and function-word presence. DOM-free: anchors are marked with
+    sentinels before tag stripping, so the link mass survives into the
+    block segmentation. A block is kept iff
+
+        chars ≥ min_block_chars ∧ link_frac ≤ max_link_frac
+        ∧ stopword_hits ≥ min_stopword_hits
+
+    (the standard text-density/link-density boilerplate signal, computed
+    per block instead of per DOM node)."""
+    if isinstance(html_bytes, (bytes, bytearray)):
+        s = bytes(html_bytes).decode("utf-8", errors="replace")
+    else:
+        s = html_bytes
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_DROP.sub(" ", s)
+    s = _mark_anchors(s)
+    s = _RE_BR.sub("\n", s)
+    s = _RE_BLOCK_OPEN.sub("\n\n", s)
+    s = _RE_BLOCK_CLOSE.sub("\n\n", s)
+    s = _RE_ANY_TAG.sub("", s)
+    s = _htmlmod.unescape(s)
+    lines = [ln.rstrip() for ln in s.split("\n")]
+    s = _RE_MULTIBLANK.sub("\n\n", "\n".join(lines)).strip("\n")
+
+    kept_blocks: list[str] = []
+    for block in s.split("\n\n"):
+        visible = block.replace(_A_OPEN, "").replace(_A_CLOSE, "")
+        stripped = visible.strip()
+        if not stripped:
+            continue
+        # link mass: characters between anchor sentinels
+        link_chars = 0
+        depth = 0
+        for ch in block:
+            if ch == _A_OPEN:
+                depth += 1
+            elif ch == _A_CLOSE:
+                depth = max(0, depth - 1)
+            elif depth > 0 and not ch.isspace():
+                link_chars += 1
+        n_chars = sum(1 for ch in stripped if not ch.isspace())
+        link_frac = link_chars / n_chars if n_chars else 1.0
+        toks = [t.lower() for t in _WORD_SPLIT.findall(visible)]
+        sw_hits = sum(1 for t in toks if t in _EN_STOP_SMALL)
+        if (
+            len(stripped) >= min_block_chars
+            and link_frac <= max_link_frac
+            and sw_hits >= min_stopword_hits
+        ):
+            kept_blocks.append(visible)
+    return "\n\n".join(kept_blocks)
+
+
+_WORD_SPLIT = re.compile(r"[A-Za-z']+")
+
+
+def extract_page_text(
+    html: Optional[bytes],
+    text: Optional[str],
+    html_main_content: bool = False,
+) -> str:
     """Pick the page's content source: html wins when present, else text
-    (the pdf-to-text path)."""
+    (the pdf-to-text path). ``html_main_content`` switches the HTML path
+    from plain boilerplate-strip to density-based main-content
+    extraction."""
     if html is not None and len(html) > 0:
+        if html_main_content:
+            return main_content_text(html)
         return strip_html(html)
     return text or ""
 
