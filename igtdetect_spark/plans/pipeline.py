@@ -196,6 +196,35 @@ def detect_spans_salted(
     return small_spans.unionByName(mega_spans)
 
 
+def detect_with_metrics(pages: DataFrame, ctx: DetectContext):
+    """Fused detection instrumented with ``Observation`` counters — the
+    map-side lineage metrics (no extra job): pages/bytes in, spans/lines
+    out. Returns (spans_df, metrics_fn); call ``metrics_fn()`` after an
+    action on the returned DataFrame."""
+    from pyspark.sql import Observation
+
+    obs_in = Observation("pages_in")
+    obs_out = Observation("spans_out")
+    observed_pages = pages.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            + F.length(F.coalesce(F.col("html"), F.lit(b"")))
+        ).alias("n_content_bytes"),
+    )
+    spans = detect_spans_fused(observed_pages, ctx).observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.size("tags")).alias("n_span_lines"),
+    )
+
+    def metrics() -> dict:
+        return {**obs_in.get, **obs_out.get}
+
+    return spans, metrics
+
+
 def detected_text_df(spans: DataFrame) -> DataFrame:
     from ..operators.spans import detected_text_per_url
 

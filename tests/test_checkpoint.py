@@ -76,3 +76,15 @@ def test_resume_skips_committed_buckets(spark, ctx, pages, tmp_path_factory):
     # final output is complete and identical to a fresh full run
     total = spark.read.parquet(out).count()
     assert total == sum(m["n_spans"] for m in m2.values())
+
+
+def test_detect_with_metrics(spark, ctx, pages):
+    from igtdetect_spark.plans.pipeline import detect_with_metrics
+
+    spans, metrics = detect_with_metrics(pages, ctx)
+    n = spans.count()
+    m = metrics()
+    assert m["n_pages"] == 40
+    assert m["n_spans"] == n
+    assert m["n_span_lines"] >= n  # every span has ≥1 line
+    assert m["n_content_bytes"] > 0

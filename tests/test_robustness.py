@@ -1,0 +1,80 @@
+"""Hostile-input robustness: the pipelines must not crash on malformed
+pages (null fields, invalid UTF-8 html, control characters, huge lines,
+whitespace-only docs)."""
+
+import datetime
+
+import pytest
+
+from igtdetect_spark.flagship import get_lexicons, get_synthetic_model
+from igtdetect_spark.sources.pages import PAGES_SCHEMA
+
+TS = datetime.datetime(2024, 1, 1)
+
+HOSTILE_ROWS = [
+    ("u_null_both", TS, None, None, "en"),
+    ("u_empty_text", TS, None, "", "en"),
+    ("u_ws_only", TS, None, "   \n\t\n  ", "en"),
+    ("u_bad_utf8", TS, bytearray(b"\xff\xfe<p>broken \xf0 bytes</p>"), None, "en"),
+    ("u_ctrl", TS, None, "line with \x00 null and \x1b escape\nsecond", "en"),
+    ("u_huge_line", TS, None, "x" * 500_000, "en"),
+    ("u_many_ff", TS, None, "\f\f\fpage4 line\f\f", "en"),
+    ("u_unicode_soup", TS, None, "日本語 한국어 Ѐ–ͯ ‘quoted words’ (1984)", "en"),
+    ("u_html_nested", TS, bytearray(b"<div><div><p>deep <b>text</b></p></div></div>"), None, "en"),
+    ("u_html_unclosed", TS, bytearray(b"<p>unclosed <a href='x'>anchor"), None, "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def hostile(spark):
+    return spark.createDataFrame(HOSTILE_ROWS, PAGES_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    from igtdetect_spark.plans.pipeline import DetectContext
+
+    return DetectContext(spark, get_synthetic_model(), get_lexicons())
+
+
+def test_fused_survives_hostile_pages(spark, hostile, ctx):
+    from igtdetect_spark.plans.pipeline import classify_lines_fused, detect_spans_fused
+
+    lines = classify_lines_fused(hostile, ctx).collect()
+    urls = {r["url"] for r in lines}
+    assert "u_unicode_soup" in urls and "u_huge_line" in urls
+    assert "u_null_both" not in urls  # no content → no lines, no crash
+    detect_spans_fused(hostile, ctx).collect()  # must not raise
+
+
+def test_staged_survives_hostile_pages(spark, hostile, ctx):
+    from igtdetect_spark.plans.pipeline import detect_spans_staged
+
+    detect_spans_staged(hostile, ctx).collect()
+
+
+def test_segmentation_of_hostile_values():
+    from igtdetect_spark.segmentation import extract_page_text, segment_text
+
+    assert segment_text("") == []
+    assert segment_text("   \n\t\n  ") == []
+    out = extract_page_text(b"\xff\xfe<p>broken \xf0 bytes</p>", None)
+    assert "broken" in out  # errors='replace' decoding
+    segs = segment_text("\f\f\fpage4 line\f\f")
+    assert [(s.page, s.text) for s in segs] == [(4, "page4 line")]
+
+
+def test_dedup_ops_survive_hostile_docs(spark):
+    from igtdetect_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_band_hashes,
+        simhash_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "x" * 100_000), (5, "normal text here")],
+        "doc_id long, text string",
+    )
+    exact_dedup_groups(docs).collect()
+    minhash_band_hashes(docs).collect()
+    simhash_docs(docs).collect()
