@@ -11,7 +11,10 @@ trained once per process and memoized.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
+
+import numpy as np
 
 from .config import DEFAULT_CONFIG
 from .labels import handle_label
@@ -23,6 +26,11 @@ from .training import train_model
 
 TRAIN_DOCS = 40
 TRAIN_SEED = 42
+MODEL_VERSION = 2  # bump when training inputs/config change
+_CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", f"flagship_model_v{MODEL_VERSION}.npz",
+)
 
 
 @lru_cache(maxsize=1)
@@ -30,8 +38,7 @@ def get_lexicons():
     return load_reference_lexicons()
 
 
-@lru_cache(maxsize=1)
-def get_synthetic_model() -> ModelWeights:
+def _train_flagship() -> ModelWeights:
     # Trained WITHOUT the prev_tag feature (like the reference pretrained
     # nobio model): scoring then takes the fully-vectorized batch path
     # everywhere, and the salted chunked-halo skew path is exactly valid
@@ -45,3 +52,42 @@ def get_synthetic_model() -> ModelWeights:
             fds.append(li.feats)
             labels.append(li.norm_label)
     return train_model(fds, labels, max_features=5000, iters=200)
+
+
+def _save(model: ModelWeights, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(
+        path,
+        classes=np.array(model.classes),
+        feature_names=np.array(model.feature_names),
+        coef=model.coef_full,
+        intercept=model.intercept,
+    )
+
+
+def _load(path: str) -> ModelWeights:
+    z = np.load(path, allow_pickle=False)
+    return ModelWeights.from_arrays(
+        [str(c) for c in z["classes"]],
+        [str(f) for f in z["feature_names"]],
+        z["coef"],
+        z["intercept"],
+    )
+
+
+@lru_cache(maxsize=1)
+def get_synthetic_model() -> ModelWeights:
+    """Deterministic flagship model, cached on disk so every driver
+    process (entry smoke / correctness / bench) skips retraining. Training
+    is seeded → the artifact is reproducible bit-for-bit (tested)."""
+    if os.path.exists(_CACHE_PATH):
+        try:
+            return _load(_CACHE_PATH)
+        except Exception:
+            pass  # corrupt/stale cache → retrain
+    model = _train_flagship()
+    try:
+        _save(model, _CACHE_PATH)
+    except OSError:
+        pass  # read-only checkout → in-memory only
+    return model

@@ -34,14 +34,17 @@ class SelfEvalResult:
     labels: LabelMetrics
     spans: SpanMetrics
     report: str
+    auto_spans: "SpanMetrics | None" = None
 
 
 def selfeval_lines(lines: DataFrame, ctx: DetectContext) -> SelfEvalResult:
     """``lines`` must carry gold ``tag`` (and ``span_id`` for gold spans).
 
-    Gold spans follow the reference: the *document's own* span ids
-    (fd.spans()); predicted spans are auto-assigned over contiguous non-O
-    predictions (assign_spans, :1185)."""
+    Two span-metric sections, mirroring the reference eval report
+    (README.md:196-203): *span_id-based* gold spans = the document's own
+    ids (fd.spans()); *auto-spans* = contiguous non-O gold-tag runs
+    (assign_spans applied to the gold side). Predicted spans are always
+    auto-assigned over contiguous non-O predictions (:1185)."""
     scored = score_lines(lines, ctx.model_bc, ctx.lex_bc, ctx.cfg)
     aligned = align_eval_gold(
         scored, lines.select("url", "line_no", "tag"), ctx.cfg
@@ -61,6 +64,17 @@ def selfeval_lines(lines: DataFrame, ctx: DetectContext) -> SelfEvalResult:
         )
     )
     sm = span_metrics(pred_spans, gold_spans)
-    report = render_report(counts, lm, sm)
+
+    # auto-spans: gold side re-derived from contiguous non-O gold tags
+    gold_auto = materialize_spans(
+        assign_spans_df(
+            lines.select("url", "line_no", F.col("tag").alias("pred")),
+            tag_col="pred",
+        ),
+        tag_col="pred",
+    )
+    auto_sm = span_metrics(pred_spans, gold_auto)
+
+    report = render_report(counts, lm, sm, auto_sm=auto_sm)
     counts.unpersist()
-    return SelfEvalResult(labels=lm, spans=sm, report=report)
+    return SelfEvalResult(labels=lm, spans=sm, auto_spans=auto_sm, report=report)

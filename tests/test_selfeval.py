@@ -28,3 +28,10 @@ def test_selfeval_sample_docs_pinned(spark):
     assert res.spans.n_gold == 151
     assert res.spans.partial_p == pytest.approx(0.8750, abs=1e-4)
     assert "Classifiation Acc: 0.89" in res.report  # reference's own typo
+    # auto-span section (gold spans = contiguous non-O gold runs)
+    assert res.auto_spans is not None
+    assert res.auto_spans.n_system == 8
+    # adjacent distinct span_ids merge into one contiguous run → fewer
+    # auto gold spans than span_id gold spans (151 → 88 on the samples)
+    assert res.auto_spans.n_gold == 88
+    assert "--- Auto-Spans ---" in res.report
