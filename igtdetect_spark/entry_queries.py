@@ -185,6 +185,107 @@ GROUP BY user_id, span_no
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-gap sessionization: a >30-minute gap starts a new session
+    (event-time variant of gaps-and-islands). Window lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.floor(F.sum("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+SQL_SESSION_WINDOWS = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+       CAST(floor(SUM(value) * 100) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, session_no
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (Spark `percentile` ≡ DuckDB
+    quantile_cont, linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.floor(F.expr("percentile(value, 0.5)") * 1e6).cast("long")
+        .alias("p50_e6"),
+        F.floor(F.expr("percentile(value, 0.9)") * 1e6).cast("long")
+        .alias("p90_e6"),
+        F.floor(F.expr("percentile(value, 0.99)") * 1e6).cast("long")
+        .alias("p99_e6"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(floor(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS p50_e6,
+       CAST(floor(quantile_cont(value, 0.9) * 1e6) AS BIGINT) AS p90_e6,
+       CAST(floor(quantile_cont(value, 0.99) * 1e6) AS BIGINT) AS p99_e6
+FROM events GROUP BY event_type
+"""
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N (row_number window): each customer's 3 largest
+    orders, deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey", "rank", "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
+SQL_TOPN_PER_GROUP = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rank
+  FROM orders
+)
+SELECT o_custkey, CAST(rank AS INT) AS rank, o_orderkey,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM r WHERE rank <= 3
+"""
+
+
 def q_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modal mktsegment per nation, first-occurrence (min custkey)
     tie-break (≡ doc default-font/llx mode, SURVEY §2.5)."""
@@ -804,6 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "igt_detect_spans": q_igt_detect_spans,
         "igt_segment_lines": q_igt_segment_lines,
         "span_islands_events": q_span_islands_events,
+        "session_windows": q_session_windows,
+        "value_percentiles": q_value_percentiles,
+        "topn_per_group": q_topn_per_group,
         "deterministic_mode": q_deterministic_mode,
         "interval_semijoin": q_interval_semijoin,
         "confusion_pivot": q_confusion_pivot,
@@ -836,6 +940,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "igt_segment_lines": SQL_SEGMENT_LINES,
         "span_islands_events": SQL_SPAN_ISLANDS,
+        "session_windows": SQL_SESSION_WINDOWS,
+        "value_percentiles": SQL_VALUE_PERCENTILES,
+        "topn_per_group": SQL_TOPN_PER_GROUP,
         "deterministic_mode": SQL_DETERMINISTIC_MODE,
         "interval_semijoin": SQL_INTERVAL_SEMIJOIN,
         "confusion_pivot": SQL_CONFUSION_PIVOT,
