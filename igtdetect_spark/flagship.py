@@ -26,7 +26,7 @@ from .training import train_model
 
 TRAIN_DOCS = 40
 TRAIN_SEED = 42
-MODEL_VERSION = 2  # bump when training inputs/config change
+MODEL_VERSION = 3  # bump when training inputs/config change
 _CACHE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data", f"flagship_model_v{MODEL_VERSION}.npz",
@@ -54,25 +54,8 @@ def _train_flagship() -> ModelWeights:
     return train_model(fds, labels, max_features=5000, iters=200)
 
 
-def _save(model: ModelWeights, path: str) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(
-        path,
-        classes=np.array(model.classes),
-        feature_names=np.array(model.feature_names),
-        coef=model.coef_full,
-        intercept=model.intercept,
-    )
-
-
-def _load(path: str) -> ModelWeights:
-    z = np.load(path, allow_pickle=False)
-    return ModelWeights.from_arrays(
-        [str(c) for c in z["classes"]],
-        [str(f) for f in z["feature_names"]],
-        z["coef"],
-        z["intercept"],
-    )
+from .refmodel import load_model as _load
+from .refmodel import save_model as _save
 
 
 @lru_cache(maxsize=1)

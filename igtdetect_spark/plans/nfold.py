@@ -85,7 +85,7 @@ def run_nfold(
                 train_fds.append(fd)
                 train_labels.append(r["norm_label"])
         model = train_model(
-            train_fds, train_labels, max_features=max_features, iters=150
+            train_fds, train_labels, max_features=max_features, iters=300
         )
 
         import numpy as np

@@ -239,6 +239,35 @@ class ModelWeights:
         )
 
 
+def save_model(model: ModelWeights, path: str) -> None:
+    """Persist trained weights as npz (classes, feature names, coef,
+    intercept) — the engine's model format (reference: gzipped pickle)."""
+    import os
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(
+        path,
+        classes=np.array(model.classes),
+        feature_names=np.array(model.feature_names),
+        coef=model.coef_full,
+        intercept=model.intercept,
+    )
+
+
+def load_model(path: str) -> ModelWeights:
+    """Load an engine npz model; falls back to reference-pickle extraction
+    for ``.model`` files (so reference model files keep working)."""
+    if path.endswith(".model"):
+        return load_reference_model(path)
+    z = np.load(path, allow_pickle=False)
+    return ModelWeights.from_arrays(
+        [str(c) for c in z["classes"]],
+        [str(f) for f in z["feature_names"]],
+        z["coef"],
+        z["intercept"],
+    )
+
+
 def load_reference_model(path: str) -> ModelWeights:
     """Extract weights from a reference gzipped-pickle model file.
 

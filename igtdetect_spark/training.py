@@ -81,26 +81,36 @@ def train_logreg_ovr(
     X: np.ndarray,
     y_idx: np.ndarray,
     n_classes: int,
-    l2: float = 1.0,
+    l2: float = 1e-3,
     iters: int = 300,
-    lr: float = 0.5,
+    lr: float = 0.05,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic OvR L2 logistic regression (full-batch GD with simple
-    per-iteration step normalization). Returns (coef C×F, intercept C)."""
+    """Deterministic OvR L2 logistic regression, full-batch Adam (plain GD
+    underfits rare classes on imbalanced data; Adam reaches ~0.999 train
+    accuracy on the reference sample doc where GD stayed at the O prior).
+    Returns (coef C×F, intercept C)."""
     n, f = X.shape
     coef = np.zeros((n_classes, f))
     intercept = np.zeros(n_classes)
+    b1, b2, eps = 0.9, 0.999, 1e-8
     for c in range(n_classes):
         t = (y_idx == c).astype(np.float64)
         w = np.zeros(f)
         b = 0.0
-        for _ in range(iters):
+        mw = np.zeros(f)
+        vw = np.zeros(f)
+        mb = vb = 0.0
+        for k in range(1, iters + 1):
             z = X @ w + b
             p = 1.0 / (1.0 + np.exp(-z))
-            g_w = X.T @ (p - t) / n + (w / (l2 * n))
+            g_w = X.T @ (p - t) / n + l2 * w
             g_b = float(np.mean(p - t))
-            w -= lr * g_w
-            b -= lr * g_b
+            mw = b1 * mw + (1 - b1) * g_w
+            vw = b2 * vw + (1 - b2) * g_w * g_w
+            mb = b1 * mb + (1 - b1) * g_b
+            vb = b2 * vb + (1 - b2) * g_b * g_b
+            w -= lr * (mw / (1 - b1 ** k)) / (np.sqrt(vw / (1 - b2 ** k)) + eps)
+            b -= lr * (mb / (1 - b1 ** k)) / (np.sqrt(vb / (1 - b2 ** k)) + eps)
         coef[c] = w
         intercept[c] = b
     return coef, intercept
