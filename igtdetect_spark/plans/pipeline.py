@@ -186,13 +186,13 @@ def detect_spans_salted(
 
     small_spans = detect_spans_fused(small, ctx)
 
+    from ..operators.spans import detected_span_text_grouped
+
     lines = segment_pages(mega, ctx.cfg.html_main_content)
     scored = score_lines_salted(
         lines, ctx.model_bc, ctx.lex_bc, ctx.cfg, chunk_lines=chunk_lines
     )
-    mega_spans = detected_span_text(
-        assign_spans_df(scored, tag_col="pred"), ctx.cfg
-    )
+    mega_spans = detected_span_text_grouped(scored, ctx.cfg)
     return small_spans.unionByName(mega_spans)
 
 
