@@ -286,6 +286,28 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface: parse events.props, aggregate the
+    extracted key per event type (get_json_object ≡ json_extract)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modal mktsegment per nation, first-occurrence (min custkey)
     tie-break (≡ doc default-font/llx mode, SURVEY §2.5)."""
@@ -908,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "value_percentiles": q_value_percentiles,
         "topn_per_group": q_topn_per_group,
+        "json_props": q_json_props,
         "deterministic_mode": q_deterministic_mode,
         "interval_semijoin": q_interval_semijoin,
         "confusion_pivot": q_confusion_pivot,
@@ -943,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": SQL_SESSION_WINDOWS,
         "value_percentiles": SQL_VALUE_PERCENTILES,
         "topn_per_group": SQL_TOPN_PER_GROUP,
+        "json_props": SQL_JSON_PROPS,
         "deterministic_mode": SQL_DETERMINISTIC_MODE,
         "interval_semijoin": SQL_INTERVAL_SEMIJOIN,
         "confusion_pivot": SQL_CONFUSION_PIVOT,
