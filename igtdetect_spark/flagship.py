@@ -14,14 +14,11 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
-import numpy as np
-
 from .config import DEFAULT_CONFIG
-from .labels import handle_label
 from .lexicons import load_reference_lexicons
 from .oracle.corpus import doc_from_text, make_corpus
 from .oracle.pipeline import extract_doc_features
-from .refmodel import ModelWeights
+from .refmodel import ModelWeights, load_model as _load, save_model as _save
 from .training import train_model
 
 TRAIN_DOCS = 40
@@ -52,10 +49,6 @@ def _train_flagship() -> ModelWeights:
             fds.append(li.feats)
             labels.append(li.norm_label)
     return train_model(fds, labels, max_features=5000, iters=200)
-
-
-from .refmodel import load_model as _load
-from .refmodel import save_model as _save
 
 
 @lru_cache(maxsize=1)
