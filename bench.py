@@ -60,12 +60,12 @@ def main():
     t_detect = time.time() - t0
     timings["igt_detect_spans_synthetic"] = round(t_detect, 3)
 
-    from igtdetect_spark.plans.pipeline import detect_spans_salted
+    from igtdetect_spark.plans.chunked import detect_spans_chunked
 
     t0 = time.time()
-    n_spans_salted = detect_spans_salted(pages, ctx, chunk_lines=10_000).count()
-    timings["igt_detect_spans_salted"] = round(time.time() - t0, 3)
-    assert n_spans_salted == n_spans, "salted/fused span count diverged"
+    n_spans_chunked = detect_spans_chunked(pages, ctx, chunk_lines=10_000).count()
+    timings["igt_detect_spans_chunked"] = round(time.time() - t0, 3)
+    assert n_spans_chunked == n_spans, "chunked/fused span count diverged"
 
     # line throughput: count segmented lines once (not in the timed window)
     from igtdetect_spark.operators.segment import segment_pages

@@ -111,24 +111,32 @@ def score_lines_salted(
     K = chunk_lines
     base = lines.select(*_SCORE_INPUT_COLS)
     pos = F.col("line_no") - 1  # 0-based
-    own = base.select(
-        F.floor(pos / K).cast("int").alias("chunk"),
-        F.lit(False).alias("is_halo"),
-        "*",
+    chunk = F.floor(pos / K).cast("int")
+
+    def _t(c, halo):
+        return F.struct(
+            c.cast("int").alias("chunk"), F.lit(halo).alias("is_halo")
+        )
+
+    # one pass: each line explodes into its own chunk, plus (when on a
+    # boundary) halo membership in a neighbor chunk — the last two lines
+    # of a chunk feed the next chunk's prev/prev_prev context, the first
+    # line feeds the previous chunk's next-line context. A single explode
+    # avoids the 3-branch union that re-ran segmentation three times.
+    targets = F.concat(
+        F.array(_t(chunk, False)),
+        F.when((pos % K) >= K - 2, F.array(_t(chunk + 1, True)))
+        .otherwise(F.array().cast("array<struct<chunk:int,is_halo:boolean>>")),
+        F.when(((pos % K) == 0) & (pos >= K), F.array(_t(chunk - 1, True)))
+        .otherwise(F.array().cast("array<struct<chunk:int,is_halo:boolean>>")),
     )
-    # last two lines of a chunk → halo for the next chunk (prev/prev_prev)
-    halo_fwd = base.filter((pos % K) >= K - 2).select(
-        (F.floor(pos / K) + 1).cast("int").alias("chunk"),
-        F.lit(True).alias("is_halo"),
-        "*",
+    chunked = base.select(
+        F.explode(targets).alias("_t"), "*"
+    ).select(
+        F.col("_t.chunk").alias("chunk"),
+        F.col("_t.is_halo").alias("is_halo"),
+        *_SCORE_INPUT_COLS,
     )
-    # first line of a chunk → halo for the previous chunk (next-line ctx)
-    halo_bwd = base.filter(((pos % K) == 0) & (pos >= K)).select(
-        (F.floor(pos / K) - 1).cast("int").alias("chunk"),
-        F.lit(True).alias("is_halo"),
-        "*",
-    )
-    chunked = own.unionByName(halo_fwd).unionByName(halo_bwd)
 
     def decode(pdf: pd.DataFrame) -> pd.DataFrame:
         model = ModelWeights.from_broadcastable(model_bc.value)

@@ -1,0 +1,336 @@
+"""Chunked mega-document detection: the scalable skew path.
+
+``detect_spans_salted`` (line-level chunk scoring + windowed assembly)
+pays two full-data shuffles and a doc-serial span-assembly task. This
+strategy keeps everything *narrow* except one balance repartition of text
+chunks:
+
+1. **split** (mapInPandas, narrow): segment each mega page once
+   (columnar), cut at block boundaries near every ``chunk_lines`` mark
+   (blocks never straddle chunks), and emit chunk rows carrying the text
+   slice, a ≤2-line feature halo with its ORIGINAL block identity/llx
+   (so the first real lines' adjacency/layout context is exact), and the
+   document-global line/block offsets.
+2. **repartition** the chunk rows (the only full-data shuffle) so one
+   document's chunks spread across the cluster.
+3. **fused kernel per chunk** (narrow): re-segmentation of the slice +
+   offsets reproduces document-global line numbers and block ids
+   (blocks are chunk-contained, so per-block llx matches the original);
+   halo rows provide n−2/n−1 context and are dropped before span
+   assembly; chunk-local spans are assembled with the EOF flush forced
+   on.
+4. **stitch** (groupBy url over SPANS only — a few rows per document):
+   merge spans adjacent across chunk boundaries, renumber, re-apply the
+   reference EOF quirk doc-globally.
+
+Batch-mode models only (sequential decode cannot cross chunks — refused,
+like the salted path). Form-feed page breaks inside mega documents are
+not supported (web text has none). Bit-parity with the fused path is
+tested with forced multi-chunk documents.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.schema import SPANS_SCHEMA
+from ..operators.segment import _plain_frame
+from ..operators.vectorized import (
+    base_feature_matrix,
+    score_matrix,
+    spans_from_labels,
+)
+from ..refmodel import ModelWeights
+from ..segmentation import extract_page_text, segment_text_columns
+from .pipeline import DetectContext, detect_spans_fused
+
+_HALO_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("block_no", IntegerType()),   # doc-global block ordinal
+        StructField("block_llx", DoubleType()),
+        StructField("line_llx", DoubleType()),
+        # true neighbors OUTSIDE the chunk frame (frame-edge adjacency —
+        # these rows feed context into real lines, so their own
+        # prev/next_line_same_block features must be exact)
+        StructField("prev_block_no", IntegerType(), True),
+        StructField("next_block_no", IntegerType(), True),
+    ]
+)
+
+_CHUNK_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("chunk_no", IntegerType(), False),
+        StructField("line_offset", IntegerType(), False),
+        StructField("block_offset", IntegerType(), False),
+        StructField("doc_last_line", IntegerType(), False),
+        StructField("doc_llx_mode", DoubleType(), True),
+        StructField("halo_pre", ArrayType(_HALO_TYPE), False),
+        StructField("halo_post", ArrayType(_HALO_TYPE), False),
+        StructField("text", StringType(), False),
+    ]
+)
+
+_SPAN_COLS = [f.name for f in SPANS_SCHEMA.fields]
+
+
+def split_mega_pages(
+    pages: DataFrame, chunk_lines: int, html_main_content: bool = False
+) -> DataFrame:
+    """mega pages → chunk rows (one segmentation pass per doc, narrow)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..oracle.freki import safe_mode
+
+        for pdf in batches:
+            rows = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                content = extract_page_text(
+                    bytes(html) if html is not None else None, text,
+                    html_main_content=html_main_content,
+                )
+                c = segment_text_columns(content)
+                n = len(c["line_no"])
+                if n == 0:
+                    continue
+                llx_mode = safe_mode(c["block_llx"])
+                texts, bids = c["text"], c["block_id"]
+                bllx, lllx = c["block_llx"], c["line_llx"]
+                # doc-global block ordinal per line
+                block_ord = [0] * n
+                for i in range(1, n):
+                    block_ord[i] = block_ord[i - 1] + (bids[i] != bids[i - 1])
+                # cut AFTER the block containing each chunk_lines mark
+                cuts = [0]
+                k = chunk_lines
+                while k < n:
+                    j = k
+                    while j < n and bids[j] == bids[j - 1]:
+                        j += 1
+                    if j >= n:
+                        break
+                    cuts.append(j)
+                    k = j + chunk_lines
+                cuts.append(n)
+                for ci in range(len(cuts) - 1):
+                    a, b = cuts[ci], cuts[ci + 1]
+                    def mk_halo(lo, hi):
+                        return [
+                            {
+                                "text": texts[i],
+                                "block_no": block_ord[i],
+                                "block_llx": bllx[i],
+                                "line_llx": lllx[i],
+                                "prev_block_no": block_ord[i - 1] if i > 0 else None,
+                                "next_block_no": block_ord[i + 1] if i + 1 < n else None,
+                            }
+                            for i in range(max(0, lo), min(hi, n))
+                        ]
+
+                    # prev/prev_prev context for the first lines + next
+                    # context for the last line
+                    halo = mk_halo(a - 2, a)
+                    halo_post = mk_halo(b, b + 1)
+                    # block-aware slice text: re-insert the blank-line
+                    # separators so re-segmentation reproduces the original
+                    # block structure
+                    parts: list[str] = []
+                    for i in range(a, b):
+                        if i > a and bids[i] != bids[i - 1]:
+                            parts.append("")
+                        parts.append(texts[i])
+                    rows.append(
+                        {
+                            "url": url,
+                            "chunk_no": ci,
+                            "line_offset": a,
+                            "block_offset": block_ord[a] if a < n else 0,
+                            "doc_last_line": n,
+                            "doc_llx_mode": llx_mode,
+                            "halo_pre": halo,
+                            "halo_post": halo_post,
+                            "text": "\n".join(parts),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _CHUNK_SCHEMA.fields]
+            )
+
+    return pages.select("url", "html", "text").mapInPandas(
+        gen, schema=_CHUNK_SCHEMA
+    )
+
+
+def detect_spans_chunked(
+    pages: DataFrame,
+    ctx: DetectContext,
+    chunk_lines: int = 20_000,
+    mega_doc_chars: int = 1_000_000,
+) -> DataFrame:
+    """Skew-safe pages → spans with chunk-parallel everything (see module
+    docstring). Small docs keep the zero-shuffle fused path."""
+    cfg = ctx.cfg
+    model_bc, lex_bc = ctx.model_bc, ctx.lex_bc
+    probe = ModelWeights.from_broadcastable(model_bc.value)
+    if cfg.prev_tag and any(
+        k.startswith("prev_tag_") for k in probe.base_index
+    ):
+        raise ValueError(
+            "detect_spans_chunked cannot chunk a sequential (prev_tag) "
+            "model — use the whole-document paths"
+        )
+
+    is_mega = (
+        F.length(F.coalesce(F.col("text"), F.lit(""))) >= mega_doc_chars
+    ) | (F.length(F.coalesce(F.col("html"), F.lit(b""))) >= mega_doc_chars)
+    small_spans = detect_spans_fused(pages.filter(~is_mega), ctx)
+
+    chunks = split_mega_pages(
+        pages.filter(is_mega), chunk_lines, cfg.html_main_content
+    ).repartition("url", "chunk_no")
+
+    def score_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = ModelWeights.from_broadcastable(model_bc.value)
+        lex = lex_bc.value
+        flush_cfg = cfg.with_(flush_eof_span=True)
+        for pdf in batches:
+            out_frames = []
+            for r in pdf.itertuples(index=False):
+                halo = list(r.halo_pre)
+                post = list(r.halo_post)
+                n_halo = len(halo)
+                n_post = len(post)
+                c = segment_text_columns(r.text)
+                n_body = len(c["line_no"])
+                if n_body == 0:
+                    continue
+                n = n_halo + n_body + n_post
+                # document-global ids: halo carries its original identity;
+                # body blocks are chunk-contained so re-segmentation + the
+                # block offset reproduces the original block structure
+                def h(f, x):
+                    return x[f] if isinstance(x, dict) else getattr(x, f)
+
+                line_no = (
+                    [r.line_offset - n_halo + i + 1 for i in range(n_halo)]
+                    + [x + r.line_offset for x in c["line_no"]]
+                    + [r.line_offset + n_body + i + 1 for i in range(n_post)]
+                )
+                block_key = (
+                    [f"1-{h('block_no', x) + 1}" for x in halo]
+                    + [
+                        f"1-{int(b.split('-', 1)[1]) + r.block_offset}"
+                        for b in c["block_id"]
+                    ]  # matches the fused path's single-page numbering
+                    + [f"1-{h('block_no', x) + 1}" for x in post]
+                )
+                llx = (
+                    [h("block_llx", x) for x in halo]
+                    + c["block_llx"]
+                    + [h("block_llx", x) for x in post]
+                )
+                line_llx = (
+                    [h("line_llx", x) for x in halo]
+                    + c["line_llx"]
+                    + [h("line_llx", x) for x in post]
+                )
+                texts = (
+                    [h("text", x) for x in halo]
+                    + c["text"]
+                    + [h("text", x) for x in post]
+                )
+                prev_ids = [None] + block_key[:-1]
+                next_ids = block_key[1:] + [None]
+                # frame-edge adjacency from the halo's true neighbors
+                if halo and h("prev_block_no", halo[0]) is not None:
+                    prev_ids[0] = f"1-{h('prev_block_no', halo[0]) + 1}"
+                if post and h("next_block_no", post[-1]) is not None:
+                    next_ids[-1] = f"1-{h('next_block_no', post[-1]) + 1}"
+                frame = _plain_frame(
+                    {
+                        "url": [r.url] * n,
+                        "line_no": line_no,
+                        "page": [1] * n,
+                        "block_id": block_key,
+                        "llx": llx,
+                        "line_llx": line_llx,
+                        "text": texts,
+                        "prev_block_id": prev_ids,
+                        "next_block_id": next_ids,
+                        "doc_llx_mode": [r.doc_llx_mode] * n,
+                    }
+                )
+                X = base_feature_matrix(frame, lex, cfg, model)
+                labels, _ = score_matrix(X, model, cfg)
+                body = slice(n_halo, n_halo + n_body)
+                rows = spans_from_labels(
+                    [r.url] * n_body,
+                    line_no[body],
+                    block_key[body],
+                    texts[body],
+                    labels[body],
+                    [(r.url, 0, n_body)],
+                    flush_cfg,
+                )
+                for row in rows:
+                    row["_doc_last"] = r.doc_last_line
+                if rows:
+                    out_frames.append(pd.DataFrame(rows))
+            cols = _SPAN_COLS + ["_doc_last"]
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)[cols]
+            else:
+                yield pd.DataFrame(columns=cols)
+
+    chunk_spans_schema = StructType(
+        list(SPANS_SCHEMA.fields) + [StructField("_doc_last", IntegerType())]
+    )
+    chunk_spans = chunks.mapInPandas(score_chunk, schema=chunk_spans_schema)
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("start_line", kind="mergesort").reset_index(drop=True)
+        url = pdf["url"].iloc[0]
+        doc_last = int(pdf["_doc_last"].iloc[0])
+        merged: list[dict] = []
+        for r in pdf.itertuples(index=False):
+            if merged and merged[-1]["end_line"] + 1 == r.start_line:
+                m = merged[-1]
+                m["end_line"] = int(r.end_line)
+                m["tags"] = list(m["tags"]) + list(r.tags)
+                m["block_ids"] = list(m["block_ids"]) + list(r.block_ids)
+                m["text"] = m["text"] + "\n" + r.text
+            else:
+                merged.append(
+                    {
+                        "url": url,
+                        "start_line": int(r.start_line),
+                        "end_line": int(r.end_line),
+                        "tags": list(r.tags),
+                        "block_ids": list(r.block_ids),
+                        "text": r.text,
+                    }
+                )
+        if merged and not cfg.flush_eof_span and merged[-1]["end_line"] >= doc_last:
+            merged.pop()
+        for i, m in enumerate(merged):
+            m["span_no"] = i + 1
+        return pd.DataFrame(merged, columns=_SPAN_COLS)
+
+    mega_spans = chunk_spans.groupBy("url").applyInPandas(
+        stitch, schema=SPANS_SCHEMA
+    )
+    return small_spans.unionByName(mega_spans)

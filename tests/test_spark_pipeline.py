@@ -86,6 +86,31 @@ class TestSyntheticParity:
         got = _collect_detected(detect_spans_staged(pages, ctx_synth))
         assert got == oracle_detected
 
+    def test_chunked_matches_fused(self, spark, ctx_synth):
+        """Text-space chunked skew path: bit-identical spans (incl. block
+        ids and text) with forced multi-chunk documents."""
+        from igtdetect_spark.plans.chunked import detect_spans_chunked
+        from igtdetect_spark.plans.pipeline import detect_spans_fused
+        from igtdetect_spark.sources.pages import synthetic_pages
+
+        pages = synthetic_pages(
+            spark, 12, mega_doc_every=5, mega_doc_lines=3000
+        ).cache()
+        key = lambda r: tuple(
+            tuple(v) if isinstance(v, list) else v for v in r
+        )
+        f = sorted(map(key, detect_spans_fused(pages, ctx_synth).collect()))
+        c = sorted(
+            map(
+                key,
+                detect_spans_chunked(
+                    pages, ctx_synth, chunk_lines=500, mega_doc_chars=50_000
+                ).collect(),
+            )
+        )
+        assert f == c
+        assert len(f) > 300
+
     def test_salted_matches_fused(self, spark, ctx_synth):
         """Skew path: chunked halo scoring must be bit-identical to the
         whole-document path — small chunk size forces multi-chunk docs."""
