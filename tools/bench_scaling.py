@@ -10,9 +10,9 @@ Efficiency = (throughput_4N / throughput_N) / 4, target ≥ 0.8.
 Two corpora:
 - uniform: 10,000 synthetic docs (~600k lines) — measures pure scan
   scaling of the fused pipeline.
-- skewed: 5,000 docs + two 100k-line mega-docs — measured with the salted
-  (chunked-halo) path, which is the configuration that holds at 4N when
-  single documents exceed a core's slice of the work.
+- skewed: 5,000 docs + two 100k-line mega-docs — measured with the chunked
+  (text-space block-boundary) path, which is the configuration that holds
+  at 4N when single documents exceed a core's slice of the work.
 """
 
 from __future__ import annotations
@@ -26,8 +26,8 @@ RUNNER = r"""
 import json, sys, time
 from igtdetect_spark.session import build_session
 from igtdetect_spark.sources.pages import synthetic_pages
-from igtdetect_spark.plans.pipeline import (
-    DetectContext, detect_spans_fused, detect_spans_salted)
+from igtdetect_spark.plans.pipeline import DetectContext, detect_spans_fused
+from igtdetect_spark.plans.chunked import detect_spans_chunked
 from igtdetect_spark.flagship import get_synthetic_model, get_lexicons
 from igtdetect_spark.operators.segment import segment_pages
 
@@ -47,7 +47,7 @@ docs = pages.count()
 lines = segment_pages(pages).count()
 ctx = DetectContext(spark, get_synthetic_model(), get_lexicons())
 run = (detect_spans_fused if mode == "uniform"
-       else lambda p, c: detect_spans_salted(p, c, chunk_lines=10_000))
+       else lambda p, c: detect_spans_chunked(p, c, chunk_lines=10_000))
 run(pages, ctx).count()  # full warm-up pass (python workers + broadcast)
 best = None
 for _ in range(3):
@@ -127,7 +127,7 @@ means a genuine N-core machine. Spark {pyspark.__version__}, Arrow batch
 **Scaling efficiency (lines/sec): N→4N (2→8 cores) = {u['scaling_efficiency_2_to_8']}**
 (target ≥ 0.8); 8→32 cores = {u['scaling_efficiency_8_to_32']}.
 
-## Skewed corpus (20,000 docs incl. ten 100k-line mega-docs) — salted chunked-halo path (chunk = 10k lines)
+## Skewed corpus (20,000 docs incl. ten 100k-line mega-docs) — chunked skew path (chunk = 10k lines)
 
 | level | wall (s) | docs/sec | lines/sec |
 |---|---|---|---|
