@@ -201,11 +201,14 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # Per-row floor BEFORE the sum (float discipline, module docstring):
+    # floor-after-sum can move on boundary values when summation order
+    # differs between engines.
     return sess.groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
-        F.floor(F.sum("value") * 100).cast("long").alias("value_cents"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
 
 
@@ -223,9 +226,12 @@ s AS (
                                    ROWS UNBOUNDED PRECEDING) AS session_no
   FROM g
 )
-SELECT user_id, session_no, COUNT(*) AS n_events,
+SELECT user_id,
+       -- the window SUM yields HUGEINT -> float64 in pandas without a cast
+       CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
        MIN(event_id) AS first_event, MAX(event_id) AS last_event,
-       CAST(floor(SUM(value) * 100) AS BIGINT) AS value_cents
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, session_no
 """
 
@@ -301,7 +307,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -471,12 +477,16 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS sum_disc_c,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-           AS BIGINT)) AS sum_charge_c,
+       -- CAST around SUM: DuckDB SUM(BIGINT) returns HUGEINT, which
+       -- fetchdf() converts to float64 and breaks the value hash.
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+           AS BIGINT)) AS BIGINT) AS sum_disc_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -505,8 +515,8 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REVENUE_TOPK = """
 SELECT o.o_orderkey, o.o_orderdate,
-       SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
-           AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -549,8 +559,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LOCAL_SUPPLIER_VOLUME = """
 SELECT r.r_name, n.n_name,
-       SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
-           AS BIGINT)) AS revenue_c,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+           AS BIGINT)) AS BIGINT) AS revenue_c,
        COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -658,11 +668,18 @@ FROM bands a JOIN bands b
 """
 
 
+_NGRAM_MAX_DF = 10
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded n-gram Jaccard: ``max_df`` prunes frequent shingles BEFORE
+    the self-join so one stop-shingle can't make it quadratic at scale
+    (recall-safe: well above the near-duplicate group size)."""
     from .operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
+        max_df=_NGRAM_MAX_DF,
     ).select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b",
         F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
@@ -671,10 +688,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = f"""
 WITH {_SQL_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+-- max_df pruning mirror: shingles in more than {_NGRAM_MAX_DF} docs are
+-- dropped BEFORE sizes/self-join, exactly as the operator does
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b, c.n_common,
@@ -689,10 +713,44 @@ WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (pandas UDF) — rows-only oracle check."""
+    """SimHash fingerprints (vectorized Arrow kernel). md5-based token
+    hashes make the 64-bit signature fully SQL-expressible, so this has a
+    complete DuckDB oracle (bit extraction from md5 hex nibbles)."""
     from .operators.dedup import simhash_docs
 
     return simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+# bit b (LSB order) of the big-endian first 8 md5 bytes lives in hex nibble
+# 16 - b//4 (1-indexed), bit b%4 — extracted with pure integer math.
+SQL_SIMHASH = f"""
+WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm WHERE t <> ''
+),
+bits AS (
+  SELECT doc_id, b,
+         ((strpos('0123456789abcdef', substring(md5(tok), 16 - b // 4, 1))
+           - 1)
+          // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                         WHEN 2 THEN 4 ELSE 8 END)) % 2 AS bit
+  FROM toks, LATERAL unnest(generate_series(0, 63)) g(b)
+),
+acc AS (
+  SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS a
+  FROM bits GROUP BY 1, 2
+),
+v AS (
+  SELECT doc_id,
+         SUM(CASE WHEN a > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS uv
+  FROM acc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(v.uv, 0) >= (CAST(1 AS HUGEINT) << 63)
+                 THEN COALESCE(v.uv, 0) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE COALESCE(v.uv, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,11 +876,46 @@ FROM documents
 
 
 def q_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub-decoded media embeddings (deterministic fake codec) — rows-only."""
+    """Stub-decoded media embeddings. The fake codec is integer-exact
+    (md5-keyed lattice), so the per-vector signature is fully
+    SQL-checkable; the raw array<float> stays behind the operator API
+    (the driver canonicalizer can't hash lists)."""
     from .operators.multimodal import extract_media_features, media_from_documents
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
-    return extract_media_features(media)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha", "emb_sig"
+    )
+
+
+# Mirrors _fake_embedding_e6 (operators/multimodal.py): element j of the
+# fake embedding = (48-bit prefix of md5(md5(payload)||'|'||j)) % 2000001
+# - 1000000; signature = md5 of the comma-joined integers. Pure integer
+# math → bit-identical across engines.
+_SQL_HEX12 = (
+    "list_sum(list_transform(generate_series(1, 12), i -> "
+    "CAST(strpos('0123456789abcdef', substring({H}, i, 1)) - 1 AS BIGINT)"
+    " << ((12 - i) * 4)))"
+)
+
+SQL_MEDIA_EMBEDDINGS = f"""
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes,
+         substring(sha256(text), 1, 16) AS sha,
+         md5(text) AS seed_hex
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, sha,
+       md5(array_to_string(
+         list_transform(generate_series(0, 15), j -> CAST(
+           {_SQL_HEX12.format(H="substring(md5(seed_hex || '|' || CAST(j AS VARCHAR)), 1, 12)")}
+           % 2000001 - 1000000 AS VARCHAR)),
+         ',')) AS emb_sig
+FROM m
+"""
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,12 +954,64 @@ FROM r WHERE rank <= 3
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (seeded hyperplanes) — rows-only oracle check."""
+    """LSH-bucketed ANN. The hyperplanes are deterministic (seeded numpy),
+    so the oracle inlines them as SQL double literals and reproduces the
+    bucket assignment + rescoring exactly."""
     from .operators.similarity import lsh_bucketed_ann
 
     return lsh_bucketed_ann(
         _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3
     )
+
+
+def _sql_ann_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
+                 k: int = 3, query_ids=(0, 1, 2, 3, 4)) -> str:
+    """Full DuckDB mirror of lsh_bucketed_ann: the seeded hyperplanes
+    (similarity.py:83-84) inlined as repr'd double literals (shortest
+    round-trip → bit-identical doubles)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (f"list_sum(list_transform(generate_series(1, {dim}), "
+               f"i -> v[i] * ({lit})[i]))")
+        bucket_terms.append(
+            f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b
+  WHERE vec_id IN ({ids})
+),
+s AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(b.v)),
+             i -> q.qv[i] * b.v[i]))
+         / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+  FROM q JOIN b ON b.bucket = q.qb AND b.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(sim * 1e6) AS BIGINT) AS cos_sim_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(sim * 1e6) DESC, neighbor_id)
+           AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
+FROM r WHERE rank <= {k}
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,12 +1128,14 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES.replace("{SW}", sw),
         "lang_id": SQL_LANG_ID.replace("{SW}", sw),
+        "simhash": SQL_SIMHASH,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "ann_lsh": _sql_ann_lsh(),
         "confusion_cube": SQL_CONFUSION_CUBE,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "media_meta": SQL_MEDIA_META,
-        # igt_classify_lines / igt_detect_spans / simhash / ann_lsh /
-        # media_embeddings: model scoring, bit-mix hashing, seeded
-        # hyperplanes and the stub codec are not SQL-expressible →
+        "media_embeddings": SQL_MEDIA_EMBEDDINGS,
+        # igt_classify_lines / igt_detect_spans / ann_ivf: model scoring
+        # and iterative k-means are legitimately not SQL-expressible →
         # rows-only checks.
     }

@@ -227,23 +227,66 @@ def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            toks = t.split()
-            if not toks:
-                continue
-            acc = np.zeros(bits, dtype=np.int64)
+        # Vectorized over the whole Arrow batch: md5 once per DISTINCT
+        # token, bit expansion via np.unpackbits, per-doc ±1 sums via
+        # np.add.reduceat — no per-token×per-bit Python loop.
+        texts = texts.fillna("")
+        tok_lists = [t.split() for t in texts]
+        vocab: dict[str, int] = {}
+        flat_idx = np.empty(sum(len(t) for t in tok_lists), dtype=np.int64)
+        pos = 0
+        for toks in tok_lists:
             for tok in toks:
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                j = vocab.get(tok)
+                if j is None:
+                    j = len(vocab)
+                    vocab[tok] = j
+                flat_idx[pos] = j
+                pos += 1
+        out = np.zeros(len(texts), dtype=np.int64)
+        if vocab:
+            # bit b (LSB order) of int.from_bytes(digest[:8], "big") ==
+            # unpackbits(reversed bytes, bitorder="little")[b]
+            dig = np.frombuffer(
+                b"".join(
+                    hashlib.md5(tok.encode("utf-8")).digest()[7::-1]
+                    for tok in vocab
+                ),
+                dtype=np.uint8,
+            ).reshape(len(vocab), 8)
+            signs = (
+                np.unpackbits(dig, axis=1, bitorder="little")
+                .astype(np.float64) * 2.0 - 1.0            # (vocab, 64) ±1
+            )
+            counts = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(texts)
+            )
+            offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            # acc[doc] = token-count-vector(doc) @ signs — BLAS sgemm over
+            # doc chunks (sized so the dense count matrix stays ~16M cells).
+            # Counts and ±1 products are exact in float64 (< 2^53).
+            v_size = len(vocab)
+            chunk = max(1, 16_000_000 // v_size)
+            for lo in range(0, len(texts), chunk):
+                hi = min(lo + chunk, len(texts))
+                seg = flat_idx[offsets[lo]:offsets[hi]]
+                if not len(seg):
+                    continue
+                doc_of = (
+                    np.repeat(np.arange(hi - lo), counts[lo:hi])
                 )
-                for b in range(bits):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            v = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    v |= 1 << b
-            out[i] = np.int64(np.uint64(v).astype(np.int64))
+                cnt = np.bincount(
+                    doc_of * v_size + seg, minlength=(hi - lo) * v_size
+                ).reshape(hi - lo, v_size).astype(np.float64)
+                acc = cnt @ signs                          # (chunk, 64)
+                packed = np.packbits(
+                    (acc > 0).astype(np.uint8), axis=1, bitorder="little"
+                )                                          # little-endian u64
+                out[lo:hi] = (
+                    np.ascontiguousarray(packed).view("<u8").reshape(-1)
+                    .view(np.int64)
+                )
         return pd.Series(out)
 
     return docs.select(

@@ -52,8 +52,32 @@ FEATURES_SCHEMA = StructType(
         StructField("n_bytes", IntegerType(), False),
         StructField("sha", StringType(), False),
         StructField("embedding", ArrayType(FloatType()), True),
+        # emb_sig: md5 over the exact integer lattice the embedding was
+        # built from — hashable + cross-engine reproducible (the raw
+        # array<float> is not: the driver's canonicalizer can't sort lists,
+        # and float roundtrips aren't bit-stable across engines).
+        StructField("emb_sig", StringType(), False),
     ]
 )
+
+EMB_DIM = 16
+
+
+def _fake_embedding_e6(payload: bytes) -> np.ndarray:
+    """Deterministic fake feature vector as EXACT integers in
+    [-1_000_000, 1_000_000] (value = e6/1e6): element j is derived from
+    md5(md5(payload).hexdigest() + '|' + j), 48-bit prefix mod 2_000_001.
+    Integer-only math so a SQL engine (DuckDB oracle) reproduces it
+    bit-for-bit — no RNG, no float roundtrip."""
+    seed_hex = hashlib.md5(payload or b"").hexdigest()
+    return np.array(
+        [
+            (int(hashlib.md5(f"{seed_hex}|{j}".encode()).hexdigest()[:12], 16)
+             % 2_000_001) - 1_000_000
+            for j in range(EMB_DIM)
+        ],
+        dtype=np.int64,
+    )
 
 
 def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> np.ndarray:
@@ -65,10 +89,7 @@ def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> 
             f"no {kind} codec in this environment — pass deterministic_fake=True "
             "for the seeded stand-in"
         )
-    digest = hashlib.md5(payload or b"").digest()
-    seed = int.from_bytes(digest[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal(16).astype(np.float32)
+    return (_fake_embedding_e6(payload) / 1e6).astype(np.float32)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
@@ -96,14 +117,25 @@ def extract_media_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs, shas, sizes = [], [], []
+            embs, sigs, shas, sizes = [], [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 b = bytes(payload) if payload is not None else b""
                 sizes.append(len(b))
                 shas.append(hashlib.sha256(b).hexdigest()[:16])
-                embs.append(
-                    decode_stub(b, kind, deterministic_fake).tolist()
-                )
+                if deterministic_fake:
+                    e6 = _fake_embedding_e6(b)
+                    embs.append((e6 / 1e6).astype(np.float32).tolist())
+                    sigs.append(
+                        hashlib.md5(
+                            ",".join(str(int(x)) for x in e6).encode()
+                        ).hexdigest()
+                    )
+                else:
+                    emb = decode_stub(b, kind, deterministic_fake)
+                    embs.append(emb.tolist())
+                    sigs.append(
+                        hashlib.md5(emb.tobytes()).hexdigest()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -111,6 +143,7 @@ def extract_media_features(
                     "n_bytes": sizes,
                     "sha": shas,
                     "embedding": embs,
+                    "emb_sig": sigs,
                 }
             )
 

@@ -79,9 +79,25 @@ from ..refmodel import ModelWeights
 
 
 def tokenize_series(texts: pd.Series) -> pd.Series:
-    """split_words over a batch: \\w+ findall, lowercase, strip ':'/'#'."""
+    """split_words over a batch: \\w+ findall on the ORIGINAL text, then
+    per-token lowercase (reference igtdetect.py:1428-1433; the ':'/'#'
+    strip is a no-op on \\w+ tokens).
+
+    Order matters: lowercasing the whole line first can change \\w
+    boundaries — e.g. 'İ' (U+0130) lowercases to 'i' + U+0307 COMBINING
+    DOT, a non-word codepoint, so lower-then-findall splits 'İstanbul'
+    into ['i', 'stanbul'] while the reference yields ['i̇stanbul'].
+    ASCII lowercasing never moves a \\w boundary, so pure-ASCII batches
+    keep the fully vectorized lower-then-findall fast path and only
+    non-ASCII rows take the token-at-a-time lowercase.
+    """
     toks = texts.str.lower().str.findall(_WORD_RE)
-    # ':'/'#' are non-\w so the strip is a no-op on \w+ tokens; kept cheap
+    non_ascii = texts.str.contains("[^\x00-\x7f]", regex=True).fillna(False)
+    if non_ascii.any():
+        toks = toks.copy()
+        toks[non_ascii] = texts[non_ascii].str.findall(_WORD_RE).apply(
+            lambda ts: [t.lower() for t in ts]
+        )
     return toks
 
 

@@ -18,6 +18,7 @@ CHECKED = [
     "confusion_pivot", "topk_parts", "label_normalize", "tpch_q1",
     "dedup_exact", "fingerprints", "token_stats", "quality_scores",
     "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
+    "simhash", "ann_lsh", "media_embeddings",
 ]
 
 
@@ -70,8 +71,7 @@ def test_registry_consistency():
     # every oracle-less query is a documented rows-only check
     rows_only = set(qs) - set(osql)
     assert rows_only == {
-        "igt_classify_lines", "igt_detect_spans", "simhash", "ann_lsh",
-        "ann_ivf", "media_embeddings",
+        "igt_classify_lines", "igt_detect_spans", "ann_ivf",
     }
 
 
