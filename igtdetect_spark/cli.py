@@ -40,6 +40,16 @@ def _lines_df(spark, args):
     return segment_freki_files(spark, paths)
 
 
+def _cfg(args):
+    """PipelineConfig from --config INI cascade (default config without)."""
+    from .config import DEFAULT_CONFIG, PipelineConfig
+
+    inis = getattr(args, "config", None)
+    if inis:
+        return PipelineConfig.from_ini(*inis)
+    return DEFAULT_CONFIG
+
+
 def _ctx(spark, args, model=None):
     from .flagship import get_lexicons
     from .plans.pipeline import DetectContext
@@ -47,7 +57,7 @@ def _ctx(spark, args, model=None):
 
     if model is None:
         model = load_model(args.classifier_path)
-    return DetectContext(spark, model, get_lexicons())
+    return DetectContext(spark, model, get_lexicons(), cfg=_cfg(args))
 
 
 def _widened(spark, lines, lex_bc):
@@ -74,7 +84,20 @@ def cmd_train(args):
     lex_bc = spark.sparkContext.broadcast(get_lexicons())
     lines = _lines_df(spark, args)
     widened = _widened(spark, lines, lex_bc)
-    if args.distributed:
+    distributed = args.distributed
+    if not distributed:
+        # parity training collects the feature rows to the driver — fine
+        # for reference-sized corpora, unsafe at scale. Auto-route big
+        # inputs to the Spark ML path instead of OOMing the driver.
+        n_lines = widened.count()
+        if n_lines > args.collect_threshold:
+            print(
+                f"{n_lines} training lines > --collect-threshold "
+                f"{args.collect_threshold}: using the distributed "
+                "Spark ML trainer", file=sys.stderr,
+            )
+            distributed = True
+    if distributed:
         from .plans.train import feature_label_df, train_spark_ml
 
         model = train_spark_ml(
@@ -255,6 +278,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="igtdetect_spark")
     p.add_argument("--master", default=os.environ.get("SPARK_MASTER", "local[*]"))
     p.add_argument("--shuffle-partitions", type=int, default=32)
+    p.add_argument(
+        "-c", "--config", action="append", default=None, metavar="INI",
+        help="INI config file(s), reference defaults.ini format; repeat to "
+        "cascade (later files override earlier, like igtdetect -c)",
+    )
     sub = p.add_subparsers(dest="subcommand", required=True)
 
     def common_io(sp, files=True, model=True):
@@ -268,6 +296,11 @@ def main(argv=None):
     common_io(sp)
     sp.add_argument("--max-features", type=int, default=10000)
     sp.add_argument("--distributed", action="store_true")
+    sp.add_argument(
+        "--collect-threshold", type=int, default=200_000,
+        help="above this many training lines, route to the distributed "
+        "Spark ML trainer instead of collecting features to the driver",
+    )
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("test")

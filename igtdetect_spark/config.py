@@ -3,11 +3,17 @@
 Replaces the reference's layered INI config (``igtdetect/env.py:22-43``,
 ``defaults.ini.sample``) with a plain dataclass threaded into UDF closures.
 Feature gating becomes column selection — Catalyst prunes disabled feature
-columns for free.
+columns for free. ``load_ini``/``PipelineConfig.from_ini`` provide the
+on-ramp for reference workflows with a tuned ini: the reference cascade
+(defaults file, then ``-c`` alternate overriding section-by-section,
+igtdetect.py:1696-1714) maps onto the dataclass, and [paths]/[files]
+entries are resolved relative to each ini's own directory (env.py:14-21).
 """
 
 from __future__ import annotations
 
+import os
+from configparser import ConfigParser
 from dataclasses import dataclass, field, replace
 
 # ---------------------------------------------------------------------------
@@ -123,8 +129,113 @@ class PipelineConfig:
     def with_(self, **kw) -> "PipelineConfig":
         return replace(self, **kw)
 
+    @classmethod
+    def from_ini(cls, *paths: str,
+                 base: "PipelineConfig | None" = None) -> "PipelineConfig":
+        """Config from one or more INI files (reference cascade order:
+        later files override earlier, section by section)."""
+        cfg, _ = load_ini(*paths, base=base)
+        return cfg
+
 
 DEFAULT_CONFIG = PipelineConfig()
+
+# All reference text-feature gate names (env.py T_LIST) in ini order.
+T_ALL = [
+    T_BASIC, T_HAS_LANGNAME, T_HAS_GRAMS, T_HAS_PARENTHETICAL,
+    T_HAS_CITATION, T_HAS_ASTERISK, T_HAS_UNDERSCORE, T_HAS_BRACKETING,
+    T_HAS_QUOTATION, T_HAS_NUMBERING, T_HAS_LEADING_WHITESPACE,
+    T_HIGH_OOV_RATE, T_MED_OOV_RATE, T_HIGH_GLS_OOV_RATE,
+    T_MED_GLS_OOV_RATE, T_HIGH_MET_OOV_RATE,
+    T_HAS_JPN, T_HAS_GRK, T_HAS_KOR, T_HAS_CYR, T_HAS_ACC, T_HAS_DIA,
+    T_HAS_UNI, T_HAS_YEAR,
+]
+
+# Gates the reference declares but never computes (no call site in
+# get_textfeats) — enabling them in an ini cannot make them fire, so the
+# loader drops them to preserve behavior parity (featurespec.py:19).
+_NEVER_COMPUTED_TEXT_FEATS = frozenset([T_MED_GLS_OOV_RATE])
+
+# reference true_val (igtdetect.py:1456-1462) accepts more spellings than
+# configparser's default BOOLEAN_STATES
+_BOOL_STATES = {
+    "1": True, "on": True, "t": True, "true": True, "enabled": True,
+    "y": True, "yes": True,
+    "0": False, "off": False, "f": False, "false": False,
+    "disabled": False, "n": False, "no": False,
+}
+
+
+def _merge_ini(paths: tuple[str, ...]) -> ConfigParser:
+    conf = ConfigParser()
+    conf.BOOLEAN_STATES = _BOOL_STATES
+    for p in paths:
+        sub = ConfigParser()
+        sub.BOOLEAN_STATES = _BOOL_STATES
+        with open(p) as f:
+            sub.read_file(f)
+        base_dir = os.path.dirname(os.path.abspath(p))
+        for sec in sub.sections():
+            if not conf.has_section(sec):
+                conf.add_section(sec)
+            for opt in sub[sec]:
+                v = sub.get(sec, opt)  # interpolated within this file
+                if sec in ("paths", "files"):
+                    # env.py:14-21: path options are relative to their ini
+                    v = os.path.abspath(os.path.join(base_dir, v))
+                conf.set(sec, opt, v.replace("%", "%%"))
+    return conf
+
+
+def load_ini(*paths: str, base: PipelineConfig | None = None
+             ) -> tuple[PipelineConfig, dict[str, str]]:
+    """(PipelineConfig, resolved path options) from the INI cascade.
+
+    Only options present in the files override ``base``; feature-gate
+    sections ([freki_features]/[text_features]) replace the whole enabled
+    set when present, mirroring ``enabled_feats`` (env.py:239-246): a
+    gate absent from the section is disabled.
+    """
+    base = base if base is not None else DEFAULT_CONFIG
+    conf = _merge_ini(paths)
+    kw: dict = {}
+
+    def take_bools(sec: str, opts: list[str]) -> None:
+        for opt in opts:
+            if conf.has_option(sec, opt):
+                kw[opt] = conf.getboolean(sec, opt)
+
+    take_bools("labels", ["use_bi_labels", "use_multi_labels", "strip_flags"])
+    take_bools("featuresets", [
+        "text_feats_enabled", "freki_feats_enabled",
+        "use_prev_line", "use_prev_prev_line", "use_next_line",
+    ])
+    if conf.has_option("featuresets", "max_features"):
+        kw["max_features"] = conf.getint("featuresets", "max_features")
+    if conf.has_section("freki_features"):
+        kw["enabled_freki_feats"] = frozenset(
+            f for f in F_LIST
+            if conf.has_option("freki_features", f)
+            and conf.getboolean("freki_features", f)
+        )
+    if conf.has_section("text_features"):
+        if conf.has_option("text_features", T_PREV_TAG):
+            kw["prev_tag"] = conf.getboolean("text_features", T_PREV_TAG)
+        kw["enabled_text_feats"] = frozenset(
+            f for f in T_ALL
+            if conf.has_option("text_features", f)
+            and conf.getboolean("text_features", f)
+        ) - _NEVER_COMPUTED_TEXT_FEATS
+    for opt in ("high_oov", "med_oov", "med_overlap", "high_overlap",
+                "high_iscore", "med_iscore", "low_iscore"):
+        if conf.has_option("thresholds", opt):
+            kw[opt] = conf.getfloat("thresholds", opt)
+
+    resolved_paths: dict[str, str] = {}
+    for sec in ("paths", "files"):
+        if conf.has_section(sec):
+            resolved_paths.update(dict(conf[sec]))
+    return base.with_(**kw), resolved_paths
 
 # Paths into the read-only reference checkout (data files are inputs, the
 # code is never imported).

@@ -63,9 +63,10 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc as ONE array column:
+    (doc_id, shingles array<string>) — the narrow (no explode) form."""
     toks = F.split(normalized_text(F.col(text_col)), " ")
     d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     d = d.withColumn(
@@ -78,8 +79,14 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             ),
         ).otherwise(F.array(F.array_join("_toks", " "))),
     )
-    return d.select(
-        "doc_id", F.explode(F.array_distinct("_shingles")).alias("shingle")
+    return d.select("doc_id", F.array_distinct("_shingles").alias("shingles"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -152,38 +159,51 @@ def minhash_band_hashes(
     """(doc_id, band, band_hash): md5-permutation minhash signatures folded
     into LSH bands. Permutation i of shingle s = md5(i || '|' || s) —
     portable (DuckDB reproduces it bit-for-bit), uniform, deterministic.
-    Docs sharing any band_hash are near-duplicate candidates."""
-    sh = word_shingles(docs, shingle_n, id_col, text_col)
-    perms = sh.select(
+    Docs sharing any band_hash are near-duplicate candidates.
+
+    Scale shape: the whole signature is ONE narrow Arrow kernel per doc —
+    no explode(shingles × n_perms) blowup, no groupBy shuffle; the only
+    rows produced per doc are its n_perms/band_size band hashes. (The
+    equivalent relational plan shuffles n_perms× the shingle rows twice.)
+    """
+    n_bands = n_perms // band_size
+
+    @pandas_udf("array<string>")
+    def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        prefixes = [f"{p}|".encode("utf-8") for p in range(n_perms)]
+        out = []
+        empty_bands = None
+        for arr in shingle_lists:
+            # null text → null shingle: the relational formulation's md5
+            # null-propagates and array_join drops nulls, so every band
+            # hashes the empty string — reproduce that here
+            shs = [s.encode("utf-8") for s in arr if s is not None]
+            if not shs:
+                if empty_bands is None:
+                    empty_bands = [md5(b"").hexdigest()] * n_bands
+                out.append(empty_bands)
+                continue
+            mins = [
+                min(md5(pref + s).hexdigest() for s in shs)
+                for pref in prefixes
+            ]
+            out.append(
+                [
+                    md5(
+                        ",".join(
+                            mins[b * band_size:(b + 1) * band_size]
+                        ).encode("utf-8")
+                    ).hexdigest()
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    sh = shingle_arrays(docs, shingle_n, id_col, text_col)
+    return sh.select(
         "doc_id",
-        "shingle",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(n_perms - 1))
-        ).alias("perm"),
-    ).select(
-        "doc_id",
-        "perm",
-        F.md5(
-            F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle"))
-        ).alias("h"),
-    )
-    minh = perms.groupBy("doc_id", "perm").agg(F.min("h").alias("minh"))
-    banded = minh.withColumn(
-        "band", (F.col("perm") / band_size).cast("int")
-    )
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "minh"))),
-                        lambda x: x["minh"],
-                    ),
-                    ",",
-                )
-            ).alias("band_hash")
-        )
+        F.posexplode(_band_hashes("shingles")).alias("band", "band_hash"),
     )
 
 

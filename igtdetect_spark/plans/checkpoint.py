@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 
@@ -64,6 +65,28 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
 
 
+def _clean_uncommitted(out_dir: str, manifest: dict[int, dict]) -> list[int]:
+    """Delete ``bucket=<b>`` partition directories whose bucket is NOT in
+    the manifest. The manifest write is the single commit point: a crash
+    between the parquet append and the manifest write leaves orphan rows,
+    which would be duplicated when the resume recomputes that bucket —
+    purging them first makes resume idempotent."""
+    purged = []
+    if not os.path.isdir(out_dir):
+        return purged
+    for name in os.listdir(out_dir):
+        if not name.startswith("bucket="):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b not in manifest:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+            purged.append(b)
+    return purged
+
+
 def run_checkpointed_detect(
     spark: SparkSession,
     pages: DataFrame,
@@ -75,12 +98,16 @@ def run_checkpointed_detect(
     """Detect spans over ``pages``, committing results bucket-group by
     bucket-group. Safe to interrupt and re-invoke: committed buckets are
     skipped (their rows are filtered out by the hash predicate, so no page
-    is re-scored).
+    is re-scored), and partition directories of buckets absent from the
+    manifest — rows committed to parquet by a run that crashed before its
+    manifest write — are purged before reprocessing, so resume never
+    duplicates spans.
 
     Returns the final manifest (bucket → lineage counters).
     """
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir)
+    _clean_uncommitted(out_dir, manifest)  # purge orphan rows from a crash
     todo = [b for b in range(n_buckets) if b not in manifest]
     run_ord = time.time()
 

@@ -24,9 +24,12 @@ chunks:
    reference EOF quirk doc-globally.
 
 Batch-mode models only (sequential decode cannot cross chunks — refused,
-like the salted path). Form-feed page breaks inside mega documents are
-not supported (web text has none). Bit-parity with the fused path is
-tested with forced multi-chunk documents.
+like the salted path); ``cfg.word_overlap`` is refused too (the 2-line
+halo cannot reproduce unbounded backward overlap context). Mega documents
+containing form-feed page breaks fall back to the fused whole-document
+path (the chunk frame hardcodes page=1; web text has no \\f, so the
+fallback is cold). Bit-parity with the fused path is tested with forced
+multi-chunk documents.
 """
 
 from __future__ import annotations
@@ -193,14 +196,31 @@ def detect_spans_chunked(
             "detect_spans_chunked cannot chunk a sequential (prev_tag) "
             "model — use the whole-document paths"
         )
+    if cfg.word_overlap:
+        # The 2-line pre-halo gives the first halo line no previous line,
+        # so its overlap features (and the first body line's prev_prev_
+        # context) can diverge from the fused path. Refuse rather than
+        # silently mis-score.
+        raise ValueError(
+            "detect_spans_chunked does not support cfg.word_overlap — "
+            "overlap features need unbounded backward context; use the "
+            "whole-document paths"
+        )
 
     is_mega = (
         F.length(F.coalesce(F.col("text"), F.lit(""))) >= mega_doc_chars
     ) | (F.length(F.coalesce(F.col("html"), F.lit(b""))) >= mega_doc_chars)
-    small_spans = detect_spans_fused(pages.filter(~is_mega), ctx)
+    # Form-feed page breaks break the chunk frame's page=1 assumption —
+    # mega docs containing \f (in text OR raw html, conservatively) fall
+    # back to the fused whole-document path instead of silently diverging.
+    has_ff = F.coalesce(F.col("text"), F.lit("")).contains("\f") | F.coalesce(
+        F.col("html").cast("string"), F.lit("")
+    ).contains("\f")
+    is_chunkable = is_mega & ~has_ff
+    small_spans = detect_spans_fused(pages.filter(~is_chunkable), ctx)
 
     chunks = split_mega_pages(
-        pages.filter(is_mega), chunk_lines, cfg.html_main_content
+        pages.filter(is_chunkable), chunk_lines, cfg.html_main_content
     ).repartition("url", "chunk_no")
 
     def score_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -33,6 +33,21 @@ def read_pages_stream(
     )
 
 
+def write_spans_batch(spans: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Idempotent sink for one micro-batch: the output is partitioned by
+    batch_id and written with DYNAMIC partition overwrite, so a replayed
+    batch (job died after the write but before the streaming checkpoint
+    committed) overwrites its own ``batch_id=<id>`` partition instead of
+    appending a duplicate copy. Other batches' partitions are untouched."""
+    (
+        spans.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def start_detect_stream(
     pages_stream: DataFrame,
     ctx: DetectContext,
@@ -44,14 +59,14 @@ def start_detect_stream(
 
     ``foreachBatch`` is the right seam: the detection pipeline is a batch
     transformation over whole documents, and each page appears in exactly
-    one micro-batch, so per-batch append + streaming checkpoint gives
-    end-to-end idempotence on restart."""
+    one micro-batch. Exactly-once = streaming checkpoint (replay point) +
+    ``write_spans_batch`` (replay-idempotent dynamic partition overwrite
+    keyed by batch_id) — a plain append would duplicate spans when a batch
+    is replayed after a crash between the write and the checkpoint commit.
+    """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spans = detect_spans_fused(batch_df, ctx).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
-        spans.write.mode("append").parquet(out_dir)
+        write_spans_batch(detect_spans_fused(batch_df, ctx), out_dir, batch_id)
 
     writer = (
         pages_stream.writeStream.foreachBatch(process)

@@ -78,6 +78,33 @@ def test_resume_skips_committed_buckets(spark, ctx, pages, tmp_path_factory):
     assert total == sum(m["n_spans"] for m in m2.values())
 
 
+def test_resume_purges_unmanifested_rows(spark, ctx, pages, tmp_path_factory):
+    """Crash window: rows appended to parquet but manifest not yet written.
+    A resume must NOT duplicate those spans (it purges the orphan
+    partitions and recomputes the bucket)."""
+    from igtdetect_spark.plans.checkpoint import run_checkpointed_detect
+
+    out = str(tmp_path_factory.mktemp("ckpt_crash"))
+    m1 = run_checkpointed_detect(
+        spark, pages, ctx, out, n_buckets=4, buckets_per_commit=2
+    )
+    total = spark.read.parquet(out).count()
+
+    # simulate the crash: buckets 2,3 have committed rows on disk, but the
+    # manifest forgot them (written before the 2nd group's manifest update)
+    partial = {b: m1[b] for b in (0, 1)}
+    with open(f"{out}/_manifest.json", "w") as f:
+        json.dump({str(k): v for k, v in partial.items()}, f)
+
+    m2 = run_checkpointed_detect(
+        spark, pages, ctx, out, n_buckets=4, buckets_per_commit=2
+    )
+    assert spark.read.parquet(out).count() == total  # no duplicates
+    assert sum(m["n_spans"] for m in m2.values()) == sum(
+        m["n_spans"] for m in m1.values()
+    )
+
+
 def test_detect_with_metrics(spark, ctx, pages):
     from igtdetect_spark.plans.pipeline import detect_with_metrics
 

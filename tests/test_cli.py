@@ -21,6 +21,45 @@ from igtdetect_spark.refmodel import load_reference_model
 
 
 @pytest.mark.slow
+def test_cli_train_auto_routes_to_distributed(tmp_path):
+    """Above --collect-threshold the CLI trains via Spark ML instead of
+    collecting features to the driver; the resulting model loads and
+    selects the same chi² vocabulary as the collected path."""
+    from igtdetect_spark.config import REF_SAMPLE_TRAIN
+
+    dist_path = tmp_path / "dist.npz"
+    coll_path = tmp_path / "coll.npz"
+    # max-features above the total feature count: the chi² cutoff would
+    # otherwise tie-break boundary features differently between the numpy
+    # and Spark rankings (equal scores, different sort carriers)
+    common = [
+        sys.executable, "-m", "igtdetect_spark.cli",
+        "--master", "local[4]", "--shuffle-partitions", "8",
+        "train", "--files", REF_SAMPLE_TRAIN, "--max-features", "1000000",
+    ]
+    r1 = subprocess.run(
+        common + ["--classifier-path", str(dist_path),
+                  "--collect-threshold", "1"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "distributed Spark ML trainer" in r1.stderr
+    r2 = subprocess.run(
+        common + ["--classifier-path", str(coll_path)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "distributed Spark ML trainer" not in r2.stderr
+
+    from igtdetect_spark.refmodel import load_model
+
+    dist, coll = load_model(str(dist_path)), load_model(str(coll_path))
+    assert dist.classes == coll.classes
+    # chi² feature selection is deterministic → identical vocabularies
+    assert sorted(dist.feature_names) == sorted(coll.feature_names)
+
+
+@pytest.mark.slow
 def test_cli_test_eval_workflow(tmp_path):
     classified = tmp_path / "classified"
     detected = tmp_path / "detected"

@@ -174,3 +174,34 @@ class TestSpanEval:
         )
         assert partial_span_match_count(sys_spans, gold_spans) == 0
         assert partial_span_match_count(gold_spans, sys_spans) == 1
+
+
+class TestReportFormats:
+    def test_csv_report_golden(self, spark, spark_dfs):
+        """--csv report: comma-delimited everywhere the text report tabs
+        (reference igtdetect.py:1099-1116 delimiter switch)."""
+        from igtdetect_spark.operators.eval import (
+            align_eval_gold,
+            confusion_counts,
+            label_metrics,
+            render_report,
+            span_metrics,
+        )
+
+        gold, pred, gspans, pspans = spark_dfs
+        counts = confusion_counts(align_eval_gold(pred, gold))
+        lm = label_metrics(counts)
+        sm = span_metrics(pspans, gspans)
+        txt = render_report(counts, lm, sm, csv=False)
+        csv = render_report(counts, lm, sm, csv=True)
+        # identical content modulo delimiter
+        assert csv == txt.replace("\t", ",")
+        assert "\t" not in csv and "," in csv
+        # matrix header row + one row per gold label, sorted by the
+        # reference label order, and the metric sections
+        lines = csv.splitlines()
+        assert lines[0].startswith(",")
+        assert "----- Labels -----" in csv and "----- Spans ------" in csv
+        for needle in ("Classifiation Acc:", "Non-O P/R/F:",
+                       "Exact-span P/R/F:", "Partial-span P/R/F:"):
+            assert needle in csv

@@ -111,6 +111,51 @@ class TestSyntheticParity:
         assert f == c
         assert len(f) > 300
 
+    def test_chunked_guards(self, spark, ctx_synth):
+        """Unsupported configs are refused; form-feed mega docs silently
+        fall back to the fused path with identical results."""
+        import dataclasses
+
+        import pytest as _pytest
+
+        from igtdetect_spark.plans.chunked import detect_spans_chunked
+        from igtdetect_spark.plans.pipeline import (
+            DetectContext,
+            detect_spans_fused,
+        )
+        from igtdetect_spark.sources.pages import synthetic_pages
+
+        # word_overlap → refuse (halo can't reproduce unbounded context)
+        cfg_wo = dataclasses.replace(ctx_synth.cfg, word_overlap=True)
+        ctx_wo = DetectContext(
+            spark, get_synthetic_model(), get_lexicons(), cfg=cfg_wo
+        )
+        pages = synthetic_pages(spark, 4).cache()
+        with _pytest.raises(ValueError, match="word_overlap"):
+            detect_spans_chunked(pages, ctx_wo)
+
+        # a mega doc containing \f routes to the fused path: results match
+        from pyspark.sql import functions as F
+
+        mega = synthetic_pages(
+            spark, 6, mega_doc_every=3, mega_doc_lines=2000
+        ).withColumn(
+            "text", F.concat(F.col("text"), F.lit("\fTrailing page"))
+        ).cache()
+        key = lambda r: tuple(
+            tuple(v) if isinstance(v, list) else v for v in r
+        )
+        f = sorted(map(key, detect_spans_fused(mega, ctx_synth).collect()))
+        c = sorted(
+            map(
+                key,
+                detect_spans_chunked(
+                    mega, ctx_synth, chunk_lines=500, mega_doc_chars=50_000
+                ).collect(),
+            )
+        )
+        assert f == c
+
     def test_salted_matches_fused(self, spark, ctx_synth):
         """Skew path: chunked halo scoring must be bit-identical to the
         whole-document path — small chunk size forces multi-chunk docs."""

@@ -49,6 +49,23 @@ def test_streamed_detection_matches_batch(spark, ctx, pages_dir, tmp_path_factor
     assert spark.read.parquet(out).count() == want.count()
 
 
+def test_replayed_batch_is_idempotent(spark, ctx, pages_dir, tmp_path_factory):
+    """foreachBatch replay (crash after write, before checkpoint commit):
+    re-writing the same batch_id must overwrite its own partition, not
+    append a second copy."""
+    from igtdetect_spark.plans.pipeline import detect_spans_fused
+    from igtdetect_spark.streaming.ingest import write_spans_batch
+
+    out = str(tmp_path_factory.mktemp("spans_replay"))
+    spans = detect_spans_fused(spark.read.parquet(pages_dir), ctx)
+    n = spans.count()
+    write_spans_batch(spans, out, batch_id=7)
+    write_spans_batch(spans, out, batch_id=7)  # the replay
+    assert spark.read.parquet(out).count() == n
+    write_spans_batch(spans, out, batch_id=8)  # a different batch appends
+    assert spark.read.parquet(out).count() == 2 * n
+
+
 def test_ingest_monitor_watermark(spark, pages_dir, tmp_path_factory):
     from igtdetect_spark.streaming.ingest import (
         read_pages_stream,
