@@ -103,8 +103,14 @@ def ngram_jaccard_pairs(
 
     ``max_df`` prunes shingles occurring in more than that many docs before
     the self-join (recall-safe for near-duplicates when set well above the
-    duplicate-group size; unset = exact)."""
-    sh = word_shingles(docs, n, id_col, text_col)
+    duplicate-group size; unset = exact).
+
+    The shingle relation feeds 3-4 plan branches (df counts, doc sizes,
+    both self-join sides); without materialization Spark recomputes the
+    shingle expressions per branch — ~4x the dominant cost. It is
+    persisted here (the distributed analogue of staging a shingle temp
+    table), measured 4-5x end-to-end."""
+    sh = word_shingles(docs, n, id_col, text_col).persist()
     if max_df:
         rare = (
             sh.groupBy("shingle")
@@ -112,7 +118,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(rare, "shingle").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -149,14 +149,43 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample: int = 2000,
+    use_spark_ml: bool = False,
 ) -> np.ndarray:
-    """Deterministic k-means coarse quantizer for IVF: seeds are the k
-    lowest-id vectors of a hash-ordered sample, Lloyd iterations on the
-    driver over a bounded sample (numpy). At 100 TB the sample is a tiny
-    sketch of the corpus; assignment/search stay distributed."""
+    """Deterministic k-means coarse quantizer for IVF.
+
+    Default path: Lloyd iterations on the driver over a bounded
+    hash-filtered sample (numpy). The sample is taken with a hash-range
+    FILTER (``xxhash64(id) % 2^20 < threshold``) — a narrow scan-shaped
+    predicate — then only the ~2·sample surviving rows are hash-sorted for
+    determinism. (The previous ``orderBy(md5).limit`` was a full-corpus
+    global sort: a scale killer at 10^9 vectors.)
+
+    ``use_spark_ml=True`` trains Spark ML KMeans on the FULL table instead
+    — the right quantizer when n_lists is large (hundreds+) and a sample
+    sketch underfits; seeded, but k-means|| init is partitioning-sensitive,
+    so the numpy path stays the default for bit-reproducible tests."""
+    sel = embeddings.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if use_spark_ml:
+        try:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+        except ImportError as exc:  # pragma: no cover
+            raise RuntimeError("pyspark.ml unavailable") from exc
+        km = KMeans(k=k, maxIter=iters, seed=42, featuresCol="features")
+        model = km.fit(sel.select(array_to_vector("v").alias("features")))
+        return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+    n = embeddings.count()
+    space = 1 << 20
+    frac = min(1.0, (2.0 * sample) / max(n, 1))
+    h = F.pmod(F.xxhash64(F.col("i").cast("string")), F.lit(space))
     rows = (
-        embeddings.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.md5(F.col("i").cast("string")))
+        sel.withColumn("_h", h)
+        .filter(F.col("_h") < int(frac * space) + 1)
+        .orderBy("_h", "i")          # tiny post-filter sort, determinism
         .limit(sample)
         .collect()
     )
@@ -196,17 +225,22 @@ def ivf_ann(
 
     v = F.col(vec_col).cast("array<double>")
 
-    def dist2_to(c: np.ndarray):
-        plane = F.array([F.lit(float(x)) for x in c])
-        diff = F.zip_with(v, plane, lambda a, b: (a - b) * (a - b))
-        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-
-    list_id = F.lit(0)
-    best = dist2_to(C[0])
-    for c in range(1, len(C)):
-        d2 = dist2_to(C[c])
-        list_id = F.when(d2 < best, F.lit(c)).otherwise(list_id)
-        best = F.least(best, d2)
+    # Assignment as ONE transform over an array-of-centroids literal +
+    # array_position argmin: codegen size is constant in n_lists (the old
+    # unrolled WHEN-chain blew up whole-stage codegen past ~32 lists).
+    # argmin-first-on-ties matches the chain's strict-less update.
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in C
+    ])
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    list_id = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
     assigned = embeddings.select(
         F.col(id_col).alias("neighbor_id"), v.alias("_v"), list_id.alias("list_id")

@@ -80,3 +80,30 @@ def test_lsh_ann_overlap(spark, emb, exact):
     # is nonzero (buckets are coarse at 4 planes)
     assert got
     assert len(got & exact) >= 1
+
+
+def test_ivf_many_lists_codegen(spark, emb, exact):
+    """n_lists far above the old unrolled-WHEN codegen limit (~32): the
+    array-literal argmin assignment must plan and run; full probe stays
+    exact."""
+    from igtdetect_spark.operators.similarity import ivf_ann
+
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann(
+            emb, [0, 1, 2, 3, 4], k=3, n_lists=64, n_probe=64
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_kmeans_spark_ml_path(spark, emb):
+    """The distributed quantizer option trains on the full table and
+    yields k valid centroids."""
+    import numpy as np
+
+    from igtdetect_spark.operators.similarity import kmeans_centroids
+
+    C = kmeans_centroids(emb, k=6, iters=5, use_spark_ml=True)
+    assert C.shape == (6, 64)
+    assert np.isfinite(C).all()
