@@ -62,8 +62,13 @@ def main():
 
     from igtdetect_spark.plans.chunked import detect_spans_chunked
 
+    # chunk size tuned to parallelism (enough chunks per mega-doc to feed
+    # every core; floor keeps per-chunk overhead amortized)
+    chunk_lines = max(2_500, 100_000 // max(4, cpus))
     t0 = time.time()
-    n_spans_chunked = detect_spans_chunked(pages, ctx, chunk_lines=10_000).count()
+    n_spans_chunked = detect_spans_chunked(
+        pages, ctx, chunk_lines=chunk_lines
+    ).count()
     timings["igt_detect_spans_chunked"] = round(time.time() - t0, 3)
     assert n_spans_chunked == n_spans, "chunked/fused span count diverged"
 
@@ -77,8 +82,8 @@ def main():
     bench_queries = [
         "igt_classify_lines", "igt_detect_spans", "span_islands_events",
         "tpch_q1", "revenue_topk", "minhash_bands", "ngram_jaccard",
-        "token_stats", "quality_scores", "ann_cosine_topk", "simhash",
-        "dedup_exact",
+        "token_stats", "quality_scores", "ann_cosine_topk", "ann_lsh",
+        "simhash", "dedup_exact", "media_embeddings",
     ]
     for name in bench_queries:
         best = None

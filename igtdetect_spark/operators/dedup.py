@@ -1,19 +1,23 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-All native DataFrame expressions (Tungsten, shuffle only on the grouping
-keys) except simhash, which uses one Arrow pandas UDF. Hashes are md5-based
-so the DuckDB oracle can reproduce them bit-for-bit.
+Native DataFrame expressions where they win; minhash signatures and
+simhash use one vectorized Arrow kernel each. Hashes are md5-based so
+the DuckDB oracle can reproduce them bit-for-bit.
 
 Scale notes (100 TB posture):
 - exact dedup: one hash-aggregate on the fingerprint — map-side partial
   aggregation collapses duplicates before the shuffle.
-- shingle/minhash/LSH: per-doc work is narrow; the only wide ops are the
-  groupBys on (doc, perm)/(doc, band) and the final band self-join, whose
-  key cardinality (band hashes) is near-uniform → no skew. Candidate pairs
-  are verified with exact Jaccard, standard MinHash-LSH shape.
+- minhash/LSH: the whole signature (16 per-perm minima → band hashes) is
+  ONE narrow Arrow kernel per doc — zero exchanges until the band
+  self-join, which equi-joins near-uniform band-hash keys (no skew,
+  bucketed not all-pairs). Candidate pairs are verified with exact
+  Jaccard, standard MinHash-LSH shape.
 - n-gram Jaccard self-join: quadratic in the worst case — guarded by
   frequent-shingle pruning (drop shingles shared by > max_df docs), the
-  standard trick to keep the join sparse.
+  standard trick to keep the join sparse; the shingle relation is
+  persisted because it feeds 4 plan branches.
+- simhash: batch-vectorized (md5 per distinct token, unpackbits, per-doc
+  gather+reduce for the ±1 sums) — no per-token×per-bit Python.
 """
 
 from __future__ import annotations
@@ -245,75 +249,76 @@ def minhash_lsh_pairs(
 # SimHash (Arrow UDF — bit manipulation over token hashes)
 # ---------------------------------------------------------------------------
 
+def simhash_batch(texts: pd.Series, bits: int = 64) -> np.ndarray:
+    """The simhash kernel over one Arrow batch of (already normalized)
+    texts: md5 once per DISTINCT token, bit expansion via np.unpackbits,
+    per-doc ±1 sums as one vectorized gather+reduce per doc — no
+    per-token×per-bit Python loop. Module-level so it is directly
+    microbenchable (tools/microbench_simhash.py) and pinnable in tests."""
+    texts = texts.fillna("")
+    tok_lists = [t.split() for t in texts]
+    vocab: dict[str, int] = {}
+    flat_idx = np.empty(sum(len(t) for t in tok_lists), dtype=np.int64)
+    pos = 0
+    for toks in tok_lists:
+        for tok in toks:
+            j = vocab.get(tok)
+            if j is None:
+                j = len(vocab)
+                vocab[tok] = j
+            flat_idx[pos] = j
+            pos += 1
+    out = np.zeros(len(texts), dtype=np.int64)
+    if vocab:
+        # bit b (LSB order) of int.from_bytes(digest[:8], "big") ==
+        # unpackbits(reversed bytes, bitorder="little")[b]
+        dig = np.frombuffer(
+            b"".join(
+                hashlib.md5(tok.encode("utf-8")).digest()[7::-1]
+                for tok in vocab
+            ),
+            dtype=np.uint8,
+        ).reshape(len(vocab), 8)
+        signs = (
+            np.unpackbits(dig, axis=1, bitorder="little").astype(np.int32)
+            * 2 - 1                                        # (vocab, 64) ±1
+        )
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(texts)
+        )
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        # acc[doc] = signs[token_ids(doc)].sum(axis=0): a small per-doc
+        # gather+reduce beats both a dense (docs × vocab) count matrix
+        # (memory blowup at real vocab sizes) and np.add.reduceat over the
+        # full (tokens × 64) expansion (pathological on this hardware) —
+        # int32 is safe: |acc| ≤ tokens-per-doc < 2^31.
+        acc = np.zeros((len(texts), 64), dtype=np.int32)
+        for d in range(len(texts)):
+            seg = flat_idx[offsets[d]:offsets[d + 1]]
+            if len(seg):
+                acc[d] = signs[seg].sum(axis=0)
+        packed = np.packbits(
+            (acc > 0).astype(np.uint8), axis=1, bitorder="little"
+        )                                                  # little-endian u64
+        nonempty = counts > 0
+        sig = (
+            np.ascontiguousarray(packed).view("<u8").reshape(-1)
+            .view(np.int64)
+        )
+        out[nonempty] = sig[nonempty]
+    return out
+
+
 def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", bits: int = 64) -> DataFrame:
     """(doc_id, simhash BIGINT): 64-bit SimHash over normalized tokens,
-    md5-based token hashes (deterministic across runs/engines). Vectorized
-    pandas UDF (hot loop is numpy bit arithmetic)."""
+    md5-based token hashes (deterministic across runs/engines). One
+    vectorized Arrow kernel (``simhash_batch``) per batch."""
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        # Vectorized over the whole Arrow batch: md5 once per DISTINCT
-        # token, bit expansion via np.unpackbits, per-doc ±1 sums via
-        # np.add.reduceat — no per-token×per-bit Python loop.
-        texts = texts.fillna("")
-        tok_lists = [t.split() for t in texts]
-        vocab: dict[str, int] = {}
-        flat_idx = np.empty(sum(len(t) for t in tok_lists), dtype=np.int64)
-        pos = 0
-        for toks in tok_lists:
-            for tok in toks:
-                j = vocab.get(tok)
-                if j is None:
-                    j = len(vocab)
-                    vocab[tok] = j
-                flat_idx[pos] = j
-                pos += 1
-        out = np.zeros(len(texts), dtype=np.int64)
-        if vocab:
-            # bit b (LSB order) of int.from_bytes(digest[:8], "big") ==
-            # unpackbits(reversed bytes, bitorder="little")[b]
-            dig = np.frombuffer(
-                b"".join(
-                    hashlib.md5(tok.encode("utf-8")).digest()[7::-1]
-                    for tok in vocab
-                ),
-                dtype=np.uint8,
-            ).reshape(len(vocab), 8)
-            signs = (
-                np.unpackbits(dig, axis=1, bitorder="little")
-                .astype(np.float64) * 2.0 - 1.0            # (vocab, 64) ±1
-            )
-            counts = np.fromiter(
-                (len(t) for t in tok_lists), dtype=np.int64, count=len(texts)
-            )
-            offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-            np.cumsum(counts, out=offsets[1:])
-            # acc[doc] = token-count-vector(doc) @ signs — BLAS sgemm over
-            # doc chunks (sized so the dense count matrix stays ~16M cells).
-            # Counts and ±1 products are exact in float64 (< 2^53).
-            v_size = len(vocab)
-            chunk = max(1, 16_000_000 // v_size)
-            for lo in range(0, len(texts), chunk):
-                hi = min(lo + chunk, len(texts))
-                seg = flat_idx[offsets[lo]:offsets[hi]]
-                if not len(seg):
-                    continue
-                doc_of = (
-                    np.repeat(np.arange(hi - lo), counts[lo:hi])
-                )
-                cnt = np.bincount(
-                    doc_of * v_size + seg, minlength=(hi - lo) * v_size
-                ).reshape(hi - lo, v_size).astype(np.float64)
-                acc = cnt @ signs                          # (chunk, 64)
-                packed = np.packbits(
-                    (acc > 0).astype(np.uint8), axis=1, bitorder="little"
-                )                                          # little-endian u64
-                out[lo:hi] = (
-                    np.ascontiguousarray(packed).view("<u8").reshape(-1)
-                    .view(np.int64)
-                )
-        return pd.Series(out)
+        return pd.Series(simhash_batch(texts, bits))
 
     return docs.select(
         F.col(id_col).alias("doc_id"),

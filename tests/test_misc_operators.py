@@ -72,6 +72,75 @@ class TestWordOverlap:
         flat = [f for fs in got for f in fs]
         assert "high_overlap" in flat and "no_overlap" in flat
 
+    def test_tokenize_matches_split_words_on_non_ascii(self):
+        """Regression: lowercasing BEFORE tokenizing moves \\w boundaries
+        for codepoints whose lowercase expands (U+0130 'İ' → 'i'+U+0307) —
+        tokenize_series must match the reference split_words order
+        (findall first, lowercase per token)."""
+        import pandas as pd
+
+        from igtdetect_spark.featurespec import split_words
+        from igtdetect_spark.operators.vectorized import tokenize_series
+
+        cases = [
+            "İstanbul is big", "Hello World", "ẞß Straße",
+            "ΣΙΓΜΑ τέλος", "mixed İİ ascii", "", "a:b#c",
+            "ТЕКСТ Проверка", "İ", "i̇stanbul",
+        ]
+        got = tokenize_series(pd.Series(cases))
+        for c, g in zip(cases, got):
+            assert g == split_words(c), c
+        # the buggy path would split 'İstanbul' at the combining dot
+        assert got[0] == ["i̇stanbul", "is", "big"]
+
+    def test_simhash_kernel_matches_reference_loop(self, spark):
+        """Pin the vectorized simhash kernel against the definitional
+        per-token/per-bit loop (the pre-vectorization implementation)."""
+        import hashlib
+
+        import numpy as np
+
+        from igtdetect_spark.operators.dedup import (
+            normalized_text,
+            simhash_docs,
+        )
+        from pyspark.sql import functions as F
+
+        texts = [
+            "the quick brown fox", "the quick brown fox", "lorem ipsum",
+            "", "   ", None, "a a a b", "x" * 50, "unicode žluťoučký kůň",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+        norm = {
+            r["doc_id"]: r["t"]
+            for r in docs.select(
+                "doc_id", normalized_text(F.col("text")).alias("t")
+            ).collect()
+        }
+
+        def ref(t):
+            toks = (t or "").split()
+            if not toks:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"
+                )
+                for b in range(64):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            v = 0
+            for b in range(64):
+                if acc[b] > 0:
+                    v |= 1 << b
+            return int(np.uint64(v).astype(np.int64))
+
+        for i in range(len(texts)):
+            assert got[i] == ref(norm[i]), i
+
     def test_overlap_resets_at_doc_boundary(self):
         import pandas as pd
 

@@ -46,8 +46,13 @@ else:
 docs = pages.count()
 lines = segment_pages(pages).count()
 ctx = DetectContext(spark, get_synthetic_model(), get_lexicons())
+# chunk size tuned to the level, as a real deployment would: enough chunks
+# per mega-doc to feed every core (fixed 10k-line chunks leave 32 cores
+# starved at 10 mega-docs x 10 chunks), floor 2.5k lines so per-chunk
+# overhead stays amortized
+chunk_lines = max(2_500, 100_000 // max(4, cpus))
 run = (detect_spans_fused if mode == "uniform"
-       else lambda p, c: detect_spans_chunked(p, c, chunk_lines=10_000))
+       else lambda p, c: detect_spans_chunked(p, c, chunk_lines=chunk_lines))
 run(pages, ctx).count()  # full warm-up pass (python workers + broadcast)
 best = None
 for _ in range(3):
@@ -125,9 +130,13 @@ means a genuine N-core machine. Spark {pyspark.__version__}, Arrow batch
 {table(u)}
 
 **Scaling efficiency (lines/sec): N→4N (2→8 cores) = {u['scaling_efficiency_2_to_8']}**
-(target ≥ 0.8); 8→32 cores = {u['scaling_efficiency_8_to_32']}.
+(target ≥ 0.8); 8→32 cores = {u['scaling_efficiency_8_to_32']}. All three
+levels are one session of this script, run back-to-back (no
+best-of-sessions merging); efficiency slightly above 1.0 means the pinned
+2-core run absorbed proportionally more of the host's background load —
+the honest reading is "≈ linear 2→8".
 
-## Skewed corpus (20,000 docs incl. ten 100k-line mega-docs) — chunked skew path (chunk = 10k lines)
+## Skewed corpus (20,000 docs incl. ten 100k-line mega-docs) — chunked skew path (chunk_lines = max(2500, 100k/cores))
 
 | level | wall (s) | docs/sec | lines/sec |
 |---|---|---|---|
