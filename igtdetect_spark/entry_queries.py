@@ -964,11 +964,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
-                 k: int = 3, query_ids=(0, 1, 2, 3, 4)) -> str:
-    """Full DuckDB mirror of lsh_bucketed_ann: the seeded hyperplanes
-    (similarity.py:83-84) inlined as repr'd double literals (shortest
-    round-trip → bit-identical doubles)."""
+def _sql_bucket_expr(n_planes: int = 6, seed: int = 42,
+                     dim: int = 64) -> str:
+    """The seeded hyperplane sign-bucket (similarity.py:83-84) as a DuckDB
+    expression over a list column ``v`` — planes inlined as repr'd double
+    literals (shortest round-trip → bit-identical doubles)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -981,7 +981,13 @@ def _sql_ann_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
         bucket_terms.append(
             f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)"
         )
-    bucket = " + ".join(bucket_terms)
+    return " + ".join(bucket_terms)
+
+
+def _sql_ann_lsh(n_planes: int = 6, seed: int = 42, dim: int = 64,
+                 k: int = 3, query_ids=(0, 1, 2, 3, 4)) -> str:
+    """Full DuckDB mirror of lsh_bucketed_ann."""
+    bucket = _sql_bucket_expr(n_planes, seed, dim)
     ids = ", ".join(str(q) for q in query_ids)
     return f"""
 WITH e AS (
@@ -1011,6 +1017,91 @@ r AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
 FROM r WHERE rank <= {k}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates +
+    exact rescore) — the vector-space dedup mode."""
+    from .operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def _sql_embedding_neardup(threshold: float = 0.35, n_planes: int = 6,
+                           seed: int = 42, dim: int = 64) -> str:
+    bucket = _sql_bucket_expr(n_planes, seed, dim)
+    thr_e6 = int(threshold * 1e6)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+p AS (
+  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+         CAST(floor(
+           list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * x.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, y -> y * y)))
+            * sqrt(list_sum(list_transform(x.v, y -> y * y)))) * 1e6
+         ) AS BIGINT) AS cos_sim_e6
+  FROM b a JOIN b x
+    ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT vec_a, vec_b, cos_sim_e6 FROM p WHERE cos_sim_e6 >= {thr_e6}
+"""
+
+
+def q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting (regexp_extract_all, JVM-side)."""
+    from .operators.text_analysis import subword_token_stats
+
+    return subword_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_subword_stats() -> str:
+    from .operators.text_analysis import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{pat}', 0) AS pieces,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(pieces) AS n_subwords,
+       len(list_distinct(pieces)) AS n_distinct_subwords,
+       len(ws) AS n_ws_tokens,
+       CAST(floor(len(pieces) * 1e6 / len(ws)) AS BIGINT)
+         AS subwords_per_ws_token_e6
+FROM p
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (posexplode over duration metadata)."""
+    from .operators.multimodal import frame_sample, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_ms=1000, max_frames=4)
+
+
+SQL_MEDIA_FRAMES = """
+WITH v AS (
+  -- meta_duration_ms = n_chars * 10 (media_from_documents)
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         least(CAST(n_chars * 10 // 1000 AS INT) + 1, 4) AS n_frames
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+)
+SELECT media_id, CAST(f AS INT) AS frame_no,
+       CAST(f * 1000 AS INT) AS ts_ms
+FROM v, LATERAL unnest(generate_series(0, n_frames - 1)) t(f)
 """
 
 
@@ -1096,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "subword_stats": q_subword_stats,
+        "media_frames": q_media_frames,
         "confusion_cube": q_confusion_cube,
         "embedding_stats": q_embedding_stats,
         "media_meta": q_media_meta,
@@ -1131,6 +1225,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
+        "embedding_neardup": _sql_embedding_neardup(),
+        "subword_stats": _sql_subword_stats(),
+        "media_frames": SQL_MEDIA_FRAMES,
         "confusion_cube": SQL_CONFUSION_CUBE,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "media_meta": SQL_MEDIA_META,

@@ -142,6 +142,51 @@ def lsh_bucketed_ann(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim_e6)
+    with cosine ≥ threshold and vec_a < vec_b.
+
+    Scale shape = the LSH dedup pattern: candidates are restricted to
+    pairs sharing a random-hyperplane sign bucket (equi-self-join on the
+    bucket key — near-uniform, no skew), then exact-rescored. Like all
+    sign-LSH, recall < 1 across bucket boundaries; raise n_planes bands
+    or lower n_planes for higher recall. The threshold compares
+    floor(sim·1e6) so the cut is bit-stable across engines."""
+    buckets = hyperplane_buckets(
+        embeddings, n_planes, seed, dim, id_col, vec_col
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(buckets, "vec_id")
+    a, b = e.alias("a"), e.alias("b")
+    sim = _dot(F.col("a._v"), F.col("b._v")) / (
+        _norm(F.col("a._v")) * _norm(F.col("b._v"))
+    )
+    thr_e6 = int(threshold * 1e6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
+        )
+        .filter(F.col("cos_sim_e6") >= thr_e6)
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,

@@ -104,6 +104,36 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB)
+# and java.util.regex (Spark) evaluate identically: contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs. No lookarounds (RE2 has none).
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def subword_token_stats(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, n_subwords, n_distinct_subwords, n_ws_tokens,
+    subwords_per_ws_token_e6): BPE-ish subword counting — the
+    pre-tokenizer split every byte-pair encoder starts from, as a native
+    ``regexp_extract_all`` (JVM, codegen) over lowercased text. The
+    subwords-per-whitespace-token ratio is the standard "fertility" cost
+    signal for training-data budgeting."""
+    t = F.lower(F.col(text_col))
+    pieces = F.regexp_extract_all(t, F.lit(BPE_SPLIT_RE), F.lit(0))
+    ws = _tokens(t)
+    n_sub = F.size(pieces)
+    n_ws = F.size(ws)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_sub.alias("n_subwords"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_subwords"),
+        n_ws.alias("n_ws_tokens"),
+        F.floor(n_sub * F.lit(1e6) / n_ws).cast("long")
+        .alias("subwords_per_ws_token_e6"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): md5 over normalized text — the document-

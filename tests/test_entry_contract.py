@@ -18,7 +18,8 @@ CHECKED = [
     "confusion_pivot", "topk_parts", "label_normalize", "tpch_q1",
     "dedup_exact", "fingerprints", "token_stats", "quality_scores",
     "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
-    "simhash", "ann_lsh", "media_embeddings",
+    "simhash", "ann_lsh", "media_embeddings", "subword_stats",
+    "media_frames", "embedding_neardup",
 ]
 
 
