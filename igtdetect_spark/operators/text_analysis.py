@@ -104,11 +104,14 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB)
-# and java.util.regex (Spark) evaluate identically: contraction suffixes,
-# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
-# punctuation runs. No lookarounds (RE2 has none).
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+# GPT-2-style pre-tokenizer shape, restricted to constructs RE2 (DuckDB),
+# java.util.regex (Spark) and Python re evaluate identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs. No
+# lookarounds (RE2 has none), and NO \s shorthand — the three engines
+# disagree on \x0b and unicode spaces, so whitespace is an explicit class.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\r\f\x0b']+"
+)
 
 
 def subword_token_stats(docs: DataFrame, id_col: str = "doc_id",

@@ -141,6 +141,33 @@ class TestWordOverlap:
         for i in range(len(texts)):
             assert got[i] == ref(norm[i]), i
 
+    def test_subword_split_java_matches_python(self, spark):
+        """BPE_SPLIT_RE under Spark's java.util.regex equals Python re on
+        whitespace edge cases (\\x0b, NBSP, newlines) — the third engine
+        of the cross-engine contract (RE2 covered in test_properties)."""
+        import re as _re
+
+        from igtdetect_spark.operators.text_analysis import (
+            BPE_SPLIT_RE,
+            subword_token_stats,
+        )
+
+        cases = [
+            "it's a test, isn't it? we'll see 42 times!",
+            "vertical\x0btab", "nbsp here", "line\nbreak\tand tab",
+            "'''", "x'll y'd mixed İ UPPER", "digits 123 456",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_subwords"], r["n_distinct_subwords"])
+            for r in subword_token_stats(docs).collect()
+        }
+        for i, t in enumerate(cases):
+            py = _re.findall(BPE_SPLIT_RE, t.lower())
+            assert got[i] == (len(py), len(set(py))), repr(t)
+
     def test_overlap_resets_at_doc_boundary(self):
         import pandas as pd
 

@@ -216,3 +216,78 @@ def test_svmlight_line_round_trip(label, names):
     lab2, feats2 = parse_svmlight_line(line)
     assert lab2 == label
     assert feats2 == sorted(names)
+
+
+# --- round-2 kernels -------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(text_lines, max_size=12))
+def test_tokenize_series_matches_split_words(lines):
+    """tokenize_series ≡ split_words on arbitrary unicode text (the
+    findall-then-lowercase order, incl. codepoints whose lowercase
+    expansion crosses \\w boundaries)."""
+    import pandas as pd
+
+    from igtdetect_spark.featurespec import split_words
+    from igtdetect_spark.operators.vectorized import tokenize_series
+
+    got = tokenize_series(pd.Series(lines, dtype=object))
+    for raw, toks in zip(lines, got):
+        assert toks == split_words(raw), repr(raw)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ab c", max_size=30), min_size=0, max_size=10,
+))
+def test_simhash_batch_matches_definitional_loop(texts):
+    """The vectorized simhash kernel equals the per-token/per-bit loop on
+    arbitrary token multisets (incl. empty docs)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from igtdetect_spark.operators.dedup import simhash_batch
+
+    def ref(t):
+        toks = t.split()
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "big"
+            )
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        return int(np.uint64(v).astype(np.int64))
+
+    got = simhash_batch(pd.Series(texts, dtype=object))
+    assert [int(x) for x in got] == [ref(t) for t in texts]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80,
+))
+def test_bpe_split_re2_java_python_agree(text):
+    """The BPE-ish pre-tokenizer pattern splits identically under
+    Python re (spec), RE2/DuckDB (oracle engine) — the cross-engine
+    contract behind subword_stats."""
+    import duckdb
+
+    from igtdetect_spark.operators.text_analysis import BPE_SPLIT_RE
+
+    lc = text.lower()
+    py = re.findall(BPE_SPLIT_RE, lc)
+    duck = duckdb.execute(
+        "SELECT regexp_extract_all(?, '"
+        + BPE_SPLIT_RE.replace("'", "''") + "', 0)",
+        [lc],
+    ).fetchone()[0]
+    assert py == duck, repr(text)
