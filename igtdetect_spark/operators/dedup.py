@@ -101,6 +101,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Document pairs with word-n-gram Jaccard ≥ threshold:
     (doc_a, doc_b, n_common, n_a, n_b, jaccard), doc_a < doc_b.
@@ -111,10 +112,14 @@ def ngram_jaccard_pairs(
 
     The shingle relation feeds 3-4 plan branches (df counts, doc sizes,
     both self-join sides); without materialization Spark recomputes the
-    shingle expressions per branch — ~4x the dominant cost. It is
-    persisted here (the distributed analogue of staging a shingle temp
-    table), measured 4-5x end-to-end."""
-    sh = word_shingles(docs, n, id_col, text_col).persist()
+    shingle expressions per branch — ~4x the dominant cost. With
+    ``materialize`` (default) it is persisted MEMORY_AND_DISK, the
+    distributed analogue of staging a shingle temp table (measured 4-5x
+    end-to-end); at cluster scale prefer writing the shingle relation to
+    an actual temp table and pass ``materialize=False``."""
+    sh = word_shingles(docs, n, id_col, text_col)
+    if materialize:
+        sh = sh.persist()
     if max_df:
         rare = (
             sh.groupBy("shingle")
@@ -122,7 +127,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle").persist()
+        sh = sh.join(rare, "shingle")
+        if materialize:
+            sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

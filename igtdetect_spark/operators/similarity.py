@@ -158,8 +158,10 @@ def embedding_neardup_pairs(
     pairs sharing a random-hyperplane sign bucket (equi-self-join on the
     bucket key — near-uniform, no skew), then exact-rescored. Like all
     sign-LSH, recall < 1 across bucket boundaries; raise n_planes bands
-    or lower n_planes for higher recall. The threshold compares
-    floor(sim·1e6) so the cut is bit-stable across engines."""
+    or lower n_planes for higher recall. ``2^n_planes`` bucket keys bound
+    the join's shuffle parallelism — size n_planes ≥ log2(cluster cores).
+    The threshold compares floor(sim·1e6) so the cut is bit-stable across
+    engines."""
     buckets = hyperplane_buckets(
         embeddings, n_planes, seed, dim, id_col, vec_col
     )
@@ -312,13 +314,15 @@ def ivf_ann(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim_e6"), F.asc("neighbor_id")
     )
+    # no distinct needed: each vector lives in exactly ONE list and each
+    # (query, list) probe pair appears once, so (query, neighbor) is
+    # already unique — a distinct here would add a full shuffle.
     return (
         joined.select(
             "query_id",
             "neighbor_id",
             F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
         )
-        .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim_e6")
