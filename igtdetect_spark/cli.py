@@ -128,6 +128,39 @@ def cmd_test(args, spark=None, own_session=True):
 
     ctx = _ctx(spark, args)
     lines = _lines_df(spark, args).cache()
+
+    if getattr(args, "feat_dir", None):
+        # reference feature-file cache surface (igtdetect.py:122-132,
+        # get_feat_path :266-270): <doc>_feats.txt[.gz] per input doc,
+        # skipped when present unless -f/--overwrite-features
+        import gzip as _gzip
+
+        from .operators.features import render_svmlight_df
+
+        os.makedirs(args.feat_dir, exist_ok=True)
+        gz = args.gzip_feats
+        suffix = "_feats.txt" + (".gz" if gz else "")
+        widened = _widened(spark, lines, ctx.lex_bc)
+        by_url: dict[str, list] = {}
+        for r in (
+            render_svmlight_df(widened)
+            .select("url", "line_no", "svmlight")
+            .collect()
+        ):
+            by_url.setdefault(r["url"], []).append((r["line_no"], r["svmlight"]))
+        n_written = 0
+        for url, rows in by_url.items():
+            name = url.split("/")[-1].split(".")[0] + suffix
+            path = os.path.join(args.feat_dir, name)
+            if os.path.exists(path) and not args.overwrite:
+                continue
+            opener = _gzip.open if gz else open
+            with opener(path, "wt", encoding="utf-8") as f:
+                for _, line in sorted(rows):
+                    f.write(line + "\n")
+            n_written += 1
+        print(f"features: {n_written} docs → {args.feat_dir}")
+
     scored = score_lines(lines, ctx.model_bc, ctx.lex_bc, ctx.cfg)
     pred_lines = lines.drop("tag").join(
         scored.select("url", "line_no", F.col("pred").alias("tag")),
@@ -282,6 +315,20 @@ def main(argv=None):
         "-c", "--config", action="append", default=None, metavar="INI",
         help="INI config file(s), reference defaults.ini format; repeat to "
         "cascade (later files override earlier, like igtdetect -c)",
+    )
+    p.add_argument(
+        "--feat-dir", default=None,
+        help="write per-doc svmlight feature files here (reference feature "
+        "cache, <doc>_feats.txt[.gz])",
+    )
+    p.add_argument(
+        "-f", "--overwrite-features", dest="overwrite", action="store_true",
+        help="overwrite previously generated feature files",
+    )
+    p.add_argument(
+        "--gzip-feats", dest="gzip_feats", type=lambda s: s.lower() not in
+        ("0", "off", "f", "false", "disabled", "n", "no"), default=True,
+        help="gzip the feature files (default true, like the reference)",
     )
     sub = p.add_subparsers(dest="subcommand", required=True)
 

@@ -74,6 +74,7 @@ def test_cli_test_eval_workflow(tmp_path):
         [
             sys.executable, "-m", "igtdetect_spark.cli",
             "--master", "local[4]", "--shuffle-partitions", "8",
+            "--feat-dir", str(tmp_path / "feats"),
             "testeval",
             "--files", REF_SAMPLE_TEST,
             "--classifier-path", REF_MODEL_PATH,
@@ -85,6 +86,17 @@ def test_cli_test_eval_workflow(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+
+    # feature cache file: reference naming + gzip + one svmlight line per
+    # input line
+    import gzip
+
+    fpath = tmp_path / "feats" / "2629_feats.txt.gz"
+    assert fpath.exists()
+    with gzip.open(fpath, "rt", encoding="utf-8") as f:
+        feat_lines = f.read().splitlines()
+    assert len(feat_lines) == 268
+    assert all("\t" in l and ":1" in l for l in feat_lines if l)
 
     # classified file exists and re-parses with predicted tags
     cpath = classified / "2629_classified.freki"
