@@ -626,20 +626,44 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_hashes(_t(spark, sf_dir, "documents"))
 
 
-SQL_MINHASH_BANDS = f"""
-WITH {_SQL_SHINGLES},
+def _sql_minhash_bands_cte(n_perms: int = 16) -> str:
+    """Affine-rehash mirror (operators/dedup.py minhash scheme='affine'):
+    one md5 per shingle, perm p = (a_p·h32 + b_p) mod 2^31−1 — coefficient
+    lists inlined; every product < 2^62 so BIGINT math is exact."""
+    from .operators.dedup import MINHASH_PRIME, minhash_affine_params
+
+    a, b = minhash_affine_params(n_perms)
+    a_lit = "[" + ", ".join(str(x) for x in a) + "]"
+    b_lit = "[" + ", ".join(str(x) for x in b) + "]"
+    h8 = _SQL_HEX12.replace(
+        "generate_series(1, 12)", "generate_series(1, 8)"
+    ).replace("((12 - i) * 4)", "((8 - i) * 4)").format(
+        H="substring(md5(shingle), 1, 8)"
+    )
+    return f"""
+hv AS (
+  SELECT doc_id, ({h8}) % {MINHASH_PRIME} AS hm FROM sh
+),
 perms AS (
   SELECT doc_id, CAST(p AS INT) AS perm,
-         md5(CAST(p AS VARCHAR) || '|' || shingle) AS h
-  FROM sh, LATERAL unnest(generate_series(0, 15)) t(p)
+         (({a_lit})[CAST(p AS INT) + 1] * hm
+          + ({b_lit})[CAST(p AS INT) + 1]) % {MINHASH_PRIME} AS v
+  FROM hv, LATERAL unnest(generate_series(0, {n_perms - 1})) t(p)
 ),
-minh AS (
-  SELECT doc_id, perm, MIN(h) AS minh FROM perms GROUP BY 1, 2
-)
-SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-       md5(string_agg(minh, ',' ORDER BY perm)) AS band_hash
-FROM minh GROUP BY doc_id, perm // 4
-"""
+minh AS (SELECT doc_id, perm, MIN(v) AS minh FROM perms GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY perm))
+           AS band_hash
+  FROM minh GROUP BY doc_id, perm // 4
+)"""
+
+
+def _sql_minhash_bands() -> str:
+    return (
+        f"WITH {_SQL_SHINGLES},{_sql_minhash_bands_cte()}\n"
+        "SELECT doc_id, band, band_hash FROM bands"
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,24 +672,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-SQL_MINHASH_LSH_PAIRS = f"""
-WITH {_SQL_SHINGLES},
-perms AS (
-  SELECT doc_id, CAST(p AS INT) AS perm,
-         md5(CAST(p AS VARCHAR) || '|' || shingle) AS h
-  FROM sh, LATERAL unnest(generate_series(0, 15)) t(p)
-),
-minh AS (SELECT doc_id, perm, MIN(h) AS minh FROM perms GROUP BY 1, 2),
-bands AS (
-  SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-         md5(string_agg(minh, ',' ORDER BY perm)) AS band_hash
-  FROM minh GROUP BY doc_id, perm // 4
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
-"""
+def _sql_minhash_lsh_pairs() -> str:
+    return (
+        f"WITH {_SQL_SHINGLES},{_sql_minhash_bands_cte()}\n"
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "FROM bands a JOIN bands b\n"
+        "  ON a.band = b.band AND a.band_hash = b.band_hash\n"
+        " AND a.doc_id < b.doc_id"
+    )
 
 
 _NGRAM_MAX_DF = 10
@@ -1216,8 +1230,8 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprints": SQL_FINGERPRINTS,
-        "minhash_bands": SQL_MINHASH_BANDS,
-        "minhash_lsh_pairs": SQL_MINHASH_LSH_PAIRS,
+        "minhash_bands": _sql_minhash_bands(),
+        "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES.replace("{SW}", sw),

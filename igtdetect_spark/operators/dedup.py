@@ -165,6 +165,28 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Affine-rehash scheme: ONE md5 per shingle; permutation p rehashes the
+# 32-bit md5 prefix with (a_p·h + b_p) mod M, M = 2^31−1 (Mersenne).
+# Products stay < 2^62 → exact in numpy int64 AND DuckDB BIGINT, so the
+# oracle reproduces every permutation bit-for-bit. 16× fewer md5 calls
+# than hashing "p|shingle" per permutation — the difference between 1×
+# and 16× the corpus-shingle md5 cost at 100 TB.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_affine_params(n_perms: int, seed: int = 13
+                          ) -> tuple[list[int], list[int]]:
+    """Deterministic (a_p, b_p) coefficient lists, md5-derived so any
+    engine can re-derive or inline them as literals."""
+    a, b = [], []
+    for p in range(n_perms):
+        ha = int(hashlib.md5(f"a|{seed}|{p}".encode()).hexdigest()[:8], 16)
+        hb = int(hashlib.md5(f"b|{seed}|{p}".encode()).hexdigest()[:8], 16)
+        a.append(ha % (MINHASH_PRIME - 1) + 1)
+        b.append(hb % MINHASH_PRIME)
+    return a, b
+
+
 def minhash_band_hashes(
     docs: DataFrame,
     n_perms: int = 16,
@@ -172,11 +194,17 @@ def minhash_band_hashes(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scheme: str = "affine",
 ) -> DataFrame:
-    """(doc_id, band, band_hash): md5-permutation minhash signatures folded
-    into LSH bands. Permutation i of shingle s = md5(i || '|' || s) —
-    portable (DuckDB reproduces it bit-for-bit), uniform, deterministic.
-    Docs sharing any band_hash are near-duplicate candidates.
+    """(doc_id, band, band_hash): minhash signatures folded into LSH
+    bands. Docs sharing any band_hash are near-duplicate candidates.
+
+    Two cross-engine-exact permutation schemes:
+    - ``affine`` (default): h = 32-bit md5 prefix of the shingle, perm p
+      = (a_p·h + b_p) mod 2^31−1; band hash = md5 of the comma-joined
+      minima. One md5 per shingle.
+    - ``md5``: perm p of shingle s = md5(p || '|' || s), min over hex
+      strings (the original formulation; n_perms× the md5 cost).
 
     Scale shape: the whole signature is ONE narrow Arrow kernel per doc —
     no explode(shingles × n_perms) blowup, no groupBy shuffle; the only
@@ -185,37 +213,85 @@ def minhash_band_hashes(
     """
     n_bands = n_perms // band_size
 
-    @pandas_udf("array<string>")
-    def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
-        md5 = hashlib.md5
-        prefixes = [f"{p}|".encode("utf-8") for p in range(n_perms)]
-        out = []
-        empty_bands = None
-        for arr in shingle_lists:
-            # null text → null shingle: the relational formulation's md5
-            # null-propagates and array_join drops nulls, so every band
-            # hashes the empty string — reproduce that here
-            shs = [s.encode("utf-8") for s in arr if s is not None]
-            if not shs:
-                if empty_bands is None:
-                    empty_bands = [md5(b"").hexdigest()] * n_bands
-                out.append(empty_bands)
-                continue
-            mins = [
-                min(md5(pref + s).hexdigest() for s in shs)
-                for pref in prefixes
-            ]
-            out.append(
-                [
-                    md5(
-                        ",".join(
-                            mins[b * band_size:(b + 1) * band_size]
-                        ).encode("utf-8")
-                    ).hexdigest()
-                    for b in range(n_bands)
+    if scheme == "affine":
+        a_np = np.array(minhash_affine_params(n_perms)[0], dtype=np.int64)
+        b_np = np.array(minhash_affine_params(n_perms)[1], dtype=np.int64)
+
+        @pandas_udf("array<string>")
+        def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
+            md5 = hashlib.md5
+            out = []
+            empty_bands = None
+            for arr in shingle_lists:
+                shs = [s for s in arr if s is not None]
+                if not shs:
+                    # null text → null shingle → no hashable input: every
+                    # band hashes the empty string (matches the md5
+                    # scheme's null handling)
+                    if empty_bands is None:
+                        empty_bands = [md5(b"").hexdigest()] * n_bands
+                    out.append(empty_bands)
+                    continue
+                h = np.fromiter(
+                    (
+                        int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                        for s in shs
+                    ),
+                    dtype=np.int64,
+                    count=len(shs),
+                ) % MINHASH_PRIME
+                # (n_perms, n_shingles) exact int64 lattice, min per perm
+                mins = (
+                    (a_np[:, None] * h[None, :] + b_np[:, None])
+                    % MINHASH_PRIME
+                ).min(axis=1)
+                out.append(
+                    [
+                        md5(
+                            ",".join(
+                                str(int(m))
+                                for m in mins[b * band_size:(b + 1) * band_size]
+                            ).encode("utf-8")
+                        ).hexdigest()
+                        for b in range(n_bands)
+                    ]
+                )
+            return pd.Series(out)
+    elif scheme == "md5":
+
+        @pandas_udf("array<string>")
+        def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
+            md5 = hashlib.md5
+            prefixes = [f"{p}|".encode("utf-8") for p in range(n_perms)]
+            out = []
+            empty_bands = None
+            for arr in shingle_lists:
+                # null text → null shingle: the relational formulation's
+                # md5 null-propagates and array_join drops nulls, so every
+                # band hashes the empty string — reproduce that here
+                shs = [s.encode("utf-8") for s in arr if s is not None]
+                if not shs:
+                    if empty_bands is None:
+                        empty_bands = [md5(b"").hexdigest()] * n_bands
+                    out.append(empty_bands)
+                    continue
+                mins = [
+                    min(md5(pref + s).hexdigest() for s in shs)
+                    for pref in prefixes
                 ]
-            )
-        return pd.Series(out)
+                out.append(
+                    [
+                        md5(
+                            ",".join(
+                                mins[b * band_size:(b + 1) * band_size]
+                            ).encode("utf-8")
+                        ).hexdigest()
+                        for b in range(n_bands)
+                    ]
+                )
+            return pd.Series(out)
+    else:
+        raise ValueError(f"unknown minhash scheme: {scheme!r}")
 
     sh = shingle_arrays(docs, shingle_n, id_col, text_col)
     return sh.select(
@@ -231,10 +307,11 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scheme: str = "affine",
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
     bands = minhash_band_hashes(
-        docs, n_perms, band_size, shingle_n, id_col, text_col
+        docs, n_perms, band_size, shingle_n, id_col, text_col, scheme
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

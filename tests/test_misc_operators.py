@@ -93,6 +93,26 @@ class TestWordOverlap:
         # the buggy path would split 'İstanbul' at the combining dot
         assert got[0] == ["i̇stanbul", "is", "big"]
 
+    def test_minhash_schemes_recover_same_pairs(self, spark):
+        """The affine-rehash scheme (1 md5/shingle) and the md5-permutation
+        scheme (16 md5/shingle) find the same near-duplicate candidate
+        pairs on the duplicate-group corpus — the 16× cheaper signature
+        loses no recall here."""
+        from igtdetect_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pairs = {
+            scheme: {
+                (r["doc_a"], r["doc_b"])
+                for r in minhash_lsh_pairs(docs, scheme=scheme).collect()
+            }
+            for scheme in ("affine", "md5")
+        }
+        assert pairs["affine"] == pairs["md5"]
+        assert pairs["affine"]  # non-trivial: the corpus plants near-dups
+
     def test_simhash_kernel_matches_reference_loop(self, spark):
         """Pin the vectorized simhash kernel against the definitional
         per-token/per-bit loop (the pre-vectorization implementation)."""
