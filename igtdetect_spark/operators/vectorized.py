@@ -84,18 +84,20 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     strip is a no-op on \\w+ tokens).
 
     Order matters: lowercasing the whole line first can change \\w
-    boundaries — e.g. 'İ' (U+0130) lowercases to 'i' + U+0307 COMBINING
-    DOT, a non-word codepoint, so lower-then-findall splits 'İstanbul'
-    into ['i', 'stanbul'] while the reference yields ['i̇stanbul'].
-    ASCII lowercasing never moves a \\w boundary, so pure-ASCII batches
-    keep the fully vectorized lower-then-findall fast path and only
-    non-ASCII rows take the token-at-a-time lowercase.
+    boundaries — 'İ' (U+0130) lowercases to 'i' + U+0307 COMBINING DOT,
+    a non-word codepoint, so lower-then-findall splits 'İstanbul' into
+    ['i', 'stanbul'] while the reference yields ['i̇stanbul']. U+0130 is
+    the ONLY such codepoint in Unicode (exhaustively scanned, pinned in
+    tests: every other case mapping is 1:1 with \\w-ness preserved, and
+    the other multi-char expansions stay inside \\w), so only rows
+    containing it take the token-at-a-time lowercase; everything else
+    keeps the fully vectorized lower-then-findall fast path.
     """
     toks = texts.str.lower().str.findall(_WORD_RE)
-    non_ascii = texts.str.contains("[^\x00-\x7f]", regex=True).fillna(False)
-    if non_ascii.any():
+    risky = texts.str.contains("İ", regex=False).fillna(False)
+    if risky.any():
         toks = toks.copy()
-        toks[non_ascii] = texts[non_ascii].str.findall(_WORD_RE).apply(
+        toks[risky] = texts[risky].str.findall(_WORD_RE).apply(
             lambda ts: [t.lower() for t in ts]
         )
     return toks

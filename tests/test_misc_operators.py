@@ -93,6 +93,27 @@ class TestWordOverlap:
         # the buggy path would split 'İstanbul' at the combining dot
         assert got[0] == ["i̇stanbul", "is", "big"]
 
+    def test_u0130_is_the_only_risky_lowercase_codepoint(self):
+        """The tokenize_series fast path assumes U+0130 is the ONLY
+        codepoint whose str.lower() changes \\w-token structure —
+        exhaustively re-verify over all of Unicode (cheap: only ~1.4k
+        codepoints have case mappings at all)."""
+        import re as _re
+
+        W = _re.compile(r"\w+", _re.UNICODE)
+        risky = []
+        for cp in range(0x110000):
+            c = chr(cp)
+            lc = c.lower()
+            if lc == c:
+                continue
+            if bool(W.fullmatch(c)):
+                if W.findall(lc) != [lc]:
+                    risky.append(cp)
+            elif W.findall(lc):
+                risky.append(cp)
+        assert risky == [0x130]
+
     def test_minhash_schemes_recover_same_pairs(self, spark):
         """The affine-rehash scheme (1 md5/shingle) and the md5-permutation
         scheme (16 md5/shingle) find the same near-duplicate candidate
