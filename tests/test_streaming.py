@@ -66,6 +66,92 @@ def test_replayed_batch_is_idempotent(spark, ctx, pages_dir, tmp_path_factory):
     assert spark.read.parquet(out).count() == 2 * n
 
 
+def test_stateful_streaming_sessionization(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: streamed closed-session
+    output matches the batch gaps-and-islands sessions (same gap, same
+    integer-cents discipline). Files are time-ordered so every non-final
+    session per user closes via the data path; final open sessions may
+    only flush via the watermark timer, so the contract is
+    batch_minus_last ⊆ streamed ⊆ batch."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.streaming.sessions import (
+        SESSION_SCHEMA,
+        sessionize_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    # batch expectation: same semantics as entry_queries.q_session_windows
+    epdf = events.select("user_id", "event_id", "ts", "value").toPandas()
+    epdf = epdf.sort_values(["user_id", "ts", "event_id"])
+    epdf["_epoch"] = (
+        epdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
+    )
+    import math
+
+    epdf["_cents"] = (
+        epdf["value"].astype("float64") * 100
+    ).apply(math.floor).astype("int64")
+    batch = set()
+    last_per_user = set()
+    for uid, g in epdf.groupby("user_id"):
+        ep = g["_epoch"].to_numpy()
+        new = [True] + list((ep[1:] - ep[:-1]) > 1800)
+        sid = pd.Series(new, index=g.index).cumsum()
+        sess_keys = []
+        for _, s in g.groupby(sid):
+            key = (
+                int(uid), int(s["_epoch"].iloc[0]), int(s["_epoch"].iloc[-1]),
+                len(s), int(s["_cents"].sum()),
+                int(s["event_id"].iloc[0]), int(s["event_id"].iloc[-1]),
+            )
+            sess_keys.append(key)
+        batch.update(sess_keys)
+        last_per_user.add(sess_keys[-1])
+
+    # 3 time-ordered files → monotone watermark across micro-batches
+    src = str(tmp_path_factory.mktemp("events_stream"))
+    ts_sorted = events.orderBy("ts", "event_id").toPandas()
+    n = len(ts_sorted)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        part = ts_sorted.iloc[lo:lo + (n + 2) // 3]
+        spark.createDataFrame(part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path_factory.mktemp("sessions_out"))
+    ckpt = str(tmp_path_factory.mktemp("sessions_ckpt"))
+    q = (
+        sessionize_stream(stream, gap_sec=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (
+            r["user_id"], r["session_start"], r["session_end"],
+            r["n_events"], r["value_cents"], r["first_event"],
+            r["last_event"],
+        )
+        for r in spark.read.schema(SESSION_SCHEMA).parquet(out).collect()
+    }
+    assert got <= batch, "streamed session not in batch result"
+    assert (batch - last_per_user) <= got, "a closed session was not emitted"
+    assert got  # non-trivial
+
+
 def test_ingest_monitor_watermark(spark, pages_dir, tmp_path_factory):
     from igtdetect_spark.streaming.ingest import (
         read_pages_stream,
