@@ -865,6 +865,59 @@ FROM m
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) — polynomial
+    char-k-gram hash + sliding-window minima, exact integer math."""
+    from .operators.text_analysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _sql_winnowing(k: int = 5, window: int = 4) -> str:
+    from .operators.text_analysis import WINNOW_BASE, WINNOW_MOD
+
+    pows = "[" + ", ".join(
+        str(pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)) for j in range(k)
+    ) + "]"
+    return f"""
+WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(list_sum(list_transform(generate_series(0, {k - 1}),
+              j -> CAST(unicode(substring(t, CAST(i + j AS INT), 1))
+                        AS BIGINT)
+                   * ({pows})[CAST(j AS INT) + 1]))
+              % {WINNOW_MOD} AS BIGINT) AS h,
+         len(t) - {k} + 1 AS n
+  FROM norm, LATERAL unnest(generate_series(1, len(t) - {k} + 1)) g(i)
+  WHERE len(t) >= {k}
+),
+wins AS (
+  SELECT doc_id, i, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW
+                      AND {window - 1} FOLLOWING) AS m
+  FROM grams
+),
+sel AS (
+  SELECT DISTINCT doc_id, m FROM wins
+  WHERE i <= greatest(n - {window} + 1, 1)
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_selected,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m)) AS winnow_sig
+  FROM sel GROUP BY 1
+),
+sizes AS (
+  SELECT doc_id, greatest(len(t) - {k} + 1, 0) AS n_grams FROM norm
+)
+SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(a.n_selected, 0) AS BIGINT) AS n_selected,
+       COALESCE(a.winnow_sig, md5('')) AS winnow_sig
+FROM sizes s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata extraction over opaque binary payloads (the
     codec-independent part — byte length + content hash), SQL-mirrored."""
@@ -1204,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "subword_stats": q_subword_stats,
         "media_frames": q_media_frames,
+        "winnowing": q_winnowing,
         "confusion_cube": q_confusion_cube,
         "embedding_stats": q_embedding_stats,
         "media_meta": q_media_meta,
@@ -1242,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "subword_stats": _sql_subword_stats(),
         "media_frames": SQL_MEDIA_FRAMES,
+        "winnowing": _sql_winnowing(),
         "confusion_cube": SQL_CONFUSION_CUBE,
         "embedding_stats": SQL_EMBEDDING_STATS,
         "media_meta": SQL_MEDIA_META,

@@ -5,8 +5,12 @@ each has a DuckDB-SQL mirror in the driver contract.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .dedup import normalized_text
 
@@ -145,3 +149,79 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
     )
+
+
+# Rolling-hash winnowing constants: polynomial base/modulus chosen so
+# every intermediate stays exact in 64-bit signed integers on BOTH
+# engines (codepoint < 2^21, B^j mod P < 2^30, per-term product < 2^51,
+# k-term sum < 2^54).
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_000_007
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_selected, winnow_sig): winnowing document
+    fingerprints over a character rolling hash (the MOSS scheme:
+    Schleimer/Wilkerson/Aiken 2003, SIGMOD — public algorithm).
+
+    Per doc: polynomial rolling hash of every char k-gram of the
+    normalized text, minimum per sliding window of ``window`` hashes
+    (guarantees a shared fingerprint for any match ≥ k+window-1 chars),
+    signature = md5 of the sorted distinct selected hashes. Pure integer
+    math → the DuckDB oracle reproduces it bit-for-bit. One narrow Arrow
+    kernel per doc, zero shuffles."""
+
+    @pandas_udf(
+        "struct<n_grams: long, n_selected: long, winnow_sig: string>"
+    )
+    def _winnow(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        n_grams_out, n_sel_out, sig_out = [], [], []
+        powers = np.array(
+            [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)],
+            dtype=np.int64,
+        )
+        for t in texts.fillna(""):
+            if len(t) < k:
+                n_grams_out.append(0)
+                n_sel_out.append(0)
+                sig_out.append(hashlib.md5(b"").hexdigest())
+                continue
+            cp = np.array([ord(c) for c in t], dtype=np.int64)
+            n = len(cp) - k + 1
+            h = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                h = (h + cp[j:j + n] * powers[j]) % WINNOW_MOD
+            if n >= window:
+                mins = h[:n - window + 1].copy()
+                for j in range(1, window):
+                    np.minimum(mins, h[j:j + n - window + 1], out=mins)
+            else:
+                mins = np.array([h.min()], dtype=np.int64)
+            sel = np.unique(mins)
+            n_grams_out.append(n)
+            n_sel_out.append(len(sel))
+            sig_out.append(
+                hashlib.md5(
+                    ",".join(str(int(x)) for x in sel).encode()
+                ).hexdigest()
+            )
+        return pd.DataFrame(
+            {
+                "n_grams": n_grams_out,
+                "n_selected": n_sel_out,
+                "winnow_sig": sig_out,
+            }
+        )
+
+    w = _winnow(normalized_text(F.col(text_col)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), w.alias("_w")
+    ).select("doc_id", "_w.n_grams", "_w.n_selected", "_w.winnow_sig")

@@ -114,6 +114,78 @@ class TestWordOverlap:
                 risky.append(cp)
         assert risky == [0x130]
 
+    def test_winnowing_guarantee(self, spark):
+        """Winnowing's matching guarantee: two documents sharing a
+        substring of ≥ k+window-1 chars share at least one selected
+        fingerprint; disjoint-alphabet docs share none."""
+        from igtdetect_spark.operators.dedup import normalized_text
+        from igtdetect_spark.operators.text_analysis import (
+            winnowing_fingerprints,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta {shared} gamma"),
+                (2, f"zzz qqq {shared} kkk www"),
+                (3, "completely different words here entirely unrelated"),
+            ],
+            "doc_id long, text string",
+        )
+        # recompute the selected hash SETS via the kernel's own math by
+        # running it per single-doc frame and comparing signatures is not
+        # enough — instead check pairwise overlap via distinct signatures
+        rows = {
+            r["doc_id"]: (r["n_selected"], r["winnow_sig"])
+            for r in winnowing_fingerprints(docs).collect()
+        }
+        assert rows[1][0] > 0 and rows[2][0] > 0
+        # docs 1/2 share the long substring → their selected sets overlap,
+        # so they cannot both equal doc 3's and must differ from each
+        # other's only partially; assert via a direct set computation
+        import hashlib
+
+        import numpy as np
+
+        from igtdetect_spark.operators.text_analysis import (
+            WINNOW_BASE,
+            WINNOW_MOD,
+        )
+
+        def select(t, k=5, window=4):
+            powers = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)
+                      for j in range(k)]
+            cp = [ord(c) for c in t]
+            n = len(cp) - k + 1
+            h = [
+                sum(cp[i + j] * powers[j] for j in range(k)) % WINNOW_MOD
+                for i in range(n)
+            ]
+            if n >= window:
+                mins = [
+                    min(h[i:i + window]) for i in range(n - window + 1)
+                ]
+            else:
+                mins = [min(h)]
+            return set(mins)
+
+        norm = {
+            r["doc_id"]: r["t"]
+            for r in docs.select(
+                "doc_id",
+                normalized_text(docs["text"]).alias("t"),
+            ).collect()
+        }
+        s1, s2, s3 = (select(norm[i]) for i in (1, 2, 3))
+        assert s1 & s2, "shared substring must yield shared fingerprints"
+        assert not (s1 & s3) and not (s2 & s3)
+        # and the Spark kernel agrees with this spec computation
+        for i, s in ((1, s1), (2, s2), (3, s3)):
+            sig = hashlib.md5(
+                ",".join(str(x) for x in sorted(s)).encode()
+            ).hexdigest()
+            assert rows[i] == (len(s), sig)
+
     def test_minhash_schemes_recover_same_pairs(self, spark):
         """The affine-rehash scheme (1 md5/shingle) and the md5-permutation
         scheme (16 md5/shingle) find the same near-duplicate candidate
