@@ -1136,8 +1136,9 @@ def _sql_subword_stats() -> str:
     return rf"""
 WITH p AS (
   SELECT doc_id,
-         regexp_extract_all(lower(text), '{pat}', 0) AS pieces,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+         regexp_extract_all(lower(coalesce(text, '')), '{pat}', 0) AS pieces,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '\s+', ' ', 'g')),
                       ' ') AS ws
   FROM documents
 )

@@ -162,6 +162,7 @@ def embedding_neardup_pairs(
     the join's shuffle parallelism — size n_planes ≥ log2(cluster cores).
     The threshold compares floor(sim·1e6) so the cut is bit-stable across
     engines."""
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     buckets = hyperplane_buckets(
         embeddings, n_planes, seed, dim, id_col, vec_col
     )

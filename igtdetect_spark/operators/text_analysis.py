@@ -125,8 +125,8 @@ def subword_token_stats(docs: DataFrame, id_col: str = "doc_id",
     pre-tokenizer split every byte-pair encoder starts from, as a native
     ``regexp_extract_all`` (JVM, codegen) over lowercased text. The
     subwords-per-whitespace-token ratio is the standard "fertility" cost
-    signal for training-data budgeting."""
-    t = F.lower(F.col(text_col))
+    signal for training-data budgeting. NULL text behaves as empty."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
     pieces = F.regexp_extract_all(t, F.lit(BPE_SPLIT_RE), F.lit(0))
     ws = _tokens(t)
     n_sub = F.size(pieces)

@@ -78,3 +78,21 @@ def test_dedup_ops_survive_hostile_docs(spark):
     exact_dedup_groups(docs).collect()
     minhash_band_hashes(docs).collect()
     simhash_docs(docs).collect()
+
+    from igtdetect_spark.operators.text_analysis import (
+        subword_token_stats,
+        winnowing_fingerprints,
+    )
+
+    sw = {r["doc_id"]: r["n_subwords"]
+          for r in subword_token_stats(docs).collect()}
+    assert sw[1] == 0  # NULL text behaves as empty, not NULL
+    winnowing_fingerprints(docs).collect()
+
+    from igtdetect_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 64), (3, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    assert embedding_neardup_pairs(emb, threshold=0.9).count() == 1
