@@ -1173,6 +1173,34 @@ FROM v, LATERAL unnest(generate_series(0, n_frames - 1)) t(f)
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (exact integer dimension math;
+    the pixel resample is the stubbed codec step). Payload column stays
+    behind the API — the driver hashes the dimension columns."""
+    from .operators.multimodal import media_from_documents, resize_media
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return resize_media(media).select("media_id", "w", "h", "new_w", "new_h")
+
+
+SQL_MEDIA_RESIZE = """
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(doc_id % 1920 AS INT) AS w,
+         CAST(doc_id % 1080 AS INT) AS h
+  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0
+)
+SELECT media_id, w, h,
+       CAST(CASE WHEN w <= 640 AND h <= 480 THEN w
+                 WHEN w * 480 >= h * 640 THEN 640
+                 ELSE (w * 480) // h END AS INT) AS new_w,
+       CAST(CASE WHEN w <= 640 AND h <= 480 THEN h
+                 WHEN w * 480 >= h * 640 THEN (h * 640) // w
+                 ELSE 480 END AS INT) AS new_h
+FROM m
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (deterministic k-means lists, n_probe=2) — rows-only."""
     from .operators.similarity import ivf_ann
@@ -1258,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "subword_stats": q_subword_stats,
         "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "winnowing": q_winnowing,
         "confusion_cube": q_confusion_cube,
         "embedding_stats": q_embedding_stats,
@@ -1297,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "subword_stats": _sql_subword_stats(),
         "media_frames": SQL_MEDIA_FRAMES,
+        "media_resize": SQL_MEDIA_RESIZE,
         "winnowing": _sql_winnowing(),
         "confusion_cube": SQL_CONFUSION_CUBE,
         "embedding_stats": SQL_EMBEDDING_STATS,

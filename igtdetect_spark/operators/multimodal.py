@@ -152,6 +152,42 @@ def extract_media_features(
     )
 
 
+def resize_media(
+    media: DataFrame,
+    max_w: int = 640,
+    max_h: int = 480,
+) -> DataFrame:
+    """Image-resize plumbing: aspect-preserving dimension clamp as exact
+    integer expressions (JVM-side; the pixel resample itself would sit in
+    the decode UDF — stubbed here like the codec, the payload passes
+    through untouched). Output: (media_id, w, h, new_w, new_h, payload).
+
+    Integer math only (cross-multiplied aspect comparison, floor
+    division) so the planning/metadata layer is fully oracle-checkable.
+    """
+    w, h = F.col("meta_width"), F.col("meta_height")
+    fits = (w <= max_w) & (h <= max_h)
+    width_limited = (w * max_h) >= (h * max_w)
+    new_w = (
+        F.when(fits, w)
+        .when(width_limited, F.lit(max_w))
+        .otherwise((w * max_h) / h)
+    )
+    new_h = (
+        F.when(fits, h)
+        .when(width_limited, (h * max_w) / w)
+        .otherwise(F.lit(max_h))
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("w"),
+        h.alias("h"),
+        F.floor(new_w).cast("int").alias("new_w"),
+        F.floor(new_h).cast("int").alias("new_h"),
+        "payload",
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_ms: int = 1000,

@@ -19,7 +19,7 @@ CHECKED = [
     "dedup_exact", "fingerprints", "token_stats", "quality_scores",
     "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
     "simhash", "ann_lsh", "media_embeddings", "subword_stats",
-    "media_frames", "embedding_neardup", "winnowing",
+    "media_frames", "embedding_neardup", "winnowing", "media_resize",
 ]
 
 
