@@ -83,7 +83,8 @@ def main():
         "igt_classify_lines", "igt_detect_spans", "span_islands_events",
         "tpch_q1", "revenue_topk", "minhash_bands", "ngram_jaccard",
         "token_stats", "quality_scores", "ann_cosine_topk", "ann_lsh",
-        "simhash", "dedup_exact", "media_embeddings",
+        "simhash", "dedup_exact", "media_embeddings", "winnowing",
+        "subword_stats",
     ]
     for name in bench_queries:
         best = None
