@@ -140,26 +140,45 @@ def cmd_test(args, spark=None, own_session=True):
         os.makedirs(args.feat_dir, exist_ok=True)
         gz = args.gzip_feats
         suffix = "_feats.txt" + (".gz" if gz else "")
-        widened = _widened(spark, lines, ctx.lex_bc)
-        by_url: dict[str, list] = {}
-        for r in (
-            render_svmlight_df(widened)
-            .select("url", "line_no", "svmlight")
-            .collect()
-        ):
-            by_url.setdefault(r["url"], []).append((r["line_no"], r["svmlight"]))
-        n_written = 0
-        for url, rows in by_url.items():
-            name = url.split("/")[-1].split(".")[0] + suffix
-            path = os.path.join(args.feat_dir, name)
-            if os.path.exists(path) and not args.overwrite:
-                continue
-            opener = _gzip.open if gz else open
-            with opener(path, "wt", encoding="utf-8") as f:
-                for _, line in sorted(rows):
-                    f.write(line + "\n")
-            n_written += 1
-        print(f"features: {n_written} docs → {args.feat_dir}")
+
+        def _feat_path(url: str) -> str:
+            return os.path.join(
+                args.feat_dir, url.split("/")[-1].split(".")[0] + suffix
+            )
+
+        # reference cache semantics (igtdetect.py:123-130): docs whose
+        # feature file exists are SKIPPED entirely — no recompute, no
+        # driver collect — unless -f/--overwrite-features
+        all_urls = [r["url"] for r in lines.select("url").distinct().collect()]
+        todo = [
+            u for u in all_urls
+            if args.overwrite or not os.path.exists(_feat_path(u))
+        ]
+        if not todo:
+            print(f"features: all {len(all_urls)} docs cached → "
+                  f"{args.feat_dir}")
+        else:
+            from pyspark.sql import functions as F
+
+            widened = _widened(
+                spark, lines.filter(F.col("url").isin(todo)), ctx.lex_bc
+            )
+            by_url: dict[str, list] = {}
+            for r in (
+                render_svmlight_df(widened)
+                .select("url", "line_no", "svmlight")
+                .collect()
+            ):
+                by_url.setdefault(r["url"], []).append(
+                    (r["line_no"], r["svmlight"])
+                )
+            for url, rows in by_url.items():
+                opener = _gzip.open if gz else open
+                with opener(_feat_path(url), "wt", encoding="utf-8") as f:
+                    for _, line in sorted(rows):
+                        f.write(line + "\n")
+            print(f"features: {len(by_url)} docs written "
+                  f"({len(all_urls) - len(todo)} cached) → {args.feat_dir}")
 
     scored = score_lines(lines, ctx.model_bc, ctx.lex_bc, ctx.cfg)
     pred_lines = lines.drop("tag").join(

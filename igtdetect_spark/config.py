@@ -221,6 +221,13 @@ def load_ini(*paths: str, base: PipelineConfig | None = None
     if conf.has_section("text_features"):
         if conf.has_option("text_features", T_PREV_TAG):
             kw["prev_tag"] = conf.getboolean("text_features", T_PREV_TAG)
+        # word_overlap is a standalone dataclass gate (not in T_ALL);
+        # the reference forwards every ini option as kwargs, so an ini
+        # setting word_overlap=1 must reach cfg.word_overlap
+        if conf.has_option("text_features", "word_overlap"):
+            kw["word_overlap"] = conf.getboolean(
+                "text_features", "word_overlap"
+            )
         kw["enabled_text_feats"] = frozenset(
             f for f in T_ALL
             if conf.has_option("text_features", f)

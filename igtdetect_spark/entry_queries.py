@@ -936,8 +936,8 @@ SQL_MEDIA_META = """
 SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       octet_length(encode(text)) AS n_bytes,
-       substring(sha256(text), 1, 16) AS sha
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       substring(sha256(coalesce(text, '')), 1, 16) AS sha
 FROM documents
 """
 
@@ -967,12 +967,13 @@ _SQL_HEX12 = (
 
 SQL_MEDIA_EMBEDDINGS = f"""
 WITH m AS (
+  -- coalesce: the operator treats NULL text as empty payload
   SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
               WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-         octet_length(encode(text)) AS n_bytes,
-         substring(sha256(text), 1, 16) AS sha,
-         md5(text) AS seed_hex
+         octet_length(encode(coalesce(text, ''))) AS n_bytes,
+         substring(sha256(coalesce(text, '')), 1, 16) AS sha,
+         md5(coalesce(text, '')) AS seed_hex
   FROM documents
 )
 SELECT media_id, kind, n_bytes, sha,
@@ -1193,9 +1194,9 @@ WITH m AS (
 SELECT media_id, w, h,
        CAST(CASE WHEN w <= 640 AND h <= 480 THEN w
                  WHEN w * 480 >= h * 640 THEN 640
-                 ELSE (w * 480) // h END AS INT) AS new_w,
+                 ELSE greatest((w * 480) // h, 1) END AS INT) AS new_w,
        CAST(CASE WHEN w <= 640 AND h <= 480 THEN h
-                 WHEN w * 480 >= h * 640 THEN (h * 640) // w
+                 WHEN w * 480 >= h * 640 THEN greatest((h * 640) // w, 1)
                  ELSE 480 END AS INT) AS new_h
 FROM m
 """

@@ -118,8 +118,6 @@ def ngram_jaccard_pairs(
     end-to-end); at cluster scale prefer writing the shingle relation to
     an actual temp table and pass ``materialize=False``."""
     sh = word_shingles(docs, n, id_col, text_col)
-    if materialize:
-        sh = sh.persist()
     if max_df:
         rare = (
             sh.groupBy("shingle")
@@ -128,8 +126,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
-        if materialize:
-            sh = sh.persist()
+    # persist exactly ONE handle (the relation the downstream branches
+    # consume) — a second pre-prune persist was measured marginal and
+    # doubles the leaked cache per invocation (Spark has no safe point to
+    # unpersist before the returned plan is consumed)
+    if materialize:
+        sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -211,11 +213,14 @@ def minhash_band_hashes(
     rows produced per doc are its n_perms/band_size band hashes. (The
     equivalent relational plan shuffles n_perms× the shingle rows twice.)
     """
-    n_bands = n_perms // band_size
+    # ceil: a trailing partial band still contributes (perms not evenly
+    # divisible by band_size must not be silently dropped)
+    n_bands = -(-n_perms // band_size)
 
     if scheme == "affine":
-        a_np = np.array(minhash_affine_params(n_perms)[0], dtype=np.int64)
-        b_np = np.array(minhash_affine_params(n_perms)[1], dtype=np.int64)
+        a_list, b_list = minhash_affine_params(n_perms)
+        a_np = np.array(a_list, dtype=np.int64)
+        b_np = np.array(b_list, dtype=np.int64)
 
         @pandas_udf("array<string>")
         def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
@@ -339,6 +344,8 @@ def simhash_batch(texts: pd.Series, bits: int = 64) -> np.ndarray:
     per-doc ±1 sums as one vectorized gather+reduce per doc — no
     per-token×per-bit Python loop. Module-level so it is directly
     microbenchable (tools/microbench_simhash.py) and pinnable in tests."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     texts = texts.fillna("")
     tok_lists = [t.split() for t in texts]
     vocab: dict[str, int] = {}
@@ -390,6 +397,13 @@ def simhash_batch(texts: pd.Series, bits: int = 64) -> np.ndarray:
             np.ascontiguousarray(packed).view("<u8").reshape(-1)
             .view(np.int64)
         )
+        if bits < 64:
+            # per-bit independence: the low `bits` bits of the 64-wide
+            # signature ARE the bits-wide signature (the definitional
+            # loop accumulates each bit from the same md5 prefix)
+            sig = (
+                sig.view(np.uint64) & np.uint64((1 << bits) - 1)
+            ).view(np.int64)
         out[nonempty] = sig[nonempty]
     return out
 

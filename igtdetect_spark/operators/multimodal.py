@@ -94,7 +94,8 @@ def decode_stub(payload: bytes, kind: str, deterministic_fake: bool = False) -> 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from the documents test table: the text
-    bytes become the opaque payload (deterministic), metadata derived."""
+    bytes become the opaque payload (deterministic, NULL text = empty
+    payload), metadata derived."""
     return docs.select(
         F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
         F.element_at(
@@ -102,7 +103,8 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("kind"),
         F.lit("application/octet-stream").alias("mime"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
+        .alias("payload"),
         F.pmod(F.col("doc_id"), F.lit(1920)).cast("int").alias("meta_width"),
         F.pmod(F.col("doc_id"), F.lit(1080)).cast("int").alias("meta_height"),
         (F.col("n_chars") * 10).cast("int").alias("meta_duration_ms"),
@@ -164,6 +166,8 @@ def resize_media(
 
     Integer math only (cross-multiplied aspect comparison, floor
     division) so the planning/metadata layer is fully oracle-checkable.
+    Scaled dimensions are clamped to ≥ 1 (a 640×0 plan would be rejected
+    by any resampler); degenerate 0-sized INPUT dims pass through as-is.
     """
     w, h = F.col("meta_width"), F.col("meta_height")
     fits = (w <= max_w) & (h <= max_h)
@@ -171,19 +175,19 @@ def resize_media(
     new_w = (
         F.when(fits, w)
         .when(width_limited, F.lit(max_w))
-        .otherwise((w * max_h) / h)
+        .otherwise(F.greatest(F.floor((w * max_h) / h), F.lit(1)))
     )
     new_h = (
         F.when(fits, h)
-        .when(width_limited, (h * max_w) / w)
+        .when(width_limited, F.greatest(F.floor((h * max_w) / w), F.lit(1)))
         .otherwise(F.lit(max_h))
     )
     return media.filter(F.col("kind") == "image").select(
         "media_id",
         w.alias("w"),
         h.alias("h"),
-        F.floor(new_w).cast("int").alias("new_w"),
-        F.floor(new_h).cast("int").alias("new_h"),
+        new_w.cast("int").alias("new_w"),
+        new_h.cast("int").alias("new_h"),
         "payload",
     )
 

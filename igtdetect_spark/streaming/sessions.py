@@ -75,8 +75,10 @@ def _batch_sessions(pdf: pd.DataFrame, gap_sec: int):
                 int(g["_epoch"].iloc[-1]),
                 int(len(g)),
                 int(g["_cents"].sum()),
-                int(g["event_id"].iloc[0]),
-                int(g["event_id"].iloc[-1]),
+                # MIN/MAX like the batch session_windows query — not
+                # first/last by time (event ids may be out of ts order)
+                int(g["event_id"].min()),
+                int(g["event_id"].max()),
             )
         )
     return out
@@ -129,7 +131,8 @@ def sessionize_stream(
                             open_sess[1] = s[1]
                             open_sess[2] += s[2]
                             open_sess[3] += s[3]
-                            open_sess[5] = s[5]
+                            open_sess[4] = min(open_sess[4], s[4])
+                            open_sess[5] = max(open_sess[5], s[5])
                     else:
                         open_sess = list(s)
                     if open_sess is not None and s is not sessions[-1]:

@@ -82,6 +82,17 @@ def test_cascade_override(tmp_path):
     )
 
 
+def test_word_overlap_gate_reaches_config(tmp_path):
+    """The reference forwards every ini option as kwargs, so
+    word_overlap=1 in [text_features] must flip cfg.word_overlap (it is
+    a standalone dataclass gate, not part of the enabled-feats set)."""
+    ini = tmp_path / "wo.ini"
+    ini.write_text("[text_features]\nwords = 1\nword_overlap = 1\n")
+    cfg = PipelineConfig.from_ini(SAMPLE_INI, str(ini))
+    assert cfg.word_overlap is True
+    assert "word_overlap" not in cfg.enabled_text_feats
+
+
 def test_from_ini_classmethod(tmp_path):
     ini = tmp_path / "one.ini"
     ini.write_text("[featuresets]\nmax_features = 123\n")

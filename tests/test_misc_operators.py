@@ -206,6 +206,35 @@ class TestWordOverlap:
         assert pairs["affine"] == pairs["md5"]
         assert pairs["affine"]  # non-trivial: the corpus plants near-dups
 
+    def test_minhash_partial_band_not_dropped(self, spark):
+        """n_perms not divisible by band_size: the trailing partial band
+        must still be emitted (ceil, not floor)."""
+        from igtdetect_spark.operators.dedup import minhash_band_hashes
+
+        docs = spark.createDataFrame(
+            [(1, "some shingled text for banding checks")],
+            "doc_id long, text string",
+        )
+        bands = minhash_band_hashes(
+            docs, n_perms=10, band_size=4
+        ).collect()
+        assert sorted(r["band"] for r in bands) == [0, 1, 2]
+
+    def test_simhash_bits_parameter(self, spark):
+        """bits < 64 masks to the low bits (matches the definitional
+        loop); out-of-range raises."""
+        import pytest as _pytest
+
+        from igtdetect_spark.operators.dedup import simhash_batch
+
+        import pandas as pd
+
+        full = int(simhash_batch(pd.Series(["hello world foo"]))[0])
+        got32 = int(simhash_batch(pd.Series(["hello world foo"]), 32)[0])
+        assert got32 == full & 0xFFFFFFFF
+        with _pytest.raises(ValueError):
+            simhash_batch(pd.Series(["x"]), 65)
+
     def test_simhash_kernel_matches_reference_loop(self, spark):
         """Pin the vectorized simhash kernel against the definitional
         per-token/per-bit loop (the pre-vectorization implementation)."""

@@ -106,7 +106,7 @@ def test_stateful_streaming_sessionization(spark, tmp_path_factory):
             key = (
                 int(uid), int(s["_epoch"].iloc[0]), int(s["_epoch"].iloc[-1]),
                 len(s), int(s["_cents"].sum()),
-                int(s["event_id"].iloc[0]), int(s["event_id"].iloc[-1]),
+                int(s["event_id"].min()), int(s["event_id"].max()),
             )
             sess_keys.append(key)
         batch.update(sess_keys)
