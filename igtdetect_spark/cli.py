@@ -50,14 +50,33 @@ def _cfg(args):
     return DEFAULT_CONFIG
 
 
-def _ctx(spark, args, model=None):
+def _lex(args):
+    """Lexicons from the --config ini's [files] section when it names any
+    wordlist/gram/langname path; the reference data files otherwise."""
     from .flagship import get_lexicons
+
+    inis = getattr(args, "config", None)
+    if inis:
+        from .config import load_ini
+        from .lexicons import load_lexicons_from_ini_paths
+
+        _, paths = load_ini(*inis)
+        lex_keys = {
+            "en_wordlist", "gls_wordlist", "met_wordlist",
+            "lng_names", "gram_list", "gram_list_cased",
+        }
+        if lex_keys & set(paths):
+            return load_lexicons_from_ini_paths(paths)
+    return get_lexicons()
+
+
+def _ctx(spark, args, model=None):
     from .plans.pipeline import DetectContext
     from .refmodel import load_model
 
     if model is None:
         model = load_model(args.classifier_path)
-    return DetectContext(spark, model, get_lexicons(), cfg=_cfg(args))
+    return DetectContext(spark, model, _lex(args), cfg=_cfg(args))
 
 
 def _widened(spark, lines, lex_bc):
@@ -77,11 +96,10 @@ def _widened(spark, lines, lex_bc):
 
 def cmd_train(args):
     spark = _spark(args)
-    from .flagship import get_lexicons
     from .refmodel import save_model
     from .training import train_model
 
-    lex_bc = spark.sparkContext.broadcast(get_lexicons())
+    lex_bc = spark.sparkContext.broadcast(_lex(args))
     lines = _lines_df(spark, args)
     widened = _widened(spark, lines, lex_bc)
     distributed = args.distributed
@@ -224,7 +242,6 @@ def cmd_test(args, spark=None, own_session=True):
 def cmd_eval(args, spark=None, own_session=True):
     if spark is None:
         spark = _spark(args)
-    from .flagship import get_lexicons
     from .operators.eval import (
         align_eval_gold,
         confusion_counts,
@@ -291,10 +308,9 @@ def cmd_info(args):
 
 def cmd_nfold(args):
     spark = _spark(args)
-    from .flagship import get_lexicons
     from .plans.nfold import run_nfold
 
-    lex_bc = spark.sparkContext.broadcast(get_lexicons())
+    lex_bc = spark.sparkContext.broadcast(_lex(args))
     lines = _lines_df(spark, args)
     widened = _widened(spark, lines, lex_bc)
     results, summary = run_nfold(
@@ -439,11 +455,10 @@ def main(argv=None):
         train_args = argparse.Namespace(**vars(args))
         train_args.files = args.train_files
         # train in-session
-        from .flagship import get_lexicons
         from .refmodel import save_model
         from .training import train_model as _tm
 
-        lex_bc = spark.sparkContext.broadcast(get_lexicons())
+        lex_bc = spark.sparkContext.broadcast(_lex(args))
         widened = _widened(spark, _lines_df(spark, train_args), lex_bc)
         rows = widened.select("features_ctx", "norm_label").collect()
         model = _tm(

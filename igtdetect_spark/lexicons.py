@@ -68,3 +68,35 @@ def load_reference_lexicons(with_wordlists: bool = True) -> Lexicons:
         gls_words=load_wordlist(REF_GLS_WORDLIST) if with_wordlists else frozenset(),
         met_words=load_wordlist(REF_MET_WORDLIST) if with_wordlists else frozenset(),
     )
+
+
+def load_lexicons_from_ini_paths(paths: dict[str, str]) -> Lexicons:
+    """Lexicons from a reference ini [files] section (keys en_wordlist /
+    gls_wordlist / met_wordlist / lng_names / gram_list / gram_list_cased,
+    already path-resolved by ``config.load_ini``). Keys absent from the
+    ini fall back to the reference data files; a path that does not EXIST
+    loads as an empty set with a warning — exactly the reference's
+    ``read_wl`` behavior (igtdetect.py:1919-1926 guards os.path.exists;
+    defaults.ini.sample itself ships a dangling gram_list_cased path)."""
+    import os
+    import sys
+
+    def _opt(key: str, default: str, loader):
+        p = paths.get(key, default)
+        if not os.path.exists(p):
+            print(f"warning: {key} file not found: {p} — empty set",
+                  file=sys.stderr)
+            empty = loader.__name__ == "load_gram_list"
+            return [] if empty else frozenset()
+        return loader(p)
+
+    return Lexicons(
+        langnames=_opt("lng_names", REF_LANGS, load_langnames),
+        gram_list=_opt("gram_list", REF_GRAMS, load_gram_list),
+        gram_list_cased=_opt(
+            "gram_list_cased", REF_GRAMS_CASED, load_gram_list
+        ),
+        en_words=_opt("en_wordlist", REF_EN_WORDLIST, load_wordlist),
+        gls_words=_opt("gls_wordlist", REF_GLS_WORDLIST, load_wordlist),
+        met_words=_opt("met_wordlist", REF_MET_WORDLIST, load_wordlist),
+    )

@@ -93,6 +93,28 @@ def test_word_overlap_gate_reaches_config(tmp_path):
     assert "word_overlap" not in cfg.enabled_text_feats
 
 
+def test_ini_files_section_loads_lexicons(tmp_path):
+    """[files] wordlist paths from the ini drive the lexicon load
+    (reference load_wordlist over config paths); a dangling path loads as
+    an empty set like the reference's read_wl existence guard."""
+    wl = tmp_path / "tiny_words.txt"
+    wl.write_text("alpha x\nbeta\n\ngamma y z\n")
+    ini = tmp_path / "lex.ini"
+    ini.write_text(
+        "[files]\n"
+        f"en_wordlist = {wl.name}\n"
+        "gram_list_cased = ./does_not_exist.txt\n"
+    )
+    from igtdetect_spark.config import load_ini
+    from igtdetect_spark.lexicons import load_lexicons_from_ini_paths
+
+    _, paths = load_ini(str(ini))
+    lex = load_lexicons_from_ini_paths(paths)
+    assert lex.en_words == frozenset({"alpha", "beta", "gamma"})
+    assert list(lex.gram_list_cased) == []          # dangling → empty
+    assert lex.langnames                             # default ref langs
+
+
 def test_from_ini_classmethod(tmp_path):
     ini = tmp_path / "one.ini"
     ini.write_text("[featuresets]\nmax_features = 123\n")
