@@ -27,6 +27,12 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # spill-aware input sizing: 128 MB scan splits keep a mapInPandas
+        # task's working set (Arrow batch + pandas frames + feature
+        # matrix, ~3-5x the text bytes) well inside a 2-4 GB executor
+        # core's share; mega-docs are one row and bypass this knob (the
+        # chunked path handles them)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
