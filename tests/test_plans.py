@@ -1,0 +1,109 @@
+"""Physical-plan regression tests: the plan-shape claims in
+BENCH/PLANS.md, asserted against the actual executed plans so a future
+change cannot silently reintroduce a shuffle/scan anti-pattern."""
+
+import pytest
+
+from igtdetect_spark.flagship import get_lexicons, get_synthetic_model
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return str(df._jdf.queryExecution().executedPlan())
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    from igtdetect_spark.plans.pipeline import DetectContext
+
+    return DetectContext(spark, get_synthetic_model(), get_lexicons())
+
+
+def test_fused_detect_plan_has_zero_exchanges(spark, ctx):
+    """Flagship plan: Scan → Project → MapInPandas, no shuffle, and the
+    scan reads only (url, html, text)."""
+    from igtdetect_spark.plans.pipeline import detect_spans_fused
+    from igtdetect_spark.sources.pages import pages_from_documents
+
+    plan = _plan(detect_spans_fused(pages_from_documents(spark, SF_DIR), ctx))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_minhash_signature_plan_has_zero_exchanges(spark):
+    """The whole minhash signature stage is one narrow Arrow kernel —
+    no explode×perms blowup, no groupBy shuffle."""
+    from igtdetect_spark.operators.dedup import minhash_band_hashes
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_band_hashes(docs))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_simhash_plan_has_zero_exchanges(spark):
+    from igtdetect_spark.operators.dedup import simhash_docs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(simhash_docs(docs))
+    assert "Exchange" not in plan
+
+
+def test_revenue_topk_plan_broadcasts_and_bounds_the_sort(spark):
+    """Q3 shape: pushed scan filters, broadcast joins for the dims,
+    map-side partial aggregation, and top-k via TakeOrderedAndProject
+    (never a global sort)."""
+    from igtdetect_spark.entry_queries import q_revenue_topk
+
+    plan = _plan(q_revenue_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [" in plan
+    assert "SortMergeJoin" not in plan
+    # partial agg before the exchange (map-side combine)
+    assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_ngram_jaccard_plan_has_no_cartesian(spark):
+    from igtdetect_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(
+        ngram_jaccard_pairs(docs, max_df=10, materialize=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_corpus_side_is_narrow(spark):
+    """Exact ANN: the only join is against the broadcast 5-row query
+    side; the corpus side must not shuffle before scoring (the one
+    Exchange allowed is the per-query top-k window partitioning)."""
+    from igtdetect_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(cosine_topk(emb, [0, 1, 2], k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_ivf_plan_has_no_distinct_exchange(spark):
+    """(query, neighbor) pairs are unique by construction — the plan must
+    not contain a distinct aggregate between scoring and the window."""
+    from igtdetect_spark.operators.similarity import ivf_ann
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(ivf_ann(emb, [0, 1], k=3, n_lists=4, n_probe=2))
+    # a distinct would show as an extra HashAggregate over the pair keys
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_flagship_scan_prunes_unused_columns(spark, ctx):
+    """Column pruning reaches the parquet scan: classify over the pages
+    view must not read the documents blob columns it doesn't use."""
+    from igtdetect_spark.plans.pipeline import detect_spans_fused
+    from igtdetect_spark.sources.pages import pages_from_documents
+
+    plan = _plan(detect_spans_fused(pages_from_documents(spark, SF_DIR), ctx))
+    assert "n_chars" not in plan.split("ReadSchema")[-1]
