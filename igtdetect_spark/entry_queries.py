@@ -1088,6 +1088,79 @@ FROM r WHERE rank <= {k}
 """
 
 
+def q_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with seeded FIXED centroids: the whole search path
+    (nearest-list assignment → n_probe probing → exact rescore → top-k)
+    is deterministic integer/double math, so it gets a complete DuckDB
+    oracle — only k-means quantizer TRAINING (the plain ann_ivf query)
+    is legitimately non-SQL."""
+    from .operators.similarity import ivf_ann, seeded_centroids
+
+    return ivf_ann(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=3,
+        n_lists=8, n_probe=2, centroids=seeded_centroids(8, 64),
+    )
+
+
+def _sql_ann_ivf_fixed(n_lists: int = 8, n_probe: int = 2, k: int = 3,
+                       dim: int = 64, seed: int = 7,
+                       query_ids=(0, 1, 2, 3, 4)) -> str:
+    from .operators.similarity import seeded_centroids
+
+    C = seeded_centroids(n_lists, dim, seed)
+    values = ", ".join(
+        "(" + str(cid) + ", ["
+        + ", ".join(repr(float(x)) for x in c) + "])"
+        for cid, c in enumerate(C)
+    )
+    ids = ", ".join(str(q) for q in query_ids)
+    d2 = (f"list_sum(list_transform(generate_series(1, {dim}), "
+          f"i -> (v[i] - c[i]) * (v[i] - c[i])))")
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents(cid, c) AS (VALUES {values}),
+d AS (
+  SELECT e.vec_id, e.v, cents.cid, {d2} AS d2
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM d
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS list_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS prn
+    FROM d WHERE vec_id IN ({ids})
+  ) WHERE prn <= {n_probe}
+),
+s AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(a.v)),
+             i -> p.qv[i] * a.v[i]))
+         / (sqrt(list_sum(list_transform(p.qv, y -> y * y)))
+          * sqrt(list_sum(list_transform(a.v, y -> y * y)))) AS sim
+  FROM probes p JOIN assigned a
+    ON a.list_id = p.list_id AND a.vec_id != p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(sim * 1e6) AS BIGINT) AS cos_sim_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(sim * 1e6) DESC, neighbor_id)
+           AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim_e6
+FROM r WHERE rank <= {k}
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates +
     exact rescore) — the vector-space dedup mode."""
@@ -1284,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
         "embedding_neardup": q_embedding_neardup,
         "subword_stats": q_subword_stats,
         "media_frames": q_media_frames,
@@ -1324,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf_fixed": _sql_ann_ivf_fixed(),
         "embedding_neardup": _sql_embedding_neardup(),
         "subword_stats": _sql_subword_stats(),
         "media_frames": SQL_MEDIA_FRAMES,

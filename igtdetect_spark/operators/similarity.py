@@ -250,6 +250,16 @@ def kmeans_centroids(
     return C
 
 
+def seeded_centroids(n_lists: int = 8, dim: int = 64,
+                     seed: int = 7) -> np.ndarray:
+    """Deterministic random coarse-quantizer centroids (no data-dependent
+    training): the IVF search path with these is fully SQL-expressible,
+    so the assignment→probe→rescore machinery gets a bit-exact oracle —
+    only the k-means quantizer training is inherently non-relational."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_lists, dim))
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -258,6 +268,7 @@ def ivf_ann(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: deterministic k-means coarse
     quantizer (broadcast centroids), every vector assigned to its nearest
@@ -269,7 +280,13 @@ def ivf_ann(
     fans each query to n_probe list-partitions instead of the full
     corpus — candidate volume drops ~n_lists/n_probe-fold."""
     spark = embeddings.sparkSession
-    C = kmeans_centroids(embeddings, k=n_lists, id_col=id_col, vec_col=vec_col)
+    C = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            embeddings, k=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    )
 
     v = F.col(vec_col).cast("array<double>")
 

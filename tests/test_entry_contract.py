@@ -20,6 +20,7 @@ CHECKED = [
     "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
     "simhash", "ann_lsh", "media_embeddings", "subword_stats",
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
+    "ann_ivf_fixed",
 ]
 
 
