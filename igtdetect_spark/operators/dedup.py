@@ -201,107 +201,86 @@ def minhash_band_hashes(
     """(doc_id, band, band_hash): minhash signatures folded into LSH
     bands. Docs sharing any band_hash are near-duplicate candidates.
 
-    Two cross-engine-exact permutation schemes:
-    - ``affine`` (default): h = 32-bit md5 prefix of the shingle, perm p
-      = (a_p·h + b_p) mod 2^31−1; band hash = md5 of the comma-joined
-      minima. One md5 per shingle.
+    Two cross-engine-exact permutation schemes, both pure native column
+    expressions (whole-stage codegen end-to-end — no Python on the path):
+    - ``affine`` (default): h = 32-bit md5 prefix of the shingle mod
+      2^31−1 (Mersenne), perm p = (a_p·h + b_p) mod 2^31−1; band hash =
+      md5 of the comma-joined decimal minima. ONE md5 per shingle.
     - ``md5``: perm p of shingle s = md5(p || '|' || s), min over hex
       strings (the original formulation; n_perms× the md5 cost).
 
-    Scale shape: the whole signature is ONE narrow Arrow kernel per doc —
-    no explode(shingles × n_perms) blowup, no groupBy shuffle; the only
-    rows produced per doc are its n_perms/band_size band hashes. (The
-    equivalent relational plan shuffles n_perms× the shingle rows twice.)
+    NULL text → NULL shingle: md5/conv null-propagate per element,
+    ``array_min`` skips nulls (all-null → null minimum), ``concat_ws``
+    drops null args — so every band hashes the empty string. The DuckDB
+    oracle mirrors this via COALESCE(string_agg(...), '').
+
+    Scale shape: the whole signature is computed in narrow projections
+    per doc — no explode(shingles × n_perms) blowup, no groupBy shuffle;
+    the only rows produced per doc are its n_perms/band_size band hashes.
+    The per-shingle base hash is materialized as its OWN projection and
+    referenced by all n_perms minima: Catalyst's CollapseProject keeps a
+    multiply-referenced non-cheap alias in a separate Project, so md5 runs
+    once per shingle, not n_perms times (asserted in tests).
     """
     # ceil: a trailing partial band still contributes (perms not evenly
     # divisible by band_size must not be silently dropped)
     n_bands = -(-n_perms // band_size)
+    sh = shingle_arrays(docs, shingle_n, id_col, text_col)
 
     if scheme == "affine":
         a_list, b_list = minhash_affine_params(n_perms)
-        a_np = np.array(a_list, dtype=np.int64)
-        b_np = np.array(b_list, dtype=np.int64)
-
-        @pandas_udf("array<string>")
-        def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
-            md5 = hashlib.md5
-            out = []
-            empty_bands = None
-            for arr in shingle_lists:
-                shs = [s for s in arr if s is not None]
-                if not shs:
-                    # null text → null shingle → no hashable input: every
-                    # band hashes the empty string (matches the md5
-                    # scheme's null handling)
-                    if empty_bands is None:
-                        empty_bands = [md5(b"").hexdigest()] * n_bands
-                    out.append(empty_bands)
-                    continue
-                h = np.fromiter(
-                    (
-                        int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                        for s in shs
-                    ),
-                    dtype=np.int64,
-                    count=len(shs),
-                ) % MINHASH_PRIME
-                # (n_perms, n_shingles) exact int64 lattice, min per perm
-                mins = (
-                    (a_np[:, None] * h[None, :] + b_np[:, None])
-                    % MINHASH_PRIME
-                ).min(axis=1)
-                out.append(
-                    [
-                        md5(
-                            ",".join(
-                                str(int(m))
-                                for m in mins[b * band_size:(b + 1) * band_size]
-                            ).encode("utf-8")
-                        ).hexdigest()
-                        for b in range(n_bands)
-                    ]
+        # base hash once per shingle (JVM md5 + conv hex→decimal)
+        hs = F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long") % MINHASH_PRIME,
+        )
+        d = sh.select("doc_id", hs.alias("_hs"))
+        # per-perm minimum over the affine rehash — products < 2^62 stay
+        # exact in BIGINT on both engines (closure factory: pyspark
+        # introspects lambda arity, so no default-arg binding)
+        def _perm_min(a: int, b: int):
+            return F.array_min(
+                F.transform(
+                    "_hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
                 )
-            return pd.Series(out)
+            )
+
+        mins = [
+            _perm_min(a_list[p], b_list[p]).cast("string").alias(f"_m{p}")
+            for p in range(n_perms)
+        ]
     elif scheme == "md5":
+        d = sh.select("doc_id", F.col("shingles").alias("_hs"))
 
-        @pandas_udf("array<string>")
-        def _band_hashes(shingle_lists: pd.Series) -> pd.Series:
-            md5 = hashlib.md5
-            prefixes = [f"{p}|".encode("utf-8") for p in range(n_perms)]
-            out = []
-            empty_bands = None
-            for arr in shingle_lists:
-                # null text → null shingle: the relational formulation's
-                # md5 null-propagates and array_join drops nulls, so every
-                # band hashes the empty string — reproduce that here
-                shs = [s.encode("utf-8") for s in arr if s is not None]
-                if not shs:
-                    if empty_bands is None:
-                        empty_bands = [md5(b"").hexdigest()] * n_bands
-                    out.append(empty_bands)
-                    continue
-                mins = [
-                    min(md5(pref + s).hexdigest() for s in shs)
-                    for pref in prefixes
-                ]
-                out.append(
-                    [
-                        md5(
-                            ",".join(
-                                mins[b * band_size:(b + 1) * band_size]
-                            ).encode("utf-8")
-                        ).hexdigest()
-                        for b in range(n_bands)
-                    ]
-                )
-            return pd.Series(out)
+        def _perm_min_md5(pref: str):
+            return F.array_min(
+                F.transform("_hs", lambda s: F.md5(F.concat(F.lit(pref), s)))
+            )
+
+        mins = [
+            _perm_min_md5(f"{p}|").alias(f"_m{p}") for p in range(n_perms)
+        ]
     else:
         raise ValueError(f"unknown minhash scheme: {scheme!r}")
 
-    sh = shingle_arrays(docs, shingle_n, id_col, text_col)
-    return sh.select(
-        "doc_id",
-        F.posexplode(_band_hashes("shingles")).alias("band", "band_hash"),
+    d = d.select("doc_id", *mins)
+    bands = F.array(*[
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"_m{i}")
+                    for i in range(
+                        b * band_size, min((b + 1) * band_size, n_perms)
+                    )
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ])
+    return d.select(
+        "doc_id", F.posexplode(bands).alias("band", "band_hash")
     )
 
 

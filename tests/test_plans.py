@@ -32,14 +32,30 @@ def test_fused_detect_plan_has_zero_exchanges(spark, ctx):
 
 
 def test_minhash_signature_plan_has_zero_exchanges(spark):
-    """The whole minhash signature stage is one narrow Arrow kernel —
-    no explode×perms blowup, no groupBy shuffle."""
+    """The whole minhash signature stage is narrow native projections —
+    no explode×perms blowup, no groupBy shuffle, and (since round 3) no
+    Python evaluation at all: md5/conv/array_min run in codegen."""
     from igtdetect_spark.operators.dedup import minhash_band_hashes
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(minhash_band_hashes(docs))
     assert "Exchange" not in plan
-    assert "ArrowEvalPython" in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # the per-shingle base-hash projection must NOT be inlined into the
+    # 16 per-perm minima (that would recompute md5 n_perms times): the
+    # conv(...md5...) base hash appears exactly once in the plan
+    assert plan.count("conv(substring(md5") == 1
+
+
+def test_minhash_md5_scheme_plan_is_also_native(spark):
+    from igtdetect_spark.operators.dedup import minhash_band_hashes
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_band_hashes(docs, scheme="md5"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_simhash_plan_has_zero_exchanges(spark):
