@@ -652,9 +652,12 @@ perms AS (
 ),
 minh AS (SELECT doc_id, perm, MIN(v) AS minh FROM perms GROUP BY 1, 2),
 bands AS (
+  -- COALESCE: NULL text → NULL shingle → all-NULL minima; string_agg
+  -- over all-NULLs is NULL, but the Spark side's concat_ws drops null
+  -- args and hashes '' — md5('') per band on BOTH engines.
   SELECT doc_id, CAST(perm // 4 AS INT) AS band,
-         md5(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY perm))
-           AS band_hash
+         md5(COALESCE(string_agg(CAST(minh AS VARCHAR), ',' ORDER BY perm),
+                      '')) AS band_hash
   FROM minh GROUP BY doc_id, perm // 4
 )"""
 
@@ -780,7 +783,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOKEN_STATS = r"""
 WITH toks AS (
   SELECT doc_id, length(text) AS n_chars,
-         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+         string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ') AS tk
   FROM documents
 )
 SELECT doc_id,
@@ -808,8 +811,8 @@ def _sql_stopwords() -> str:
 SQL_QUALITY_SCORES = rf"""
 WITH toks AS (
   SELECT doc_id, text,
-         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ') AS tk,
+         string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ')
            AS ltk
   FROM documents
 ),
@@ -845,7 +848,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LANG_ID = rf"""
 WITH toks AS (
   SELECT doc_id, text,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+         string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ')
            AS ltk
   FROM documents
 ),
@@ -1212,7 +1215,7 @@ WITH p AS (
   SELECT doc_id,
          regexp_extract_all(lower(coalesce(text, '')), '{pat}', 0) AS pieces,
          string_split(trim(regexp_replace(lower(coalesce(text, '')),
-                                          '\s+', ' ', 'g')),
+                                          '[ \t\n\r\f\x0b]+', ' ', 'g')),
                       ' ') AS ws
   FROM documents
 )

@@ -23,8 +23,15 @@ EN_STOPWORDS = [
 ]
 
 
+# Explicit whitespace class for tokenization. Java \s ≡ [ \t\n\x0B\f\r],
+# but RE2 (DuckDB) \s omits \x0b — spelling the class out keeps the Spark
+# kernels and the DuckDB oracle mirrors in exact agreement on texts
+# containing a vertical tab. Keep WS_CLASS and the oracle SQL in sync.
+WS_CLASS = r"[ \t\n\r\f\x0b]+"
+
+
 def _tokens(text_col):
-    return F.split(F.trim(F.regexp_replace(text_col, r"\s+", " ")), " ")
+    return F.split(F.trim(F.regexp_replace(text_col, WS_CLASS, " ")), " ")
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -63,8 +70,11 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
     stopword_hits = F.size(F.array_intersect(F.array_distinct(lower_toks), sw))
-    alnum_ratio = (
-        F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")) / F.length(t)
+    # try_divide: empty text must yield NULL (as DuckDB's x/0 does), not
+    # an ANSI-mode divide-by-zero job failure — one empty doc in 10^12
+    # must not kill the pipeline
+    alnum_ratio = F.try_divide(
+        F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")), F.length(t)
     )
     quality = (
         F.when(n_tokens >= 20, F.lit(1)).otherwise(F.lit(0))

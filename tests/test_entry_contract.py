@@ -86,3 +86,86 @@ def test_query_matches_duckdb(spark, con, name):
     rel = con.sql(e.oracle_sql()[name])
     want = _canon([d[0] for d in rel.description], rel.fetchall())
     assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
+
+
+# ---------------------------------------------------------------------------
+# Hostile-documents parity: NULL / empty / whitespace-only / vertical-tab /
+# duplicate texts must hash identically on Spark and DuckDB. The driver
+# tables contain none of these, so this fixture is the only guard against
+# latent cross-engine NULL/whitespace divergence in the oracles.
+# ---------------------------------------------------------------------------
+
+_LOREM = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while a careful reader counts every distinct token twice"
+)
+
+HOSTILE_DOCS = [
+    (0, _LOREM, "en", "web", len(_LOREM)),
+    (1, None, "en", "web", 0),
+    (2, None, "en", "web", 0),          # two NULL texts → an LSH candidate pair
+    (3, "", "en", "web", 0),
+    (4, "   \t  ", "en", "web", 6),
+    (5, "vertical\x0btab token counting test", "en", "web", 31),
+    (6, _LOREM, "en", "web", len(_LOREM)),  # exact duplicate of doc 0
+    (7, "日本語テキスト и русский текст (1999)", "ja", "web", 24),
+]
+
+HOSTILE_CHECKED = [
+    "dedup_exact", "fingerprints", "minhash_bands", "minhash_lsh_pairs",
+    "ngram_jaccard", "simhash", "token_stats", "quality_scores", "lang_id",
+    "subword_stats", "winnowing", "media_meta", "media_embeddings",
+    "media_frames", "media_resize",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_sf")
+    spark.createDataFrame(
+        HOSTILE_DOCS,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hostile_con(hostile_dir):
+    c = duckdb.connect()
+    c.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hostile_dir}/documents.parquet/*.parquet')"
+    )
+    return c
+
+
+@pytest.mark.parametrize("name", HOSTILE_CHECKED)
+def test_hostile_docs_match_duckdb(spark, hostile_dir, hostile_con, name):
+    import __spark_entry__ as e
+
+    df = e.queries()[name](spark, hostile_dir)
+    got = _canon(df.columns, [tuple(r) for r in df.collect()])
+    rel = hostile_con.sql(e.oracle_sql()[name])
+    want = _canon([d[0] for d in rel.description], rel.fetchall())
+    assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
+
+
+def test_null_text_docs_become_lsh_candidates_on_both_engines(
+    spark, hostile_dir, hostile_con
+):
+    """Regression (round-3 advice): the Spark kernel emits md5('') bands
+    for NULL text, so two NULL-text docs pair up; the oracle must agree."""
+    import __spark_entry__ as e
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in e.queries()["minhash_lsh_pairs"](spark, hostile_dir).collect()
+    }
+    assert (1, 2) in pairs and (0, 6) in pairs
+    duck = {
+        tuple(r)
+        for r in hostile_con.sql(
+            e.oracle_sql()["minhash_lsh_pairs"]
+        ).fetchall()
+    }
+    assert pairs == duck
