@@ -86,12 +86,16 @@ def main():
         "simhash", "dedup_exact", "media_embeddings", "winnowing",
         "subword_stats",
     ]
+    from igtdetect_spark.operators.dedup import release_plan_caches
+
     for name in bench_queries:
         best = None
         for _ in range(2):  # best-of-2: damp JIT/GC noise in the record
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            df = qs[name](spark, sf_dir)
+            df.count()
             dt = time.time() - t0
+            release_plan_caches(df)  # outside the timed window
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 

@@ -694,13 +694,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall-safe: well above the near-duplicate group size)."""
     from .operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
         max_df=_NGRAM_MAX_DF,
-    ).select(
+    )
+    out = pairs.select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b",
         F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
     )
+    # propagate the shingle-relation cache handle so callers can release
+    # it after the consuming action (operators/dedup.release_plan_caches)
+    out._plan_cache_handles = getattr(pairs, "_plan_cache_handles", [])
+    return out
 
 
 SQL_NGRAM_JACCARD = f"""

@@ -88,9 +88,17 @@ def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    ``explode_outer``, deliberately: plain explode triggers the
+    InferFiltersFromGenerate optimizer rule, which injects a
+    non-codegen Filter whose pushed-down predicate re-evaluates the
+    ENTIRE shingle expression (split + 2 regexp_replace + transform)
+    several more times per row — measured 13× slower at sf0.1. The
+    shingles array is never null/empty by construction (the otherwise
+    branch emits a 1-element array), so outer semantics are identical."""
     return shingle_arrays(docs, n, id_col, text_col).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -128,8 +136,10 @@ def ngram_jaccard_pairs(
         sh = sh.join(rare, "shingle")
     # persist exactly ONE handle (the relation the downstream branches
     # consume) — a second pre-prune persist was measured marginal and
-    # doubles the leaked cache per invocation (Spark has no safe point to
-    # unpersist before the returned plan is consumed)
+    # doubles the cache per invocation. Spark has no safe point to
+    # unpersist before the returned plan is consumed, so the handle is
+    # attached to the result; callers release it with
+    # ``release_plan_caches(df)`` after their action (bench does).
     if materialize:
         sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -160,7 +170,34 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    if materialize:
+        attach_plan_cache(out, sh)
     return out
+
+
+def attach_plan_cache(df: DataFrame, handle: DataFrame) -> DataFrame:
+    """Record that ``df``'s plan depends on a persisted ``handle`` the
+    caller should release once the plan has been consumed."""
+    handles = getattr(df, "_plan_cache_handles", None)
+    if handles is None:
+        handles = []
+        df._plan_cache_handles = handles
+    handles.append(handle)
+    return df
+
+
+def release_plan_caches(df: DataFrame) -> int:
+    """Unpersist every cache handle attached to ``df`` (no-op for plans
+    without one). Call after the consuming action — a long-lived session
+    (bench loops, notebooks, services) otherwise accumulates dead
+    MEMORY_AND_DISK entries, one per invocation. Returns the number of
+    handles released."""
+    handles = getattr(df, "_plan_cache_handles", None) or []
+    for h in handles:
+        h.unpersist()
+    if handles:
+        df._plan_cache_handles = []
+    return len(handles)
 
 
 # ---------------------------------------------------------------------------

@@ -169,6 +169,60 @@ WINNOW_BASE = 257
 WINNOW_MOD = 1_000_000_007
 
 
+def winnow_batch(texts: pd.Series, k: int = 5, window: int = 4
+                 ) -> pd.DataFrame:
+    """The winnowing kernel over one Arrow batch of (already normalized)
+    texts. Fully vectorized per doc: codepoints come from one
+    ``np.frombuffer`` over the utf-32-le encoding (no per-char Python
+    loop), the k-term rolling hash and the sliding-window minima are k
+    resp. window strided numpy passes. Module-level so it is directly
+    microbenchable (tools/microbench_winnow.py) and pinnable in tests."""
+    import hashlib
+
+    n_grams_out, n_sel_out, sig_out = [], [], []
+    powers = np.array(
+        [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)],
+        dtype=np.int64,
+    )
+    for t in texts.fillna(""):
+        if len(t) < k:
+            n_grams_out.append(0)
+            n_sel_out.append(0)
+            sig_out.append(hashlib.md5(b"").hexdigest())
+            continue
+        # utf-32-le: 4 bytes per code point == vectorized ord()
+        cp = np.frombuffer(
+            t.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        n = len(cp) - k + 1
+        # one modulo at the end: per-term products < 2^51 and the k-term
+        # sum < 2^54 stay exact in int64 (constants chosen for this)
+        h = np.zeros(n, dtype=np.int64)
+        for j in range(k):
+            h += cp[j:j + n] * powers[j]
+        h %= WINNOW_MOD
+        if n >= window:
+            mins = h[:n - window + 1].copy()
+            for j in range(1, window):
+                np.minimum(mins, h[j:j + n - window + 1], out=mins)
+        else:
+            mins = np.array([h.min()], dtype=np.int64)
+        sel = np.unique(mins)
+        n_grams_out.append(n)
+        n_sel_out.append(len(sel))
+        # list-repr join: str(list) renders all ints in one C call —
+        # '[1, 23]' → '1,23' (values are nonnegative, no other commas)
+        joined = str(sel.tolist())[1:-1].replace(", ", ",")
+        sig_out.append(hashlib.md5(joined.encode()).hexdigest())
+    return pd.DataFrame(
+        {
+            "n_grams": n_grams_out,
+            "n_selected": n_sel_out,
+            "winnow_sig": sig_out,
+        }
+    )
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     k: int = 5,
@@ -185,51 +239,13 @@ def winnowing_fingerprints(
     (guarantees a shared fingerprint for any match ≥ k+window-1 chars),
     signature = md5 of the sorted distinct selected hashes. Pure integer
     math → the DuckDB oracle reproduces it bit-for-bit. One narrow Arrow
-    kernel per doc, zero shuffles."""
+    kernel per doc (``winnow_batch``), zero shuffles."""
 
     @pandas_udf(
         "struct<n_grams: long, n_selected: long, winnow_sig: string>"
     )
     def _winnow(texts: pd.Series) -> pd.DataFrame:
-        import hashlib
-
-        n_grams_out, n_sel_out, sig_out = [], [], []
-        powers = np.array(
-            [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)],
-            dtype=np.int64,
-        )
-        for t in texts.fillna(""):
-            if len(t) < k:
-                n_grams_out.append(0)
-                n_sel_out.append(0)
-                sig_out.append(hashlib.md5(b"").hexdigest())
-                continue
-            cp = np.array([ord(c) for c in t], dtype=np.int64)
-            n = len(cp) - k + 1
-            h = np.zeros(n, dtype=np.int64)
-            for j in range(k):
-                h = (h + cp[j:j + n] * powers[j]) % WINNOW_MOD
-            if n >= window:
-                mins = h[:n - window + 1].copy()
-                for j in range(1, window):
-                    np.minimum(mins, h[j:j + n - window + 1], out=mins)
-            else:
-                mins = np.array([h.min()], dtype=np.int64)
-            sel = np.unique(mins)
-            n_grams_out.append(n)
-            n_sel_out.append(len(sel))
-            sig_out.append(
-                hashlib.md5(
-                    ",".join(str(int(x)) for x in sel).encode()
-                ).hexdigest()
-            )
-        return pd.DataFrame(
-            {
-                "n_grams": n_grams_out,
-                "n_selected": n_sel_out,
-                "winnow_sig": sig_out,
-            }
-        )
+        return winnow_batch(texts, k, window)
 
     w = _winnow(normalized_text(F.col(text_col)))
     return docs.select(
