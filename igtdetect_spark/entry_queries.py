@@ -1169,36 +1169,80 @@ FROM r WHERE rank <= {k}
 """
 
 
+# Graded banding: small corpus → few planes per band so buckets stay
+# populated; the operator's defaults (8×16) are the 10^9-vector sizing.
+_NEARDUP_BANDS = 4
+_NEARDUP_BAND_PLANES = 4
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates +
-    exact rescore) — the vector-space dedup mode."""
+    """Embedding-cosine near-duplicate pairs (banded-LSH candidates +
+    one exact rescore) — the vector-space dedup mode."""
     from .operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35
+        _t(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_bands=_NEARDUP_BANDS, band_planes=_NEARDUP_BAND_PLANES,
     )
 
 
-def _sql_embedding_neardup(threshold: float = 0.35, n_planes: int = 6,
+def _sql_banded_bucket_exprs(n_bands: int, band_planes: int,
+                             seed: int = 42, dim: int = 64) -> list[str]:
+    """Per-band sign-buckets (similarity.py banded_hyperplane_buckets) as
+    DuckDB expressions over a list column ``v`` — band b uses planes
+    [b·r, (b+1)·r) of one seeded standard-normal draw, inlined as repr'd
+    double literals (shortest round-trip → bit-identical doubles)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bands * band_planes, dim))
+    exprs = []
+    for b in range(n_bands):
+        terms = []
+        for j in range(band_planes):
+            p = planes[b * band_planes + j]
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            dot = (f"list_sum(list_transform(generate_series(1, {dim}), "
+                   f"i -> v[i] * ({lit})[i]))")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        exprs.append(" + ".join(terms))
+    return exprs
+
+
+def _sql_embedding_neardup(threshold: float = 0.35,
+                           n_bands: int = _NEARDUP_BANDS,
+                           band_planes: int = _NEARDUP_BAND_PLANES,
                            seed: int = 42, dim: int = 64) -> str:
-    bucket = _sql_bucket_expr(n_planes, seed, dim)
+    buckets = _sql_banded_bucket_exprs(n_bands, band_planes, seed, dim)
+    bb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS bucket, {i} AS band FROM e"
+        for i, b in enumerate(buckets)
+    )
     thr_e6 = int(threshold * 1e6)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+bb AS (
+  {bb}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b
+  FROM bb a JOIN bb x
+    ON a.band = x.band AND a.bucket = x.bucket AND a.vec_id < x.vec_id
+),
 p AS (
-  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+  SELECT c.vec_a, c.vec_b,
          CAST(floor(
-           list_sum(list_transform(generate_series(1, len(a.v)),
-               i -> a.v[i] * x.v[i]))
-           / (sqrt(list_sum(list_transform(a.v, y -> y * y)))
-            * sqrt(list_sum(list_transform(x.v, y -> y * y)))) * 1e6
+           list_sum(list_transform(generate_series(1, len(ea.v)),
+               i -> ea.v[i] * eb.v[i]))
+           / (sqrt(list_sum(list_transform(ea.v, y -> y * y)))
+            * sqrt(list_sum(list_transform(eb.v, y -> y * y)))) * 1e6
          ) AS BIGINT) AS cos_sim_e6
-  FROM b a JOIN b x
-    ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cos_sim_e6 FROM p WHERE cos_sim_e6 >= {thr_e6}
 """
