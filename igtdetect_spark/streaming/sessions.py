@@ -84,6 +84,39 @@ def _batch_sessions(pdf: pd.DataFrame, gap_sec: int):
     return out
 
 
+def _fold_sessions(open_sess, sessions, gap_sec):
+    """Fold time-ordered in-batch sessions into the carried open session.
+    Returns (closed, open_sess). Late-data rules (a non-zero watermark
+    delay admits events before the carried session's span):
+    - s after open's horizon → open closes, s becomes the open session;
+    - s entirely before open with a real gap → s is a late, already-
+      closed session of its own (emitted; open untouched);
+    - otherwise merge with min(start)/max(end) so a late early event can
+      lower session_start but never drag session_end backwards."""
+    closed = []
+    for s in sessions:
+        if open_sess is not None:
+            if s[0] - open_sess[1] > gap_sec:
+                closed.append(tuple(open_sess))
+                open_sess = list(s)
+            elif open_sess[0] - s[1] > gap_sec:
+                closed.append(tuple(s))
+            else:
+                open_sess[0] = min(open_sess[0], s[0])
+                open_sess[1] = max(open_sess[1], s[1])
+                open_sess[2] += s[2]
+                open_sess[3] += s[3]
+                open_sess[4] = min(open_sess[4], s[4])
+                open_sess[5] = max(open_sess[5], s[5])
+        else:
+            open_sess = list(s)
+        if open_sess is not None and s is not sessions[-1]:
+            # any non-final in-batch session is already closed
+            closed.append(tuple(open_sess))
+            open_sess = None
+    return closed, open_sess
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_sec: int = 1800,
@@ -122,23 +155,10 @@ def sessionize_stream(
                     pdf["value"].astype("float64") * 100
                 ).apply(math.floor).astype("int64")
                 sessions = _batch_sessions(pdf, gap_sec)
-                for s in sessions:
-                    if open_sess is not None:
-                        if s[0] - open_sess[1] > gap_sec:
-                            closed.append(tuple(open_sess))
-                            open_sess = list(s)
-                        else:  # merge into the carried session
-                            open_sess[1] = s[1]
-                            open_sess[2] += s[2]
-                            open_sess[3] += s[3]
-                            open_sess[4] = min(open_sess[4], s[4])
-                            open_sess[5] = max(open_sess[5], s[5])
-                    else:
-                        open_sess = list(s)
-                    if open_sess is not None and s is not sessions[-1]:
-                        # any non-final in-batch session is already closed
-                        closed.append(tuple(open_sess))
-                        open_sess = None
+                newly_closed, open_sess = _fold_sessions(
+                    open_sess, sessions, gap_sec
+                )
+                closed.extend(newly_closed)
             if open_sess is not None:
                 state.update(tuple(int(x) for x in open_sess))
                 # flush when the watermark passes the gap horizon; must be

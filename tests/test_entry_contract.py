@@ -20,7 +20,7 @@ CHECKED = [
     "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
     "simhash", "ann_lsh", "media_embeddings", "subword_stats",
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
-    "ann_ivf_fixed",
+    "ann_ivf",
 ]
 
 
@@ -72,9 +72,7 @@ def test_registry_consistency():
     assert set(osql) <= set(qs)
     # every oracle-less query is a documented rows-only check
     rows_only = set(qs) - set(osql)
-    assert rows_only == {
-        "igt_classify_lines", "igt_detect_spans", "ann_ivf",
-    }
+    assert rows_only == {"igt_classify_lines", "igt_detect_spans"}
 
 
 @pytest.mark.parametrize("name", CHECKED)

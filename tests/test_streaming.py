@@ -165,3 +165,40 @@ def test_ingest_monitor_watermark(spark, pages_dir, tmp_path_factory):
     rows = spark.sql("select * from ingest_monitor").collect()
     assert sum(r["n_pages"] for r in rows) == 30
     assert all(r["window"]["start"] is not None for r in rows)
+
+
+def test_fold_sessions_late_data_merge_rules():
+    """Late-data folding (round-3 advice): with a non-zero watermark
+    delay, in-batch sessions may precede the carried open session —
+    session_start must lower, session_end must never move backwards, and
+    a late session with a real gap closes on its own."""
+    from igtdetect_spark.streaming.sessions import _fold_sessions
+
+    gap = 100
+    # carried session spans [1000, 1200]
+    def carried():
+        return [1000, 1200, 3, 300, 10, 12]
+
+    # 1. late session straddling the carried start: merge, start lowers
+    closed, op = _fold_sessions(carried(), [(950, 1050, 2, 50, 8, 9)], gap)
+    assert closed == [] and op == [950, 1200, 5, 350, 8, 12]
+
+    # 2. late session INSIDE the carried span: end must not move back
+    closed, op = _fold_sessions(carried(), [(1050, 1100, 1, 10, 99, 99)], gap)
+    assert closed == [] and op == [1000, 1200, 4, 310, 10, 99]
+
+    # 3. late session entirely before with a real gap: closes alone
+    closed, op = _fold_sessions(carried(), [(700, 800, 2, 20, 1, 2)], gap)
+    assert closed == [(700, 800, 2, 20, 1, 2)]
+    assert op == carried()
+
+    # 4. session after the horizon: carried closes, new one opens
+    closed, op = _fold_sessions(carried(), [(1400, 1500, 2, 20, 20, 21)], gap)
+    assert closed == [(1000, 1200, 3, 300, 10, 12)]
+    assert op == [1400, 1500, 2, 20, 20, 21]
+
+    # 5. no carried session: last in-batch session stays open
+    closed, op = _fold_sessions(
+        None, [(1, 2, 1, 1, 1, 1), (500, 600, 2, 2, 2, 3)], gap
+    )
+    assert closed == [(1, 2, 1, 1, 1, 1)] and op == [500, 600, 2, 2, 2, 3]
