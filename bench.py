@@ -60,7 +60,10 @@ def main():
     t_detect = time.time() - t0
     timings["igt_detect_spans_synthetic"] = round(t_detect, 3)
 
-    from igtdetect_spark.plans.chunked import detect_spans_chunked
+    from igtdetect_spark.plans.chunked import (
+        detect_spans_auto,
+        detect_spans_chunked,
+    )
 
     # chunk size tuned to parallelism (enough chunks per mega-doc to feed
     # every core; floor keeps per-chunk overhead amortized)
@@ -71,6 +74,13 @@ def main():
     ).count()
     timings["igt_detect_spans_chunked"] = round(time.time() - t0, 3)
     assert n_spans_chunked == n_spans, "chunked/fused span count diverged"
+
+    # skew-aware selection: should match the better of the two paths
+    # (here: fused — the 100k-line megas don't clear the chunk overhead)
+    t0 = time.time()
+    n_spans_auto = detect_spans_auto(pages, ctx, cores=cpus).count()
+    timings["igt_detect_spans_auto"] = round(time.time() - t0, 3)
+    assert n_spans_auto == n_spans, "auto/fused span count diverged"
 
     # line throughput: count segmented lines once (not in the timed window)
     from igtdetect_spark.operators.segment import segment_pages

@@ -178,6 +178,31 @@ def split_mega_pages(
     )
 
 
+def chunking_refusal(ctx: DetectContext) -> str | None:
+    """Why this model/config cannot be chunked (None = chunkable).
+    Shared by detect_spans_chunked (raises) and detect_spans_auto
+    (falls back to the fused whole-document path)."""
+    probe = ModelWeights.from_broadcastable(ctx.model_bc.value)
+    if ctx.cfg.prev_tag and any(
+        k.startswith("prev_tag_") for k in probe.base_index
+    ):
+        return (
+            "detect_spans_chunked cannot chunk a sequential (prev_tag) "
+            "model — use the whole-document paths"
+        )
+    if ctx.cfg.word_overlap:
+        # The 2-line pre-halo gives the first halo line no previous line,
+        # so its overlap features (and the first body line's prev_prev_
+        # context) can diverge from the fused path. Refuse rather than
+        # silently mis-score.
+        return (
+            "detect_spans_chunked does not support cfg.word_overlap — "
+            "overlap features need unbounded backward context; use the "
+            "whole-document paths"
+        )
+    return None
+
+
 def detect_spans_chunked(
     pages: DataFrame,
     ctx: DetectContext,
@@ -188,24 +213,9 @@ def detect_spans_chunked(
     docstring). Small docs keep the zero-shuffle fused path."""
     cfg = ctx.cfg
     model_bc, lex_bc = ctx.model_bc, ctx.lex_bc
-    probe = ModelWeights.from_broadcastable(model_bc.value)
-    if cfg.prev_tag and any(
-        k.startswith("prev_tag_") for k in probe.base_index
-    ):
-        raise ValueError(
-            "detect_spans_chunked cannot chunk a sequential (prev_tag) "
-            "model — use the whole-document paths"
-        )
-    if cfg.word_overlap:
-        # The 2-line pre-halo gives the first halo line no previous line,
-        # so its overlap features (and the first body line's prev_prev_
-        # context) can diverge from the fused path. Refuse rather than
-        # silently mis-score.
-        raise ValueError(
-            "detect_spans_chunked does not support cfg.word_overlap — "
-            "overlap features need unbounded backward context; use the "
-            "whole-document paths"
-        )
+    reason = chunking_refusal(ctx)
+    if reason:
+        raise ValueError(reason)
 
     is_mega = (
         F.length(F.coalesce(F.col("text"), F.lit(""))) >= mega_doc_chars
@@ -354,3 +364,76 @@ def detect_spans_chunked(
         stitch, schema=SPANS_SCHEMA
     )
     return small_spans.unionByName(mega_spans)
+
+
+# Auto path-selection cost model, calibrated at local[32] (see
+# BENCH/PLANS.md). All quantities in characters of page content:
+#   fused_wall   ≈ max(tot/C, mx) · rate
+#   chunked_wall ≈ (seg_serial(mx) ≈ 0.2·mx + ~1.5·tot/C) · rate + fixed
+# ⇒ chunk pays only when the straggler's scoring time clears both its
+# fair share and the chunk machinery's fixed overhead (split pass +
+# repartition shuffle + stitch ≈ several seconds ≈ 8M chars of scoring).
+# Measured: 100k-line megas (4M chars) — fused 4.3 s vs chunked 5.3 s;
+# 400k-line mega (16M chars) — fused 22 s vs chunked 12 s.
+AUTO_OVERHEAD_CHARS = 8_000_000
+AUTO_FAIRSHARE_FACTOR = 0.6
+
+
+def choose_detect_path(
+    max_chars: int,
+    total_chars: int,
+    cores: int,
+    overhead_chars: int = AUTO_OVERHEAD_CHARS,
+    fairshare_factor: float = AUTO_FAIRSHARE_FACTOR,
+) -> str:
+    """'fused' or 'chunked' from corpus shape (pure function — unit
+    tested). Chunk iff the biggest document exceeds a core's fair share
+    by more than the chunk machinery's fixed overhead."""
+    if cores < 2:
+        return "fused"
+    fair = total_chars / cores
+    if max_chars > fairshare_factor * fair + overhead_chars:
+        return "chunked"
+    return "fused"
+
+
+def detect_spans_auto(
+    pages: DataFrame,
+    ctx: DetectContext,
+    cores: int | None = None,
+    chunk_lines: int | None = None,
+    overhead_chars: int = AUTO_OVERHEAD_CHARS,
+) -> DataFrame:
+    """Skew-aware pages → spans: pick fused vs chunked from the corpus
+    shape instead of always paying chunk overhead.
+
+    One narrow stats pass (max/sum of content length — at warehouse scale
+    these come free from table statistics) feeds ``choose_detect_path``;
+    models the chunk frame cannot reproduce (sequential decode,
+    word_overlap) always take the fused path. When chunking wins,
+    ``chunk_lines`` defaults to spreading the biggest document over ~2
+    chunks per core (floor 2,500 so per-chunk overhead stays amortized),
+    and only docs beyond twice their fair share are chunked."""
+    spark = pages.sparkSession
+    cores = cores or spark.sparkContext.defaultParallelism
+    ln = F.greatest(
+        F.length(F.coalesce(F.col("text"), F.lit(""))),
+        F.length(F.coalesce(F.col("html"), F.lit(b""))),
+    )
+    st = pages.select(
+        F.max(ln).alias("mx"), F.sum(ln).alias("tot")
+    ).collect()[0]
+    mx, tot = int(st["mx"] or 0), int(st["tot"] or 0)
+
+    if (
+        chunking_refusal(ctx) is None
+        and choose_detect_path(mx, tot, cores, overhead_chars) == "chunked"
+    ):
+        est_mx_lines = max(mx // 40, 1)  # ~40 chars/line of web text
+        chunk_lines = chunk_lines or max(2_500, est_mx_lines // (2 * cores))
+        mega_doc_chars = max(int(2 * tot / cores), 200_000)
+        return detect_spans_chunked(
+            pages, ctx, chunk_lines=chunk_lines,
+            mega_doc_chars=mega_doc_chars,
+        )
+    return detect_spans_fused(pages, ctx)

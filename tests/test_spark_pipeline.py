@@ -156,6 +156,56 @@ class TestSyntheticParity:
         )
         assert f == c
 
+    def test_auto_path_selection(self, spark, ctx_synth):
+        """detect_spans_auto: the cost-model gate picks fused for uniform
+        corpora and chunked for straggler-dominated ones, output is
+        bit-identical either way, and unsupported configs fall back to
+        fused instead of raising."""
+        import dataclasses
+
+        from igtdetect_spark.plans.chunked import (
+            choose_detect_path,
+            detect_spans_auto,
+        )
+        from igtdetect_spark.plans.pipeline import (
+            DetectContext,
+            detect_spans_fused,
+        )
+        from igtdetect_spark.sources.pages import synthetic_pages
+
+        # pure decision function (chars): uniform → fused; one dominant
+        # mega doc → chunked; low cores → fused regardless
+        assert choose_detect_path(4_000_000, 12_500_000, 32) == "fused"
+        assert choose_detect_path(16_000_000, 16_500_000, 32) == "chunked"
+        assert choose_detect_path(16_000_000, 16_500_000, 8) == "chunked"
+        assert choose_detect_path(16_000_000, 16_500_000, 1) == "fused"
+
+        pages = synthetic_pages(
+            spark, 12, mega_doc_every=5, mega_doc_lines=3000
+        ).cache()
+        key = lambda r: tuple(
+            tuple(v) if isinstance(v, list) else v for v in r
+        )
+        f = sorted(map(key, detect_spans_fused(pages, ctx_synth).collect()))
+        # force the chunked branch via a tiny overhead constant
+        a = sorted(
+            map(
+                key,
+                detect_spans_auto(
+                    pages, ctx_synth, overhead_chars=1_000
+                ).collect(),
+            )
+        )
+        assert f == a
+        # word_overlap: auto silently uses fused (chunked would raise)
+        cfg_wo = dataclasses.replace(ctx_synth.cfg, word_overlap=True)
+        ctx_wo = DetectContext(
+            spark, get_synthetic_model(), get_lexicons(), cfg=cfg_wo
+        )
+        assert detect_spans_auto(
+            pages, ctx_wo, overhead_chars=1_000
+        ).count() == len(f)
+
     def test_salted_matches_fused(self, spark, ctx_synth):
         """Skew path: chunked halo scoring must be bit-identical to the
         whole-document path — small chunk size forces multi-chunk docs."""
