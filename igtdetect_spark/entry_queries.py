@@ -685,6 +685,52 @@ def _sql_minhash_lsh_pairs() -> str:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the MinHash
+    LSH candidate pairs — the pairs → clusters → keep-one step of a dedup
+    pipeline. cluster_id = min doc_id in the component; the dedup filter
+    is ``WHERE is_representative``. The Spark side iterates min-label
+    propagation with pointer jumping (O(log diameter) rounds, each one
+    shuffle on node keys); the oracle is a recursive CTE computing min
+    reachable doc_id — identical fixpoints."""
+    from .operators.dedup import neardup_clusters
+
+    return neardup_clusters(_t(spark, sf_dir, "documents"))
+
+
+def _sql_neardup_clusters() -> str:
+    return (
+        f"WITH RECURSIVE {_SQL_SHINGLES},{_sql_minhash_bands_cte()},\n"
+        "pairs AS (\n"
+        "  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "  FROM bands a JOIN bands b\n"
+        "    ON a.band = b.band AND a.band_hash = b.band_hash\n"
+        "   AND a.doc_id < b.doc_id\n"
+        "),\n"
+        "und AS (\n"
+        "  SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "  UNION ALL SELECT doc_b, doc_a FROM pairs\n"
+        "),\n"
+        "-- reach(x, lab): lab is connected to x; UNION dedups, so the\n"
+        "-- recursion terminates at the transitive closure per component\n"
+        "reach(u, lab) AS (\n"
+        "  SELECT u, u FROM (SELECT DISTINCT u FROM und)\n"
+        "  UNION\n"
+        "  SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.lab\n"
+        "),\n"
+        "comp AS (SELECT u AS doc_id, MIN(lab) AS cluster_id\n"
+        "         FROM reach GROUP BY u),\n"
+        "assigned AS (\n"
+        "  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id\n"
+        "  FROM documents d LEFT JOIN comp c USING (doc_id)\n"
+        ")\n"
+        "SELECT doc_id, cluster_id,\n"
+        "       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,\n"
+        "       doc_id = cluster_id AS is_representative\n"
+        "FROM assigned"
+    )
+
+
 _NGRAM_MAX_DF = 10
 
 
@@ -798,6 +844,63 @@ SELECT doc_id,
        CAST(floor(list_sum(list_transform(tk, x -> length(x))) * 1e6
                   / len(tk)) AS BIGINT) AS avg_token_len_e6
 FROM toks
+"""
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/structure gates. The Spark side computes
+    the per-doc bigram mode with a shuffle-free run-length aggregate
+    over the sorted bigram array; the oracle uses the relational
+    unnest + GROUP BY shape — same value, different plan."""
+    from .operators.text_analysis import gopher_filters
+
+    return gopher_filters(_t(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_FILTERS = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ') AS tk
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) s(i)
+),
+topbg AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt
+  FROM (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+scalars AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         -- divide-then-scale ordering matches the Spark side exactly
+         -- (IEEE double rounding order matters at the floor boundary)
+         CAST(floor((list_sum(list_transform(tk, x -> length(x)))
+                     / len(tk)) * 1e6) AS BIGINT) AS mean_word_len_e6,
+         CAST(floor((len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))
+                     / len(tk)) * 1e6) AS BIGINT) AS frac_alpha_e6,
+         CAST(floor((((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3)
+                     / len(tk)) * 1e6) AS BIGINT) AS symbol_ratio_e6,
+         len(tk) - 1 AS n_bigrams
+  FROM toks
+),
+joined AS (
+  SELECT s.doc_id, s.n_words, s.mean_word_len_e6, s.frac_alpha_e6,
+         s.symbol_ratio_e6,
+         CAST(floor((COALESCE(t.top_cnt, 0) / s.n_bigrams) * 1e6) AS BIGINT)
+           AS top_bigram_frac_e6
+  FROM scalars s LEFT JOIN topbg t USING (doc_id)
+)
+SELECT *,
+       (n_words BETWEEN 20 AND 100000
+        AND mean_word_len_e6 BETWEEN 3000000 AND 10000000
+        AND frac_alpha_e6 >= 800000
+        AND symbol_ratio_e6 <= 100000
+        AND COALESCE(top_bigram_frac_e6, 0) <= 200000) AS gopher_pass
+FROM joined
 """
 
 
@@ -1394,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "minhash_bands": q_minhash_bands,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "neardup_clusters": q_neardup_clusters,
+        "gopher_filters": q_gopher_filters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "token_stats": q_token_stats,
@@ -1435,6 +1540,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": SQL_FINGERPRINTS,
         "minhash_bands": _sql_minhash_bands(),
         "minhash_lsh_pairs": _sql_minhash_lsh_pairs(),
+        "neardup_clusters": _sql_neardup_clusters(),
+        "gopher_filters": SQL_GOPHER_FILTERS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_stats": SQL_TOKEN_STATS,
         "quality_scores": SQL_QUALITY_SCORES.replace("{SW}", sw),

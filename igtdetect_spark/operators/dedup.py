@@ -438,3 +438,105 @@ def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         _simhash(normalized_text(F.col(text_col))).alias("simhash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate cluster assignment (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """(node, component) — component = MIN node id reachable through the
+    undirected edge set ``edges`` (columns ``doc_a``, ``doc_b``). Nodes
+    not in any edge are absent (callers re-attach singletons).
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    every node takes the minimum of (its label, its neighbors' labels,
+    its label's OWN label); the pointer-jump join halves chain depth per
+    round, so convergence is O(log diameter) rounds — and near-duplicate
+    candidate graphs are clique-like (members of a dup cluster are
+    pairwise similar, diameter 1–2), so 2–3 rounds in practice. Each
+    round is two hash joins + one aggregation on (node) keys, shuffle
+    volume O(|E|), and the label frame is ``localCheckpoint``-ed so the
+    iterative lineage cannot stack (the same discipline GraphFrames'
+    iterative algorithms use). Convergence is detected by the strictly
+    decreasing sum of labels reaching a fixpoint — one scalar action per
+    round on the already-materialized checkpoint.
+    """
+    und = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = (
+        und.select("u").distinct().withColumn("lab", F.col("u"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        nbr = (
+            und.join(
+                labels.select(F.col("u").alias("v"), "lab"), "v"
+            )
+            .groupBy("u").agg(F.min("lab").alias("nmin"))
+        )
+        cand = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("lab"), F.coalesce("nmin", F.col("lab")))
+            .alias("lab"),
+        )
+        jumped = cand.join(
+            labels.select(F.col("u").alias("lab"), F.col("lab").alias("plab")),
+            "lab", "left",
+        ).select(
+            "u",
+            F.least(F.col("lab"), F.coalesce("plab", F.col("lab")))
+            .alias("lab"),
+        )
+        labels = jumped.localCheckpoint()
+        cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("u").alias("node"), F.col("lab").alias("component"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    n_perms: int = 16,
+    band_size: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scheme: str = "affine",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_representative): the
+    pairs → clusters → keep-one step of a near-dup pipeline. Documents
+    sharing any MinHash LSH band are joined into one cluster via
+    connected components; ``cluster_id`` is the smallest doc_id in the
+    component (singletons cluster with themselves), and the dedup filter
+    is simply ``WHERE is_representative``.
+
+    Scale shape: CC runs only over the candidate-pair node set (tiny
+    relative to the corpus — duplicate-involved docs); the full corpus is
+    touched once by the signature scan and once by the final left join +
+    one window on cluster_id for sizes.
+    """
+    pairs = minhash_lsh_pairs(
+        docs, n_perms, band_size, shingle_n, id_col, text_col, scheme
+    )
+    comp = connected_components(pairs)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )

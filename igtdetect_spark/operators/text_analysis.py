@@ -251,3 +251,94 @@ def winnowing_fingerprints(
     return docs.select(
         F.col(id_col).alias("doc_id"), w.alias("_w")
     ).select("doc_id", "_w.n_grams", "_w.n_selected", "_w.winnow_sig")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / structure filters
+# ---------------------------------------------------------------------------
+
+def _max_equal_run(sorted_arr):
+    """Count of the most frequent element of a SORTED array — a single
+    native ``aggregate`` carrying (prev, run, best) struct state, so the
+    per-doc mode needs NO explode/groupBy shuffle. NULL-init prev makes
+    the first element start its run at 1 (NULL comparison → false
+    branch)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def gopher_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len_e6, frac_alpha_e6, symbol_ratio_e6,
+    top_bigram_frac_e6, gopher_pass): Gopher-style document quality
+    gates — word-count bounds, mean word length in [3, 10], ≥80% words
+    containing a letter, hash/ellipsis symbol ratio ≤ 0.1, and the
+    repetition signal (fraction of word bigrams taken by the most
+    frequent one). All native expressions, zero shuffles: the per-doc
+    bigram mode is a run-length ``aggregate`` over the sorted bigram
+    array instead of an explode + groupBy (the relational shape the
+    DuckDB oracle mirror uses — same value, different plan).
+
+    ``gopher_pass`` is derived from the floored _e6 columns, not the raw
+    doubles, so the flag is trivially cross-engine-stable. Ratios are
+    NULL (not errors) on empty/NULL text via try_divide, matching
+    DuckDB's x/0."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n = F.size(toks)
+    # long accumulator: a 100 TB corpus can hold single documents whose
+    # total character count overflows int32
+    mean_len = F.try_divide(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
+        n,
+    )
+    frac_alpha = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))), n
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.try_divide(n_hash + n_ell, n)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bigram_frac = F.try_divide(
+        _max_equal_run(F.array_sort(bigrams)), n - 1
+    )
+    e6 = lambda c: F.floor(c * 1e6).cast("long")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        e6(mean_len).alias("mean_word_len_e6"),
+        e6(frac_alpha).alias("frac_alpha_e6"),
+        e6(symbol_ratio).alias("symbol_ratio_e6"),
+        e6(top_bigram_frac).alias("top_bigram_frac_e6"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len_e6").between(3_000_000, 10_000_000)
+        & (F.col("frac_alpha_e6") >= 800_000)
+        & (F.col("symbol_ratio_e6") <= 100_000)
+        & (F.coalesce(F.col("top_bigram_frac_e6"), F.lit(0)) <= 200_000)
+    )
+    return out.withColumn("gopher_pass", gopher_pass)

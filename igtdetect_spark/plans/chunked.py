@@ -397,25 +397,11 @@ def choose_detect_path(
     return "fused"
 
 
-def detect_spans_auto(
-    pages: DataFrame,
-    ctx: DetectContext,
-    cores: int | None = None,
-    chunk_lines: int | None = None,
-    overhead_chars: int = AUTO_OVERHEAD_CHARS,
-) -> DataFrame:
-    """Skew-aware pages → spans: pick fused vs chunked from the corpus
-    shape instead of always paying chunk overhead.
-
-    One narrow stats pass (max/sum of content length — at warehouse scale
-    these come free from table statistics) feeds ``choose_detect_path``;
-    models the chunk frame cannot reproduce (sequential decode,
-    word_overlap) always take the fused path. When chunking wins,
-    ``chunk_lines`` defaults to spreading the biggest document over ~2
-    chunks per core (floor 2,500 so per-chunk overhead stays amortized),
-    and only docs beyond twice their fair share are chunked."""
-    spark = pages.sparkSession
-    cores = cores or spark.sparkContext.defaultParallelism
+def corpus_char_stats(pages: DataFrame) -> tuple[int, int]:
+    """(max_chars, total_chars) of page content — ONE narrow aggregate.
+    At warehouse scale these are table statistics (ANALYZE TABLE /
+    Iceberg column metrics); compute once and pass to detect_spans_auto
+    rather than re-scanning per invocation."""
     ln = F.greatest(
         F.length(F.coalesce(F.col("text"), F.lit(""))),
         F.length(F.coalesce(F.col("html"), F.lit(b""))),
@@ -423,7 +409,32 @@ def detect_spans_auto(
     st = pages.select(
         F.max(ln).alias("mx"), F.sum(ln).alias("tot")
     ).collect()[0]
-    mx, tot = int(st["mx"] or 0), int(st["tot"] or 0)
+    return int(st["mx"] or 0), int(st["tot"] or 0)
+
+
+def detect_spans_auto(
+    pages: DataFrame,
+    ctx: DetectContext,
+    cores: int | None = None,
+    chunk_lines: int | None = None,
+    overhead_chars: int = AUTO_OVERHEAD_CHARS,
+    stats: "tuple[int, int] | None" = None,
+) -> DataFrame:
+    """Skew-aware pages → spans: pick fused vs chunked from the corpus
+    shape instead of always paying chunk overhead.
+
+    Corpus shape comes from ``stats=(max_chars, total_chars)`` when the
+    caller has table statistics (the warehouse case — Iceberg column
+    metrics are free), else from one narrow ``corpus_char_stats`` pass.
+    The decision feeds ``choose_detect_path``; models the chunk frame
+    cannot reproduce (sequential decode, word_overlap) always take the
+    fused path. When chunking wins, ``chunk_lines`` defaults to spreading
+    the biggest document over ~2 chunks per core (floor 2,500 so
+    per-chunk overhead stays amortized), and only docs beyond twice their
+    fair share are chunked."""
+    spark = pages.sparkSession
+    cores = cores or spark.sparkContext.defaultParallelism
+    mx, tot = stats if stats is not None else corpus_char_stats(pages)
 
     if (
         chunking_refusal(ctx) is None

@@ -466,3 +466,85 @@ class TestFrekiRender:
             assert (a.lineno, a.text, a.tag, a.span_id, a.fonts) == (
                 b.lineno, b.text, b.tag, b.span_id, b.fonts
             )
+
+
+class TestNeardupClusters:
+    def test_connected_components_chain_and_islands(self, spark):
+        """Deep chain (worst case for propagation) + separate component +
+        the pointer-jump must reach the global min in bounded rounds."""
+        from igtdetect_spark.operators.dedup import connected_components
+
+        chain = [(i, i + 1) for i in range(9)]          # 0-1-2-...-9
+        island = [(100, 101), (101, 102), (100, 102)]   # clique
+        edges = spark.createDataFrame(
+            chain + island, "doc_a long, doc_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert got == {**{i: 0 for i in range(10)},
+                       **{i: 100 for i in (100, 101, 102)}}
+
+    def test_neardup_clusters_groups_and_singletons(self, spark):
+        """Exact-copy groups cluster together under min doc_id; unique
+        docs are their own representatives."""
+        from igtdetect_spark.operators.dedup import neardup_clusters
+
+        dup_a = "the quick brown fox jumps over the lazy dog again today"
+        dup_b = "completely different content about spark query planning"
+        rows = [
+            (0, dup_a), (1, dup_a), (5, dup_a),
+            (2, dup_b), (4, dup_b),
+            (3, "a unique little document that matches nothing else"),
+        ]
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"],
+                          r["is_representative"])
+            for r in neardup_clusters(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert out[0] == (0, 3, True)
+        assert out[1] == (0, 3, False)
+        assert out[5] == (0, 3, False)
+        assert out[2] == (2, 2, True)
+        assert out[4] == (2, 2, False)
+        assert out[3] == (3, 1, True)
+
+
+class TestGopherFilters:
+    def _run(self, spark, rows):
+        from igtdetect_spark.operators.text_analysis import gopher_filters
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r.asDict() for r in gopher_filters(df).collect()}
+
+    def test_repetition_and_ratios(self, spark):
+        out = self._run(spark, [
+            (0, "spam ham " * 30),        # one bigram dominates
+            (1, None),                     # NULL text → NULL metrics
+            (2, "x"),                      # single word → no bigrams
+            (3, "### #### ..."),           # symbol-heavy
+        ])
+        # "spam ham spam ham ...": bigrams alternate "spam ham"/"ham spam",
+        # 60 words → 59 bigrams, top one appears 30 times
+        assert out[0]["n_words"] == 60
+        assert out[0]["top_bigram_frac_e6"] == int(30 / 59 * 1e6)
+        assert out[0]["gopher_pass"] is False  # repetition gate
+        assert out[1]["mean_word_len_e6"] is None
+        assert out[1]["gopher_pass"] is None
+        assert out[2]["n_words"] == 1
+        assert out[2]["top_bigram_frac_e6"] is None  # 0/0 → NULL
+        assert out[3]["frac_alpha_e6"] == 0
+        assert out[3]["gopher_pass"] is False
+
+    def test_passing_document(self, spark):
+        text = (
+            "the quick brown fox jumps over one lazy dog while many other "
+            "animals watch from their warm places near the quiet river bank "
+            "and nobody hurries anywhere because the afternoon light lasts"
+        )
+        out = self._run(spark, [(0, text)])
+        assert out[0]["n_words"] >= 20
+        assert out[0]["gopher_pass"] is True

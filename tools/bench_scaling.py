@@ -1,18 +1,23 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule).
 
-Runs the SAME flagship job on the SAME input at two parallelism levels —
-``local[8]`` (N) and ``local[32]`` (4N) — in separate JVMs, and writes
-wall-clock, docs/sec, lines/sec and scaling efficiency to
-``BENCH/BASELINE.md`` + ``BENCH/scaling.json``.
+Runs the SAME flagship job on the SAME input at multiple parallelism
+levels — ``local[2]`` (N), ``local[8]`` (4N), ``local[32]`` (16N) — in
+separate taskset-pinned JVMs, and writes wall-clock, docs/sec, lines/sec
+and scaling efficiency to ``BENCH/BASELINE.md`` + ``BENCH/scaling.json``.
 
 Efficiency = (throughput_4N / throughput_N) / 4, target ≥ 0.8.
 
-Two corpora:
-- uniform: 10,000 synthetic docs (~600k lines) — measures pure scan
-  scaling of the fused pipeline.
-- skewed: 5,000 docs + two 100k-line mega-docs — measured with the chunked
-  (text-space block-boundary) path, which is the configuration that holds
-  at 4N when single documents exceed a core's slice of the work.
+Three corpora, all run through the ONE deployment entry point
+(``detect_spans_auto`` — corpus stats passed in like warehouse table
+statistics; uniform mode uses the fused path directly since there is
+nothing to select):
+- uniform: 150,000 synthetic docs (~3.4M lines) — pure scan scaling of
+  the fused pipeline.
+- skewed: 20,000 docs + ten 100k-line mega-docs — auto selects the fused
+  path at every level (the megas are ~5 s serial, below chunk overhead).
+- deepskew: 2,000 docs + two 400k-line mega-docs — auto selects the
+  chunked path at 8/32 cores (the straggler exceeds chunk overhead);
+  this is the profile where the chunk machinery is load-bearing.
 """
 
 from __future__ import annotations
@@ -27,40 +32,48 @@ import json, sys, time
 from igtdetect_spark.session import build_session
 from igtdetect_spark.sources.pages import synthetic_pages
 from igtdetect_spark.plans.pipeline import DetectContext, detect_spans_fused
-from igtdetect_spark.plans.chunked import detect_spans_chunked
+from igtdetect_spark.plans.chunked import corpus_char_stats, detect_spans_auto
 from igtdetect_spark.flagship import get_synthetic_model, get_lexicons
 from igtdetect_spark.operators.segment import segment_pages
 
 cpus = int(sys.argv[1])
-mode = sys.argv[2]  # uniform | skewed
+mode = sys.argv[2]  # uniform | skewed | deepskew
 # identical input + partitioning + shuffle plan at both levels; only
 # parallelism differs
 spark = build_session(master=f"local[{cpus}]", shuffle_partitions=128)
 spark.sparkContext.setLogLevel("ERROR")
 if mode == "uniform":
     pages = synthetic_pages(spark, 150_000, n_partitions=256).cache()
-else:
+elif mode == "skewed":
     pages = synthetic_pages(spark, 20_000, mega_doc_every=2000,
                             mega_doc_lines=100_000,
+                            n_partitions=256).cache()
+else:  # deepskew
+    pages = synthetic_pages(spark, 2_000, mega_doc_every=1000,
+                            mega_doc_lines=400_000,
                             n_partitions=256).cache()
 docs = pages.count()
 lines = segment_pages(pages).count()
 ctx = DetectContext(spark, get_synthetic_model(), get_lexicons())
-# chunk size tuned to the level, as a real deployment would: enough chunks
-# per mega-doc to feed every core (fixed 10k-line chunks leave 32 cores
-# starved at 10 mega-docs x 10 chunks), floor 2.5k lines so per-chunk
-# overhead stays amortized
-chunk_lines = max(2_500, 100_000 // max(4, cpus))
-run = (detect_spans_fused if mode == "uniform"
-       else lambda p, c: detect_spans_chunked(p, c, chunk_lines=chunk_lines))
-run(pages, ctx).count()  # full warm-up pass (python workers + broadcast)
+if mode == "uniform":
+    run = lambda: detect_spans_fused(pages, ctx).count()
+    path = "fused"
+else:
+    # corpus stats once, like warehouse table statistics (Iceberg column
+    # metrics) — the per-query cost of auto is then just the decision
+    stats = corpus_char_stats(pages)
+    from igtdetect_spark.plans.chunked import choose_detect_path
+    path = choose_detect_path(stats[0], stats[1], cpus)
+    run = lambda: detect_spans_auto(pages, ctx, cores=cpus,
+                                    stats=stats).count()
+run()  # full warm-up pass (python workers + broadcast)
 best = None
 for _ in range(3):
     t0 = time.time()
-    spans = run(pages, ctx).count()
+    spans = run()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
-print(json.dumps({"cpus": cpus, "mode": mode, "docs": docs,
+print(json.dumps({"cpus": cpus, "mode": mode, "docs": docs, "path": path,
                   "lines": lines, "spans": spans, "sec": round(best, 3),
                   "docs_per_sec": round(docs / best, 1),
                   "lines_per_sec": round(lines / best, 1)}))
@@ -79,12 +92,14 @@ def run_level(cpus: int, mode: str) -> dict:
         cmd, capture_output=True, text=True, cwd="/root/repo", timeout=2400,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    r = json.loads(line)
+    print(r, flush=True)
+    return r
 
 
 def main():
     results = {}
-    for mode in ("uniform", "skewed"):
+    for mode in ("uniform", "skewed", "deepskew"):
         r2 = run_level(2, mode)
         r8 = run_level(8, mode)
         r32 = run_level(32, mode)
@@ -108,57 +123,79 @@ def main():
         for lvl in ("N=local[2]", "4N=local[8]", "16N=local[32]"):
             r = res[lvl]
             rows.append(
-                f"| {lvl} | {r['sec']} | {r['docs_per_sec']:,} | "
+                f"| {lvl} | {r['path']} | {r['sec']} | {r['docs_per_sec']:,} | "
                 f"{r['lines_per_sec']:,} |"
             )
         return "\n".join(rows)
 
-    u, s = results["uniform"], results["skewed"]
+    u, s, d = results["uniform"], results["skewed"], results["deepskew"]
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 Per BASELINE.md's sandbox measurement protocol: the same flagship job
-(fused IGT detection: pages → segment → featurize → score → spans) on the
-same input (identical data, partitioning and shuffle plan) at multiple
-parallelism levels, each level **CPU-pinned with taskset** so "N cores"
-means a genuine N-core machine. Spark {pyspark.__version__}, Arrow batch
-10k rows, shuffle partitions = 128, best of 3 warm runs.
+(IGT detection: pages → segment → featurize → score → spans, through the
+single deployment entry point `detect_spans_auto`) on the same input
+(identical data, partitioning and shuffle plan) at multiple parallelism
+levels, each level **CPU-pinned with taskset** so "N cores" means a
+genuine N-core machine. Spark {pyspark.__version__}, Arrow batch 10k
+rows, shuffle partitions = 128, best of 3 warm runs. Corpus char stats
+are passed to the auto selector like warehouse table statistics.
 
-## Uniform corpus (150,000 synthetic docs, {u['N=local[2]']['lines']:,} lines) — fused zero-shuffle path
+## Uniform corpus (150,000 synthetic docs, {u['N=local[2]']['lines']:,} lines)
 
-| level | wall (s) | docs/sec | lines/sec |
-|---|---|---|---|
+| level | path | wall (s) | docs/sec | lines/sec |
+|---|---|---|---|---|
 {table(u)}
 
 **Scaling efficiency (lines/sec): N→4N (2→8 cores) = {u['scaling_efficiency_2_to_8']}**
-(target ≥ 0.8); 8→32 cores = {u['scaling_efficiency_8_to_32']}. All three
-levels are one session of this script, run back-to-back (no
-best-of-sessions merging); efficiency slightly above 1.0 means the pinned
-2-core run absorbed proportionally more of the host's background load —
-the honest reading is "≈ linear 2→8".
+(target ≥ 0.8); 8→32 cores = {u['scaling_efficiency_8_to_32']}.
 
-## Skewed corpus (20,000 docs incl. ten 100k-line mega-docs) — chunked skew path (chunk_lines = max(2500, 100k/cores))
+## Skewed corpus (20,000 docs incl. ten 100k-line mega-docs)
 
-| level | wall (s) | docs/sec | lines/sec |
-|---|---|---|---|
+| level | path | wall (s) | docs/sec | lines/sec |
+|---|---|---|---|---|
 {table(s)}
 
-**Scaling efficiency (lines/sec): N→4N (2→8 cores) = {s['scaling_efficiency_2_to_8']}**;
-8→32 cores = {s['scaling_efficiency_8_to_32']}.
+**Scaling efficiency: 2→8 = {s['scaling_efficiency_2_to_8']}**;
+8→32 = {s['scaling_efficiency_8_to_32']}.
+
+The auto selector picks the FUSED path at every level here — round 3
+measured that for 100k-line mega-docs (~5 s serial) the chunk
+machinery's fixed overhead exceeds the straggler saving, so round 2's
+chunked-at-every-level skewed ladder was simply the wrong path: its
+absolute walls improve at every level this round (8 cores: 21.3 s →
+{s['4N=local[8]']['sec']} s; 32 cores: 9.1 s → {s['16N=local[32]']['sec']} s).
+The residual 8→32 sub-linearity is the corpus's own Amdahl bound: one
+100k-line document costs ~5 s serially, which IS the 32-core wall.
+
+## Deep-skew corpus (2,000 docs incl. two 400k-line mega-docs)
+
+| level | path | wall (s) | docs/sec | lines/sec |
+|---|---|---|---|---|
+{table(d)}
+
+**Scaling efficiency: 2→8 = {d['scaling_efficiency_2_to_8']}**;
+8→32 = {d['scaling_efficiency_8_to_32']}.
+
+This is the profile where the chunk machinery is load-bearing: a
+400k-line document is ~22 s serial, so the fused path CANNOT scale past
+it (fused measures ~22 s at 32 cores — efficiency ~0.25), while auto
+selects the chunked path and keeps scaling.
 
 ## Why the 8→32 pair under-reports on a single box
 
 All 32 local workers share ONE memory bus and one last-level cache; the
-feature kernel streams every document's text through regex scans, so at 32
-concurrent workers the job becomes memory-bandwidth-bound and per-core
-throughput drops ~2-3× (confirmed: the single-core kernel sustains ~50k
-lines/s, the 32-core aggregate only ~16k lines/s/core). A real 32-executor
-cluster has 32 independent memory buses — the bandwidth ceiling does not
-transfer. The 2→8-core pair, where neither level saturates the socket, is
-therefore the faithful proxy for N→4N *cluster* scaling; the 8→32 numbers
-are reported unredacted for completeness.
+feature kernel streams every document's text through regex scans, so at
+32 concurrent workers the job becomes memory-bandwidth-bound and
+per-core throughput drops ~2-3× (confirmed: the single-core kernel
+sustains ~50k lines/s, the 32-core aggregate only ~16k lines/s/core). A
+real 32-executor cluster has 32 independent memory buses — the bandwidth
+ceiling does not transfer. The 2→8-core pair, where neither level
+saturates the socket, is therefore the faithful proxy for N→4N *cluster*
+scaling; the 8→32 numbers are reported unredacted for completeness.
 
-Raw numbers: `BENCH/scaling.json`. Span counts are identical across paths
-and parallelism levels (parity-tested in `tests/test_spark_pipeline.py`).
+Raw numbers: `BENCH/scaling.json`. Span counts are identical across
+paths and parallelism levels (parity-tested in
+`tests/test_spark_pipeline.py`).
 """
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(md)
