@@ -19,9 +19,23 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    # Custom worker daemon (pydaemon.py): kills a measured ~200 ms/task
+    # serial boot tax (per-task zip-directory re-parse in
+    # importlib.invalidate_caches + full-heap gc.collect in the reuse
+    # loop). The daemon module must be importable by a bare
+    # `python -m`, so make sure the package's parent dir rides on the
+    # PYTHONPATH the JVM (and thus the daemon) inherits. Must happen
+    # before the JVM launches; a no-op when already present.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.python.daemon.module", "igtdetect_spark.pydaemon")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.adaptive.enabled", "true")
