@@ -8,11 +8,11 @@ re-parses its archive's central directory. A worker whose ``sys.path``
 carries pyspark.zip (one zipimporter per imported subpackage path — ~15
 of them) plus the Spark jars re-reads ~200 ms of zip directories per
 task; the stock daemon reuse loop adds a full-heap ``gc.collect()``
-(~30 ms over the numpy/pandas/pyarrow boot heap). Measured here: 199 ms
-p50 inter-task gap per worker, ~1 ms of it actual UDF work — the tax is
-paid by EVERY task of EVERY Python stage on EVERY executor core, and it
-is pure serial dead time (it cannot overlap with compute, because the
-worker is single-threaded between tasks).
+after every task. Measured here: 199 ms p50 inter-task gap per worker,
+~1 ms of it actual UDF work — the tax is paid by EVERY task of EVERY
+Python stage on EVERY executor core, and it is pure serial dead time
+(the worker is single-threaded between tasks, so it cannot overlap
+compute).
 
 Three changes, all semantics-preserving:
 
@@ -22,47 +22,43 @@ Three changes, all semantics-preserving:
    task's. Import caches can only go stale when the include list
    changes (``sc.addPyFile`` mid-session — which this keeps correct);
    identical includes ⇒ identical path set ⇒ nothing to invalidate.
-2. **Pre-import** numpy/pandas/pyarrow in the daemon BEFORE forking —
-   workers inherit the loaded modules copy-on-write: first-task import
-   cost disappears and the resident pages are shared across all workers
-   on the host.
-3. **gc.freeze()** after the pre-imports — moves the boot heap into
-   CPython's permanent generation, which the reuse loop's per-task
-   ``gc.collect()`` never scans (it then sweeps only objects allocated
-   since the fork). Freezing before fork is also the documented CPython
-   recipe for keeping copy-on-write pages shared.
+2. **gc.freeze() in the daemon** after its own (pyspark-only) imports —
+   the boot heap moves into CPython's permanent generation, which the
+   reuse loop's per-task ``gc.collect()`` never scans. Freezing before
+   fork is also the documented CPython recipe for keeping
+   copy-on-write pages shared.
+3. **gc.freeze() once per worker after its FIRST task** — by then the
+   task has imported pandas/pyarrow/numpy (another ~70k objects the
+   per-task collect would otherwise sweep forever). Only the first
+   task's survivors are pinned (modules, broadcast registry — state
+   that lives for the worker's lifetime anyway), so repeated freezing
+   cannot accrete per-task garbage.
 
-Effect (local[8], 64 empty tasks): 1.9 s → ~0.3 s wall; per-task boot
-~200 ms → <15 ms. At cluster scale this is ~5.5 core-hours of dead time
-removed per 100k-task stage.
+Deliberately does NOT pre-import numpy/pandas/pyarrow in the daemon:
+those libraries start background threads (BLAS pools, Arrow memory
+management), and the daemon must stay single-threaded — ``fork()`` from
+a multithreaded process can deadlock the child on locks held by
+threads that do not survive the fork. (Round-3 postmortem: an earlier
+revision pre-imported them; under load, daemons went multithreaded and
+forked workers never came up, hanging executor reads forever.)
+
+Effect (local[8], 64 empty tasks): 1.9 s → ~0.5 s wall; per-task boot
+~200 ms → <20 ms steady-state. At cluster scale this is ~5 core-hours
+of dead time removed per 100k-task Python stage.
 
 Set ``IGT_PYDAEMON_TIMING=1`` (executor env) to log per-task
-worker_main / gc / invalidate timings to executor stderr.
+worker_main / gc timings to executor stderr.
 
 Activated by ``session.build_session`` via
 ``spark.python.daemon.module=igtdetect_spark.pydaemon``; usable as a
 plain ``python -m`` target on any executor image where this package is
-on PYTHONPATH (ship it with --py-files; the import falls back cleanly —
-if this module cannot be imported Spark refuses to start the daemon,
-so the config is only set when the package is importable).
+on PYTHONPATH (ship it with --py-files).
 """
 
 import gc
 import importlib
 import os
 import sys
-
-
-def _preimport() -> None:
-    try:
-        import numpy  # noqa: F401
-        import pandas  # noqa: F401
-        import pyarrow  # noqa: F401
-        import pyspark.worker  # noqa: F401  (daemon imports it anyway)
-    except Exception:
-        # A worker image without pandas still works — tasks import what
-        # they need; we only lose the pre-fork sharing.
-        pass
 
 
 def _install_spark_files_cache() -> None:
@@ -104,6 +100,31 @@ def _install_spark_files_cache() -> None:
     _worker.setup_spark_files = setup_spark_files
 
 
+def _install_worker_freeze() -> None:
+    """Freeze the worker heap once, after the first task completes.
+
+    Runs INSIDE the forked worker (the daemon's reuse loop calls
+    ``worker_main`` through this wrapper). After task 1 the heavy
+    libraries are loaded; freezing then makes every later per-task
+    ``gc.collect()`` in the reuse loop sweep only that task's own
+    allocations.
+    """
+    import pyspark.daemon as _daemon
+
+    _orig_main = _daemon.worker_main
+    frozen = {"done": False}
+
+    def main_then_freeze(infile, outfile):
+        r = _orig_main(infile, outfile)
+        if not frozen["done"]:
+            gc.collect()
+            gc.freeze()
+            frozen["done"] = True
+        return r
+
+    _daemon.worker_main = main_then_freeze
+
+
 def _install_timing() -> None:
     import time
 
@@ -112,33 +133,11 @@ def _install_timing() -> None:
     _orig_main = _daemon.worker_main
     _orig_collect = gc.collect
 
-    import pyspark.worker as _worker
-
-    marks: dict = {}
-
-    def _mark(name):
-        fn = getattr(_worker, name)
-
-        def inner(*a, **k):
-            r = fn(*a, **k)
-            marks[name] = time.time()
-            return r
-
-        setattr(_worker, name, inner)
-
-    for _n in ("check_python_version", "setup_broadcasts", "read_command",
-               "read_udfs", "report_times", "send_accumulator_updates"):
-        if hasattr(_worker, _n):
-            _mark(_n)
-
     def _timed_main(infile, outfile):
         t0 = time.time()
-        marks.clear()
         r = _orig_main(infile, outfile)
-        t1 = time.time()
-        rel = {k: f"{(v - t0) * 1000:.0f}" for k, v in marks.items()}
         sys.stderr.write(
-            f"[pydaemon] worker_main {(t1 - t0) * 1000:.1f}ms marks={rel}\n"
+            f"[pydaemon] worker_main {(time.time() - t0) * 1000:.1f}ms\n"
         )
         return r
 
@@ -155,8 +154,8 @@ def _install_timing() -> None:
     gc.collect = _timed_collect
 
 
-_preimport()
 _install_spark_files_cache()
+_install_worker_freeze()
 gc.freeze()
 
 if os.environ.get("IGT_PYDAEMON_TIMING"):

@@ -85,9 +85,13 @@ def run_level(cpus: int, mode: str) -> dict:
     # Pin the whole process tree (JVM + python workers) to exactly `cpus`
     # cores — otherwise the "N-core" run borrows the idle cores for JVM
     # threads/OS and the baseline is inflated (local-mode artifact a real
-    # N-executor cluster would not have).
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", RUNNER,
-           str(cpus), mode]
+    # N-executor cluster would not have). Pin to the TOP of the core
+    # range: core 0 carries the default IRQ affinity and housekeeping
+    # load, which a small pinned set would otherwise absorb
+    # disproportionately.
+    n_host = os.cpu_count() or 32
+    cmd = ["taskset", "-c", f"{n_host - cpus}-{n_host - 1}",
+           sys.executable, "-c", RUNNER, str(cpus), mode]
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd="/root/repo", timeout=2400,
     )
