@@ -93,8 +93,9 @@ def main():
         "igt_classify_lines", "igt_detect_spans", "span_islands_events",
         "tpch_q1", "revenue_topk", "minhash_bands", "ngram_jaccard",
         "token_stats", "quality_scores", "ann_cosine_topk", "ann_lsh",
-        "simhash", "dedup_exact", "media_embeddings", "winnowing",
-        "subword_stats",
+        "simhash", "simhash_neardup", "dedup_exact", "neardup_clusters",
+        "gopher_filters", "stratified_sample", "media_embeddings",
+        "winnowing", "subword_stats",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

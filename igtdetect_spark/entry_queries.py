@@ -789,6 +789,68 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding (4 × 16-bit bands —
+    hamming ≤ 3 implies an exact match on ≥ 1 band), per-band
+    equi-self-join, exact bit_count(XOR) rescore. Arithmetic shiftright
+    + mask band extraction is chosen because Spark and DuckDB BIGINT >>
+    agree exactly (the mask discards sign-extension)."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_neardup() -> str:
+    return (
+        f"WITH sig AS ({SQL_SIMHASH}),\n"
+        "bands AS (\n"
+        "  SELECT doc_id, b AS band,\n"
+        "         (simhash >> (CAST(b AS INT) * 16)) & 65535 AS band_val\n"
+        "  FROM sig, LATERAL unnest(generate_series(0, 3)) g(b)\n"
+        "),\n"
+        "cand AS (\n"
+        "  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "  FROM bands a JOIN bands b\n"
+        "    ON a.band = b.band AND a.band_val = b.band_val\n"
+        "   AND a.doc_id < b.doc_id\n"
+        ")\n"
+        "SELECT c.doc_a, c.doc_b,\n"
+        "       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT)\n"
+        "         AS hamming\n"
+        "FROM cand c\n"
+        "JOIN sig sa ON sa.doc_id = c.doc_a\n"
+        "JOIN sig sb ON sb.doc_id = c.doc_b\n"
+        "WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (≤ 50 docs per lang by
+    md5-of-id order) with the two-phase salted top-N plan (salt_parts=8)
+    — output identical to the single-window form the oracle uses; the
+    salting only changes the physical plan (mega-stratum rows never
+    serialize into one partition)."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), n_per_group=50, salt_parts=8
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id, sample_rank
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= 50
+"""
+
+
 # bit b (LSB order) of the big-endian first 8 md5 bytes lives in hex nibble
 # 16 - b//4 (1-indexed), bit b%4 — extracted with pure integer math.
 SQL_SIMHASH = f"""
@@ -1501,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
+        "stratified_sample": q_stratified_sample,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1547,6 +1611,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": SQL_QUALITY_SCORES.replace("{SW}", sw),
         "lang_id": SQL_LANG_ID.replace("{SW}", sw),
         "simhash": SQL_SIMHASH,
+        "simhash_neardup": _sql_simhash_neardup(),
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf_fixed(),

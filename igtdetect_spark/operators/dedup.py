@@ -540,3 +540,91 @@ def neardup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (banded hamming-distance join)
+# ---------------------------------------------------------------------------
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs of documents whose 64-bit SimHash
+    signatures differ in ≤ ``max_hamming`` bits — the third near-dup
+    modality next to MinHash-Jaccard and embedding-cosine.
+
+    Candidate generation is the pigeonhole banding scheme: split the 64
+    bits into ``n_bands`` disjoint bands; any two signatures within
+    hamming distance k ≤ n_bands−1 must agree EXACTLY on at least one
+    band, so an equi-self-join per band finds every qualifying pair
+    (requires ``max_hamming < n_bands`` — asserted). Exact
+    ``bit_count(a XOR b)`` rescores the candidate union.
+
+    Scale shape: signatures are one narrow kernel pass; the per-band
+    join key is a 64/n_bands-bit integer (2^16 values at the default —
+    near-uniform, no skew); candidate volume per band is Σ n_bucket² /
+    2^(64/n_bands) — sub-quadratic; only (id, id) pairs flow into the
+    rescore join, vectors/texts stay in the scan. The rescore is a
+    broadcast-friendly self-join on the tiny signature relation.
+    """
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"banding completeness needs max_hamming < n_bands, got "
+            f"{max_hamming} >= {n_bands}"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    sig = simhash_docs(docs, id_col, text_col)
+
+    # 4 rows/doc: (band, band value). Arithmetic shiftright + mask is
+    # sign-extension-safe (the mask keeps only the band's own bits) and
+    # matches DuckDB's BIGINT >> semantics exactly.
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(sig.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("simhash", "sig_a")
+        .join(
+            sig.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("simhash").alias("sig_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -548,3 +548,85 @@ class TestGopherFilters:
         out = self._run(spark, [(0, text)])
         assert out[0]["n_words"] >= 20
         assert out[0]["gopher_pass"] is True
+
+
+class TestSimhashNeardup:
+    def test_pairs_match_brute_force(self, spark):
+        """Pigeonhole completeness: every pair within hamming <= 3 of the
+        brute-force all-pairs computation must be found by the banded
+        join (and nothing else)."""
+        from igtdetect_spark.operators.dedup import (
+            simhash_docs, simhash_neardup_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near a river"
+        rows = [
+            (0, base),
+            (1, base),                                   # hamming 0
+            (2, base.replace("lazy", "sleepy")),         # small hamming
+            (3, "completely different text about query planning engines"),
+            (4, base.replace("quick", "rapid").replace("dog", "cat")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = {r["doc_id"]: r["simhash"]
+                for r in simhash_docs(df).collect()}
+        want = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs for b in sigs if a < b
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_neardup_pairs(df).collect()
+        }
+        assert got == want
+        assert got[(0, 1)] == 0  # identical docs collide exactly
+
+    def test_parameter_validation(self, spark):
+        import pytest
+        from igtdetect_spark.operators.dedup import simhash_neardup_pairs
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_hamming < n_bands"):
+            simhash_neardup_pairs(df, max_hamming=4, n_bands=4)
+        with pytest.raises(ValueError, match="divide 64"):
+            simhash_neardup_pairs(df, max_hamming=2, n_bands=3)
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        rows = [(i, "en" if i % 3 else "de") for i in range(90)]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_caps_and_determinism(self, spark):
+        from igtdetect_spark.operators.sampling import stratified_sample
+
+        out = stratified_sample(self._docs(spark), n_per_group=10).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["lang"], []).append((r["sample_rank"], r["doc_id"]))
+        assert sorted(len(v) for v in by.values()) == [10, 10]
+        assert all(sorted(r for r, _ in v) == list(range(1, 11))
+                   for v in by.values())
+        again = stratified_sample(self._docs(spark), n_per_group=10).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_salted_plan_identical_output(self, spark):
+        """The two-phase salted top-N must produce exactly the plain
+        window's rows (only the physical plan differs)."""
+        from igtdetect_spark.operators.sampling import stratified_sample
+
+        plain = stratified_sample(self._docs(spark), n_per_group=7).collect()
+        salted = stratified_sample(
+            self._docs(spark), n_per_group=7, salt_parts=8
+        ).collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+    def test_small_stratum_kept_whole(self, spark):
+        from igtdetect_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "en"), (3, "fr")], "doc_id long, lang string"
+        )
+        out = stratified_sample(df, n_per_group=10, salt_parts=4).collect()
+        assert len(out) == 3
