@@ -229,9 +229,20 @@ def detect_spans_chunked(
     is_chunkable = is_mega & ~has_ff
     small_spans = detect_spans_fused(pages.filter(~is_chunkable), ctx)
 
+    # Mega docs are RARE by definition — running the split over the
+    # input table's full partition count means hundreds of empty Python
+    # tasks that each still pay the worker boot round-trip. Coalesce
+    # (narrow, no shuffle) to ~cores tasks; the per-doc split work is
+    # what parallelizes, not the scan. The chunk shuffle likewise gets
+    # an explicit width: 2 waves per core beats inheriting
+    # spark.sql.shuffle.partitions (128 mostly-empty tasks when a corpus
+    # has a handful of megas).
+    par = pages.sparkSession.sparkContext.defaultParallelism
     chunks = split_mega_pages(
-        pages.filter(is_chunkable), chunk_lines, cfg.html_main_content
-    ).repartition("url", "chunk_no")
+        pages.filter(is_chunkable).coalesce(max(2, par)),
+        chunk_lines,
+        cfg.html_main_content,
+    ).repartition(2 * par, "url", "chunk_no")
 
     def score_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = ModelWeights.from_broadcastable(model_bc.value)
@@ -366,15 +377,18 @@ def detect_spans_chunked(
     return small_spans.unionByName(mega_spans)
 
 
-# Auto path-selection cost model, calibrated at local[32] (see
-# BENCH/PLANS.md). All quantities in characters of page content:
+# Auto path-selection cost model. All quantities in characters of page
+# content:
 #   fused_wall   ≈ max(tot/C, mx) · rate
 #   chunked_wall ≈ (seg_serial(mx) ≈ 0.2·mx + ~1.5·tot/C) · rate + fixed
 # ⇒ chunk pays only when the straggler's scoring time clears both its
 # fair share and the chunk machinery's fixed overhead (split pass +
-# repartition shuffle + stitch ≈ several seconds ≈ 8M chars of scoring).
-# Measured: 100k-line megas (4M chars) — fused 4.3 s vs chunked 5.3 s;
-# 400k-line mega (16M chars) — fused 22 s vs chunked 12 s.
+# chunk shuffle + stitch ≈ 8M chars of scoring). Re-measured round 3
+# at local[8] AFTER the worker boot-tax fix (pydaemon) + the coalesced
+# split (both paths were previously carrying ~6 s of hidden per-task
+# boot): ten 4M-char megas — fused 6.4 s vs chunked 8.1 s (fused
+# correctly chosen); one 16M-char mega — fused 13.6 s vs chunked 6.6 s
+# (chunked correctly chosen). Span counts bit-identical across paths.
 AUTO_OVERHEAD_CHARS = 8_000_000
 AUTO_FAIRSHARE_FACTOR = 0.6
 
@@ -431,7 +445,18 @@ def detect_spans_auto(
     fused path. When chunking wins, ``chunk_lines`` defaults to spreading
     the biggest document over ~2 chunks per core (floor 2,500 so
     per-chunk overhead stays amortized), and only docs beyond twice their
-    fair share are chunked."""
+    fair share are chunked.
+
+    A straggler-first rearrangement (round-robin the big docs into the
+    stage's first partitions so they start at t=0 — LPT via partition
+    order) was measured and REJECTED: the repartition introduces a
+    stage barrier plus a full extra scan, costing ~2× more than the
+    packing win at realistic skew (8 cores, ten 4M-char megas: plain
+    5.1 s vs rearranged 10.0 s, identical spans). With hundreds of
+    partitions the scheduler's dynamic packing already absorbs most of
+    the straggler tail; the packing bound that remains is the corpus's
+    own (see BENCH/BASELINE.md).
+    """
     spark = pages.sparkSession
     cores = cores or spark.sparkContext.defaultParallelism
     mx, tot = stats if stats is not None else corpus_char_stats(pages)
@@ -447,4 +472,5 @@ def detect_spans_auto(
             pages, ctx, chunk_lines=chunk_lines,
             mega_doc_chars=mega_doc_chars,
         )
+
     return detect_spans_fused(pages, ctx)

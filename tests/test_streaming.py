@@ -202,3 +202,65 @@ def test_fold_sessions_late_data_merge_rules():
         None, [(1, 2, 1, 1, 1, 1), (500, 600, 2, 2, 2, 3)], gap
     )
     assert closed == [(1, 2, 1, 1, 1, 1)] and op == [500, 600, 2, 2, 2, 3]
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path_factory):
+    """First delivery of a content fingerprint passes, replays inside
+    the watermark horizon are dropped, and a re-delivery AFTER the
+    horizon (state evicted) is a new observation."""
+    from datetime import datetime
+
+    from igtdetect_spark.streaming.dedup import dedup_stream_exact
+
+    def row(minute, url, text):
+        return (url, datetime(2024, 1, 1, minute // 60, minute % 60), text)
+
+    files = [
+        # X twice in one batch + Y: dup dropped
+        [row(0, "u0", "X"), row(1, "u1", "Y"), row(2, "u2", "X")],
+        # X again within horizon (watermark still behind): dropped
+        [row(5, "u3", "X")],
+        # Z advances the watermark past X's expiry (0 + 10 min)
+        [row(30, "u4", "Z")],
+        # W advances it again — eviction of expired keys happens at
+        # batch boundaries using the PREVIOUS batch's watermark, so X's
+        # entry is physically dropped during this batch
+        [row(90, "u6", "W")],
+        # X after eviction: NEW observation, passes again
+        [row(120, "u5", "X")],
+    ]
+    src = str(tmp_path_factory.mktemp("dedup_stream"))
+    schema = "url string, warc_ts timestamp, text string"
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    q = (
+        dedup_stream_exact(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        (r["url"], r["fp"])
+        for r in spark.read.schema(
+            "url string, ts timestamp, fp string"
+        ).parquet(out).collect()
+    )
+    urls = [u for u, _ in got]
+    assert urls == ["u0", "u1", "u4", "u5", "u6"], urls
+    fps = dict(got)
+    assert fps["u0"] == fps["u5"]          # same content, re-admitted
+    assert len({fps["u0"], fps["u1"], fps["u4"], fps["u6"]}) == 4
