@@ -15,7 +15,7 @@ nothing to select):
   the fused pipeline.
 - skewed: 20,000 docs + ten 100k-line mega-docs — auto selects the fused
   path at every level (the megas are ~5 s serial, below chunk overhead).
-- deepskew: 2,000 docs + two 400k-line mega-docs — auto selects the
+- deepskew: 2,000 docs + one 400k-line mega-doc — auto selects the
   chunked path at 8/32 cores (the straggler exceeds chunk overhead);
   this is the profile where the chunk machinery is load-bearing.
 """
@@ -140,9 +140,18 @@ Per BASELINE.md's sandbox measurement protocol: the same flagship job
 single deployment entry point `detect_spans_auto`) on the same input
 (identical data, partitioning and shuffle plan) at multiple parallelism
 levels, each level **CPU-pinned with taskset** so "N cores" means a
-genuine N-core machine. Spark {pyspark.__version__}, Arrow batch 10k
-rows, shuffle partitions = 128, best of 3 warm runs. Corpus char stats
-are passed to the auto selector like warehouse table statistics.
+genuine N-core machine (pinned to the TOP of the core range — core 0
+carries default IRQ affinity). Spark {pyspark.__version__}, Arrow batch
+10k rows, shuffle partitions = 128, best of 3 warm runs. Corpus char
+stats are passed to the auto selector like warehouse table statistics.
+
+Round-3 note: these numbers include the custom worker daemon
+(`pydaemon.py` — see BENCH/PLANS.md), which removed a ~200 ms/task
+Python worker boot tax present in all earlier ladders. The tax scaled
+linearly with parallelism (it is per-task, parallel across workers), so
+earlier efficiency ratios were PADDED by it while every absolute wall
+was inflated — round-2/3 cross-comparisons of either metric are
+apples-to-oranges; this ladder is the round-3 record.
 
 ## Uniform corpus (150,000 synthetic docs, {u['N=local[2]']['lines']:,} lines)
 
@@ -162,16 +171,22 @@ are passed to the auto selector like warehouse table statistics.
 **Scaling efficiency: 2→8 = {s['scaling_efficiency_2_to_8']}**;
 8→32 = {s['scaling_efficiency_8_to_32']}.
 
-The auto selector picks the FUSED path at every level here — round 3
-measured that for 100k-line mega-docs (~5 s serial) the chunk
-machinery's fixed overhead exceeds the straggler saving, so round 2's
-chunked-at-every-level skewed ladder was simply the wrong path: its
-absolute walls improve at every level this round (8 cores: 21.3 s →
-{s['4N=local[8]']['sec']} s; 32 cores: 9.1 s → {s['16N=local[32]']['sec']} s).
-The residual 8→32 sub-linearity is the corpus's own Amdahl bound: one
-100k-line document costs ~5 s serially, which IS the 32-core wall.
+The auto selector picks the FUSED path at every level here: a 4M-char
+mega costs ~3 s serially, below the chunk machinery's overhead
+(measured at 8 cores: fused {s['4N=local[8]']['sec']} s vs chunked
+8.1 s on this corpus). The 2→8 sub-linearity is the corpus's own
+packing bound, not engine overhead: ten indivisible ~100k-line units
+on 8 cores force two cores to carry two megas each (10 ≠ 0 mod 8) —
+the theoretical cap for 2→8 on this corpus is ~0.8. Any negative 8→32
+step is the single-socket artifact in its purest form: each mega is
+one serial kernel, and with 31 other workers saturating the shared
+memory bus that serial kernel itself stretches ~2.5× — the straggler
+term GROWS with local parallelism. A real cluster adds memory buses
+along with cores; this box cannot. The deep-skew section shows what
+happens when a straggler is big enough for chunking to beat it
+instead.
 
-## Deep-skew corpus (2,000 docs incl. two 400k-line mega-docs)
+## Deep-skew corpus (2,000 docs incl. one 400k-line mega-doc)
 
 | level | path | wall (s) | docs/sec | lines/sec |
 |---|---|---|---|---|
@@ -180,10 +195,15 @@ The residual 8→32 sub-linearity is the corpus's own Amdahl bound: one
 **Scaling efficiency: 2→8 = {d['scaling_efficiency_2_to_8']}**;
 8→32 = {d['scaling_efficiency_8_to_32']}.
 
-This is the profile where the chunk machinery is load-bearing: a
-400k-line document is ~22 s serial, so the fused path CANNOT scale past
-it (fused measures ~22 s at 32 cores — efficiency ~0.25), while auto
-selects the chunked path and keeps scaling.
+This is the profile where the chunk machinery is load-bearing: one
+16M-char (400k-line) document costs ~11-13 s serially, so the fused
+path can never beat that wall no matter the core count (measured at 8
+cores: fused 13.6 s vs chunked {d['4N=local[8]']['sec']} s); auto
+selects the chunked path at every level and the straggler
+parallelizes. The residual 2→8 sub-linearity is the split stage's
+serial component — the mega is segmented ONCE (a per-document pass,
+~1.5 s at this size) before its chunks fan out; that term is fixed
+while everything after it scales.
 
 ## Why the 8→32 pair under-reports on a single box
 
