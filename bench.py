@@ -93,7 +93,8 @@ def main():
         "igt_classify_lines", "igt_detect_spans", "span_islands_events",
         "tpch_q1", "revenue_topk", "minhash_bands", "ngram_jaccard",
         "token_stats", "quality_scores", "ann_cosine_topk", "ann_lsh",
-        "simhash", "simhash_neardup", "dedup_exact", "neardup_clusters",
+        "simhash", "simhash_neardup", "asof_join", "corpus_mixture",
+        "dedup_exact", "neardup_clusters",
         "gopher_filters", "stratified_sample", "media_embeddings",
         "winnowing", "subword_stats",
     ]

@@ -824,6 +824,102 @@ def _sql_simhash_neardup() -> str:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left as-of join (orders × latest prior event per customer) via
+    the union-window plan — ONE shuffle, no per-key cross product. The
+    oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, i.e. a fully
+    independent implementation of the semantics. Events are deduped to
+    one row per (user_id, ts) — keep max event_id — in both engines so
+    equal-timestamp ties cannot make either side nondeterministic."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    ev = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return asof_join(
+        orders.withColumnRenamed("o_custkey", "user_id"),
+        ev,
+        on="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        right_cols=["event_id", "event_type", "ts"],
+        tiebreak="event_id",
+    ).select(
+        "o_orderkey",
+        F.col("user_id").alias("o_custkey"),
+        "o_orderdate",
+        "event_id",
+        "event_type",
+        F.col("asof_ts").alias("event_ts"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH ev AS (
+  SELECT event_id, ts, user_id, event_type
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, ts ORDER BY event_id DESC
+    ) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       e.event_id, e.event_type, e.ts AS event_ts
+FROM orders o
+ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id
+ AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+"""
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus mixture report — doc counts, byte and
+    whitespace-token totals, and each cell's share of the corpus in
+    exact parts-per-million (integer div — no float rounding to
+    diverge). The curation step that decides sampling rates."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0b]+", " ")),
+        " ",
+    ))
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(toks.cast("long")).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "lang", "source", "n_docs", "total_chars", "total_tokens",
+        F.expr("n_docs * 1000000 div sum(n_docs) over ()")
+        .alias("share_docs_ppm"),
+        F.expr("total_chars * 1000000 div sum(total_chars) over ()")
+        .alias("share_chars_ppm"),
+    )
+
+
+SQL_CORPUS_MIXTURE = r"""
+WITH g AS (
+  SELECT lang, source,
+         COUNT(*) AS n_docs,
+         SUM(n_chars) AS total_chars,
+         SUM(len(string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '))) AS total_tokens
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, total_chars, total_tokens,
+       (n_docs * 1000000) // SUM(n_docs) OVER () AS share_docs_ppm,
+       (total_chars * 1000000) // SUM(total_chars) OVER () AS share_chars_ppm
+FROM g
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (≤ 50 docs per lang by
     md5-of-id order) with the two-phase salted top-N plan (salt_parts=8)
@@ -1565,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "stratified_sample": q_stratified_sample,
+        "asof_join": q_asof_join,
+        "corpus_mixture": q_corpus_mixture,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1613,6 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "simhash_neardup": _sql_simhash_neardup(),
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "asof_join": SQL_ASOF_JOIN,
+        "corpus_mixture": SQL_CORPUS_MIXTURE,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf_fixed(),

@@ -630,3 +630,36 @@ class TestStratifiedSample:
         )
         out = stratified_sample(df, n_per_group=10, salt_parts=4).collect()
         assert len(out) == 3
+
+
+class TestAsofJoin:
+    def test_semantics_inclusive_bound_ties_and_misses(self, spark):
+        from datetime import datetime
+
+        from igtdetect_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, datetime(2024, 1, 5)),
+             (2, 10, datetime(2024, 1, 2)),   # equal to an event ts
+             (3, 10, datetime(2024, 1, 1)),   # before every event
+             (4, 99, datetime(2024, 1, 5))],  # key with no events
+            "order_id long, k long, odate timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, 10, datetime(2024, 1, 2), "a"),
+             (101, 10, datetime(2024, 1, 2), "b"),   # tie on ts
+             (102, 10, datetime(2024, 1, 4), "c")],
+            "event_id long, k long, ts timestamp, etype string",
+        )
+        out = {
+            r["order_id"]: (r["event_id"], r["etype"])
+            for r in asof_join(
+                left, right, on="k", left_ts="odate", right_ts="ts",
+                right_cols=["event_id", "etype", "ts"],
+                tiebreak="event_id",
+            ).collect()
+        }
+        assert out[1] == (102, "c")       # latest before Jan 5
+        assert out[2] == (101, "b")       # inclusive bound; max event_id tie
+        assert out[3] == (None, None)     # nothing at or before Jan 1
+        assert out[4] == (None, None)     # key absent from right
