@@ -123,3 +123,39 @@ def test_flagship_scan_prunes_unused_columns(spark, ctx):
 
     plan = _plan(detect_spans_fused(pages_from_documents(spark, SF_DIR), ctx))
     assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+
+def test_asof_join_plan_is_one_shuffle_no_join(spark):
+    """The union-window as-of plan: ONE hash exchange on the key, a
+    window, and NO join operator at all (the naive form would be a
+    range join whose per-key cross product explodes)."""
+    from igtdetect_spark.entry_queries import q_asof_join
+
+    plan = _plan(q_asof_join(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    # key exchange for the window + the events-dedup window share the
+    # same (user_id)-prefixed partitioning; allow the dedup's own
+    # exchange but nothing beyond.
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_simhash_neardup_plan_is_bucketed_not_allpairs(spark):
+    """Banded hamming join: equi-join on (band, band_val) — never a
+    cartesian/nested-loop over the corpus."""
+    from igtdetect_spark.entry_queries import q_simhash_neardup
+
+    plan = _plan(q_simhash_neardup(spark, SF_DIR))
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_stratified_sample_salted_has_bounded_windows(spark):
+    """Two-phase salted top-N: the per-salt local window prunes to
+    ≤ N rows per (group, salt) BEFORE the global window — both windows
+    present, no extra exchanges beyond their two partitionings."""
+    from igtdetect_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(stratified_sample(docs, n_per_group=10, salt_parts=8))
+    assert plan.count("Window") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 2
