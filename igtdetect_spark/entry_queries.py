@@ -920,6 +920,88 @@ FROM g
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by tf·idf. Ranking is done
+    on the e6-FLOORED score (not the raw double), and ties break on the
+    term string — so the ordering is identical on both engines even if
+    ln() differs in the last ulp. Plan: one explode + two hash
+    aggregations (term-frequency, document-frequency) + broadcast of
+    the tiny df relation back onto tf."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[ \t\n\r\f\x0b]+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_rel = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_src = docs.agg(
+        F.countDistinct("source").cast("double").alias("_n")
+    )
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_src))  # 1-row scalar, stays lazy
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.floor(
+                F.col("tf") * F.log(F.col("_n") / F.col("df")) * 1e6
+            ).cast("long").alias("tfidf_e6"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf_e6"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "term", "tf", "df", "tfidf_e6")
+    )
+
+
+def _sql_tfidf_top_terms() -> str:
+    return r"""
+WITH toks AS (
+  SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, COUNT(*) AS tf FROM toks
+  WHERE length(term) >= 3 GROUP BY 1, 2
+),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nsrc AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfr.df,
+         CAST(floor(tf.tf * ln(CAST(nsrc.n AS DOUBLE) / dfr.df) * 1e6)
+              AS BIGINT) AS tfidf_e6
+  FROM tf JOIN dfr USING (term), nsrc
+)
+SELECT source, rank, term, tf, df, tfidf_e6
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY tfidf_e6 DESC, term
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (≤ 50 docs per lang by
     md5-of-id order) with the two-phase salted top-N plan (salt_parts=8)
@@ -1663,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "asof_join": q_asof_join,
         "corpus_mixture": q_corpus_mixture,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1713,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "asof_join": SQL_ASOF_JOIN,
         "corpus_mixture": SQL_CORPUS_MIXTURE,
+        "tfidf_top_terms": _sql_tfidf_top_terms(),
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf_fixed(),
