@@ -94,7 +94,7 @@ def main():
         "tpch_q1", "revenue_topk", "minhash_bands", "ngram_jaccard",
         "token_stats", "quality_scores", "ann_cosine_topk", "ann_lsh",
         "simhash", "simhash_neardup", "asof_join", "corpus_mixture",
-        "tfidf_top_terms",
+        "tfidf_top_terms", "hopping_counts",
         "dedup_exact", "neardup_clusters",
         "gopher_filters", "stratified_sample", "media_embeddings",
         "winnowing", "subword_stats",

@@ -920,6 +920,59 @@ FROM g
 """
 
 
+def q_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping event-time windows (30-minute windows sliding every 15):
+    Spark's native `F.window` fan-out (each event lands in exactly 2
+    windows) vs an oracle that derives both window starts with pure
+    integer epoch math. Boundaries stay timezone-naive on BOTH engines
+    (Spark TIMESTAMP_NTZ from the parquet scan; DuckDB `make_timestamp`
+    is naive) — no session-timezone conversion anywhere. Money sums as
+    floored cents (IEEE multiply + floor is deterministic cross-engine)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100).cast("long")
+            ).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
+    )
+
+
+SQL_HOPPING_COUNTS = """
+WITH e AS (
+  SELECT event_type, user_id, value,
+         CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS b
+  FROM events
+),
+fanout AS (
+  SELECT event_type, user_id, value, b - s.k * 900 AS ws
+  FROM e, (VALUES (0), (1)) s(k)
+)
+SELECT make_timestamp(ws * 1000000) AS window_start,
+       make_timestamp((ws + 1800) * 1000000) AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+FROM fanout
+GROUP BY 1, 2, 3
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per source by tf·idf. Ranking is done
     on the e6-FLOORED score (not the raw double), and ties break on the
@@ -1746,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "corpus_mixture": q_corpus_mixture,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "hopping_counts": q_hopping_counts,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1797,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "corpus_mixture": SQL_CORPUS_MIXTURE,
         "tfidf_top_terms": _sql_tfidf_top_terms(),
+        "hopping_counts": SQL_HOPPING_COUNTS,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf_fixed(),
