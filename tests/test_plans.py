@@ -159,3 +159,27 @@ def test_stratified_sample_salted_has_bounded_windows(spark):
     plan = _plan(stratified_sample(docs, n_per_group=10, salt_parts=8))
     assert plan.count("Window") >= 2
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_hopping_counts_plan_is_expand_plus_bounded_exchanges(spark):
+    """Sliding windows come from ONE Expand (2 rows/event), then the
+    count-distinct rewrite's two hash exchanges — never a join against
+    a generated window relation."""
+    from igtdetect_spark.entry_queries import q_hopping_counts
+
+    plan = _plan(q_hopping_counts(spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_tfidf_plan_broadcasts_df_and_never_sortmerges(spark):
+    """The document-frequency relation and the 1-row distinct-source
+    scalar both reach tf as broadcasts; a SortMergeJoin here would mean
+    the tiny side was shuffled with the big one."""
+    from igtdetect_spark.entry_queries import q_tfidf_top_terms
+
+    plan = _plan(q_tfidf_top_terms(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" in plan   # the 1-row scalar
+    assert "SortMergeJoin" not in plan
