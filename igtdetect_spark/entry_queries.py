@@ -909,13 +909,13 @@ SQL_CORPUS_MIXTURE = r"""
 WITH g AS (
   SELECT lang, source,
          COUNT(*) AS n_docs,
-         SUM(n_chars) AS total_chars,
-         SUM(len(string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '))) AS total_tokens
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split(trim(regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens
   FROM documents GROUP BY 1, 2
 )
 SELECT lang, source, n_docs, total_chars, total_tokens,
-       (n_docs * 1000000) // SUM(n_docs) OVER () AS share_docs_ppm,
-       (total_chars * 1000000) // SUM(total_chars) OVER () AS share_chars_ppm
+       CAST((n_docs * 1000000) // SUM(n_docs) OVER () AS BIGINT) AS share_docs_ppm,
+       CAST((total_chars * 1000000) // SUM(total_chars) OVER () AS BIGINT) AS share_chars_ppm
 FROM g
 """
 
@@ -967,7 +967,7 @@ SELECT make_timestamp(ws * 1000000) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM fanout
 GROUP BY 1, 2, 3
 """

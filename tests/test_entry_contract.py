@@ -75,6 +75,23 @@ def test_registry_consistency():
     assert rows_only == {"igt_classify_lines", "igt_detect_spans"}
 
 
+def test_oracle_result_types_are_whitelisted(con):
+    """Round-3 regression gate: an oracle whose result schema contains
+    HUGEINT/DECIMAL (e.g. an un-cast integer SUM) hashes differently on
+    the driver's Arrow fetch path than on fetchall(), so the local
+    mirror passes while the driver fails. Audit every registered oracle's
+    *result types* — no rows fetched — against the verified whitelist."""
+    import __spark_entry__ as e
+    from igtdetect_spark.oracle_types import audit_relation
+
+    offenders = {}
+    for name, sql in e.oracle_sql().items():
+        bad = audit_relation(con.sql(sql))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracles emitting unstable types: {offenders}"
+
+
 @pytest.mark.parametrize("name", CHECKED)
 def test_query_matches_duckdb(spark, con, name):
     import __spark_entry__ as e

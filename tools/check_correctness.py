@@ -54,6 +54,7 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
+    from igtdetect_spark.oracle_types import audit_relation
     from igtdetect_spark.session import build_session
 
     spark = build_session(master="local[8]", shuffle_partitions=16)
@@ -89,6 +90,15 @@ def main():
         try:
             rel = con.sql(osql[name])
             ocols = [d[0] for d in rel.description]
+            # Type gate BEFORE hashing: fetchall() coerces HUGEINT to
+            # Python int so value comparison cannot see the round-3
+            # failure class — the driver's Arrow fetch path coerces it
+            # differently and hash-fails. Reject the type itself.
+            bad = audit_relation(rel)
+            if bad:
+                print(f"FAIL  {name}: oracle emits non-whitelisted types: {bad}")
+                failures.append(name)
+                continue
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
