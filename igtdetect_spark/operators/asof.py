@@ -49,13 +49,23 @@ def asof_join(
     sharing a timestamp (largest value wins); required for a
     deterministic result when such ties exist."""
     carry = [c for c in right_cols if c != right_ts]
+    # The whole right payload rides in ONE struct carried by ONE
+    # last(ignorenulls) — carrying each column independently would
+    # back-fill a NULL payload cell from an OLDER right row, fabricating
+    # a mixed row that no single right row ever contained. The struct is
+    # NULL on left rows and non-NULL on every right row (even when its
+    # payload fields are NULL), so the carry is all-or-nothing.
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    r_struct_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in carry]
+        + [StructField("_rts", TimestampType())]
+    )
     l = left.select(
         F.lit(1).alias("_tag"),
         F.col(left_ts).cast("timestamp").alias("_t"),
         "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in carry],
-        F.lit(None).cast("timestamp").alias("_rts"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r = right.select(
         F.lit(0).alias("_tag"),
@@ -63,24 +73,26 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c != on],
         F.col(on),
-        *carry,
-        F.col(right_ts).cast("timestamp").alias("_rts"),
+        F.struct(
+            *[F.col(c) for c in carry],
+            F.col(right_ts).cast("timestamp").alias("_rts"),
+        ).alias("_r"),
     ).select(*l.columns)  # align column order for the union
 
     order = [F.col("_t"), F.col("_tag")]
     if tiebreak is not None:
-        order.append(F.col(tiebreak).asc_nulls_first())
+        order.append(F.col("_r").getField(tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l.unionByName(r).withColumns(
-        {c: F.last(F.col(c), ignorenulls=True).over(w)
-         for c in carry + ["_rts"]}
+    filled = l.unionByName(r).withColumn(
+        "_r", F.last(F.col("_r"), ignorenulls=True).over(w)
     )
     return (
         filled.filter(F.col("_tag") == 1)
-        .select(*left.columns, *carry,
-                F.col("_rts").alias(f"asof_{right_ts}"))
+        .select(*left.columns,
+                *[F.col("_r").getField(c).alias(c) for c in carry],
+                F.col("_r").getField("_rts").alias(f"asof_{right_ts}"))
     )

@@ -444,7 +444,11 @@ def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
 # Near-duplicate cluster assignment (connected components over LSH pairs)
 # ---------------------------------------------------------------------------
 
-def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """(node, component) — component = MIN node id reachable through the
     undirected edge set ``edges`` (columns ``doc_a``, ``doc_b``). Nodes
     not in any edge are absent (callers re-attach singletons).
@@ -456,26 +460,47 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     candidate graphs are clique-like (members of a dup cluster are
     pairwise similar, diameter 1–2), so 2–3 rounds in practice. Each
     round is two hash joins + one aggregation on (node) keys, shuffle
-    volume O(|E|), and the label frame is ``localCheckpoint``-ed so the
-    iterative lineage cannot stack (the same discipline GraphFrames'
-    iterative algorithms use). Convergence is detected by the strictly
-    decreasing sum of labels reaching a fixpoint — one scalar action per
-    round on the already-materialized checkpoint.
+    volume O(|E|), and the label frame is checkpointed so the iterative
+    lineage cannot stack (the same discipline GraphFrames' iterative
+    algorithms use). Convergence is detected by the strictly decreasing
+    sum of labels reaching a fixpoint — one scalar action per round on
+    the already-materialized checkpoint.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_rounds`` — silently returning would hand callers a wrongly
+    split component assignment with no signal. Practically unreachable
+    with pointer jumping at the default 25 rounds (would need diameter
+    > 2^25), so the raise is a cheap safety assertion.
+
+    ``checkpoint_dir``: when set, per-round frames use RELIABLE
+    checkpoints written under this (distributed) path instead of
+    ``localCheckpoint``. Local checkpoints live on executor block
+    stores — on a real cluster an executor loss mid-iteration kills the
+    lineage-truncated frame; pass a checkpoint dir in cluster mode.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     # Materialize the edge relation ONCE: every round joins against it,
     # and without this each round would re-execute the full upstream
     # candidate-pair pipeline (signature scan + LSH self-join) from
     # scratch — measured 5× on the graded near-dup query.
-    und = edges.select(
+    und = _ckpt(edges.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(
         edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).localCheckpoint()
-    labels = (
+    ))
+    labels = _ckpt(
         und.select("u").distinct().withColumn("lab", F.col("u"))
-        .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         nbr = (
             und.join(
@@ -496,11 +521,19 @@ def connected_components(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             F.least(F.col("lab"), F.coalesce("plab", F.col("lab")))
             .alias("lab"),
         )
-        labels = jumped.localCheckpoint()
+        labels = _ckpt(jumped)
         cur_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: label-sum fixpoint not reached within "
+            f"max_rounds={max_rounds}; component assignment would be "
+            f"wrongly split. Raise max_rounds (diameter > 2^rounds is "
+            f"required to get here with pointer jumping)."
+        )
     return labels.select(F.col("u").alias("node"), F.col("lab").alias("component"))
 
 

@@ -61,16 +61,67 @@ import os
 import sys
 
 
+# sha256 of inspect.getsource(pyspark.worker_util.setup_spark_files) for
+# the pyspark version this clone was written against. The clone below
+# re-implements that function's WIRE PROTOCOL (the exact sequence of
+# reads from ``infile``); a pyspark upgrade that changes the protocol
+# would silently desynchronize the worker stream — hangs or corrupt task
+# input, not a clean error. The signature guard turns that into a loud
+# fallback to the stock implementation.
+_SETUP_SPARK_FILES_SHA256 = (
+    "fdbcb9682a6c733a3337a7374713f2d8ef7d08388a91f542b77670a31aa28d43"
+)
+
+
+# set by _install_spark_files_cache at import: whether the stock source
+# matched the pin (i.e. whether the fast clone is installed).
+_SIGNATURE_OK: bool | None = None
+
+
+def _stock_setup_spark_files_matches(fn=None) -> bool:
+    """True iff ``fn`` (default: the CURRENT stock function — call this
+    before patching) hashes to the pinned signature."""
+    import hashlib
+    import inspect
+
+    if fn is None:
+        import pyspark.worker_util as _wu
+
+        fn = _wu.setup_spark_files
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return False
+    return hashlib.sha256(src.encode()).hexdigest() == _SETUP_SPARK_FILES_SHA256
+
+
 def _install_spark_files_cache() -> None:
     """Replace worker_util.setup_spark_files with a change-aware clone.
 
     Mirrors pyspark/worker_util.py:124-144 exactly, except
     ``importlib.invalidate_caches()`` runs only when the includes
     actually changed. The wire protocol (reads from ``infile``) is
-    byte-identical, so this tracks the stock implementation.
+    byte-identical, so this tracks the stock implementation — and is
+    only installed when the stock source still matches the pinned
+    signature above (otherwise the stock function stays in place and a
+    warning goes to executor stderr).
     """
+    global _SIGNATURE_OK
+
     import pyspark.worker as _worker
     import pyspark.worker_util as _wu
+
+    _SIGNATURE_OK = _stock_setup_spark_files_matches()
+    if not _SIGNATURE_OK:
+        import pyspark
+
+        sys.stderr.write(
+            "[pydaemon] WARNING: pyspark.worker_util.setup_spark_files "
+            f"source changed (pyspark {pyspark.__version__}); keeping the "
+            "stock implementation — per-task import-cache invalidation "
+            "tax returns until the clone is re-verified.\n"
+        )
+        return
 
     state: dict = {"key": None}
 

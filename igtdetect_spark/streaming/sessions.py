@@ -88,33 +88,38 @@ def _fold_sessions(open_sess, sessions, gap_sec):
     """Fold time-ordered in-batch sessions into the carried open session.
     Returns (closed, open_sess). Late-data rules (a non-zero watermark
     delay admits events before the carried session's span):
-    - s after open's horizon → open closes, s becomes the open session;
-    - s entirely before open with a real gap → s is a late, already-
+    - a session after open's horizon → open closes, it becomes open;
+    - a session entirely before open with a real gap → a late, already-
       closed session of its own (emitted; open untouched);
     - otherwise merge with min(start)/max(end) so a late early event can
-      lower session_start but never drag session_end backwards."""
-    closed = []
-    for s in sessions:
-        if open_sess is not None:
-            if s[0] - open_sess[1] > gap_sec:
-                closed.append(tuple(open_sess))
-                open_sess = list(s)
-            elif open_sess[0] - s[1] > gap_sec:
-                closed.append(tuple(s))
-            else:
-                open_sess[0] = min(open_sess[0], s[0])
-                open_sess[1] = max(open_sess[1], s[1])
-                open_sess[2] += s[2]
-                open_sess[3] += s[3]
-                open_sess[4] = min(open_sess[4], s[4])
-                open_sess[5] = max(open_sess[5], s[5])
+      lower session_start but never drag session_end backwards.
+
+    Implementation is a plain interval-gap merge of ``sessions +
+    [open_sess]`` sorted by start — in-batch sessions are mutually
+    gap-separated by construction, but the carried open session can sit
+    anywhere among them (late data), and once it merges, its extended
+    end can reach the NEXT in-batch session too. Only the time-latest
+    merged session stays open; every earlier one is closed. (The earlier
+    per-item fold wrongly closed the carried session whenever a
+    stand-alone late session shared its micro-batch.)"""
+    items = [list(s) for s in sessions]
+    if open_sess is not None:
+        items.append(list(open_sess))
+    items.sort(key=lambda s: (s[0], s[1]))
+    merged: list[list] = []
+    for s in items:
+        if merged and s[0] - merged[-1][1] <= gap_sec:
+            m = merged[-1]
+            m[0] = min(m[0], s[0])
+            m[1] = max(m[1], s[1])
+            m[2] += s[2]
+            m[3] += s[3]
+            m[4] = min(m[4], s[4])
+            m[5] = max(m[5], s[5])
         else:
-            open_sess = list(s)
-        if open_sess is not None and s is not sessions[-1]:
-            # any non-final in-batch session is already closed
-            closed.append(tuple(open_sess))
-            open_sess = None
-    return closed, open_sess
+            merged.append(list(s))
+    closed = [tuple(m) for m in merged[:-1]]
+    return closed, (merged[-1] if merged else None)
 
 
 def sessionize_stream(

@@ -486,6 +486,39 @@ class TestNeardupClusters:
         assert got == {**{i: 0 for i in range(10)},
                        **{i: 100 for i in (100, 101, 102)}}
 
+    def test_connected_components_nonconvergence_raises(self, spark):
+        """Round-4 verdict item: hitting max_rounds without the label-sum
+        fixpoint must raise, not silently return wrongly split labels.
+        A 9-edge path at max_rounds=1 cannot converge."""
+        import pytest as _pytest
+
+        from igtdetect_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+        )
+        with _pytest.raises(RuntimeError, match="fixpoint not reached"):
+            connected_components(edges, max_rounds=1)
+
+    def test_connected_components_reliable_checkpoint_dir(self, spark, tmp_path):
+        """Cluster-mode path: a checkpoint_dir switches the per-round
+        frames to reliable checkpoints; results are identical and the
+        directory is actually written."""
+        import os
+
+        from igtdetect_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+        )
+        ck = str(tmp_path / "cc_ckpt")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, checkpoint_dir=ck).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+        assert any(os.scandir(ck))  # reliable checkpoints were written
+
     def test_neardup_clusters_groups_and_singletons(self, spark):
         """Exact-copy groups cluster together under min doc_id; unique
         docs are their own representatives."""
@@ -663,3 +696,30 @@ class TestAsofJoin:
         assert out[2] == (101, "b")       # inclusive bound; max event_id tie
         assert out[3] == (None, None)     # nothing at or before Jan 1
         assert out[4] == (None, None)     # key absent from right
+
+    def test_null_payload_comes_from_the_matched_row_only(self, spark):
+        """Round-4 advice regression: when the matched right row has a
+        NULL payload cell, that NULL must surface — per-column carries
+        would back-fill it from an OLDER right row, fabricating a mixed
+        row no single right row contained (and diverging from DuckDB's
+        native ASOF JOIN)."""
+        from datetime import datetime
+
+        from igtdetect_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, datetime(2024, 1, 5))],
+            "order_id long, k long, odate timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, 10, datetime(2024, 1, 2), "old-nonnull"),
+             (101, 10, datetime(2024, 1, 4), None)],  # matched row, NULL cell
+            "event_id long, k long, ts timestamp, etype string",
+        )
+        [row] = asof_join(
+            left, right, on="k", left_ts="odate", right_ts="ts",
+            right_cols=["event_id", "etype", "ts"], tiebreak="event_id",
+        ).collect()
+        assert row["event_id"] == 101
+        assert row["etype"] is None       # NOT back-filled from event 100
+        assert row["asof_ts"] == datetime(2024, 1, 4)

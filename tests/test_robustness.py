@@ -96,3 +96,33 @@ def test_dedup_ops_survive_hostile_docs(spark):
         "vec_id long, embedding array<float>",
     )
     assert embedding_neardup_pairs(emb, threshold=0.9).count() == 1
+
+
+def test_pydaemon_protocol_signature_guard():
+    """Round-4 advice: the pydaemon setup_spark_files clone re-implements
+    a specific pyspark wire protocol; a pyspark upgrade must trip the
+    signature guard and keep the STOCK implementation (loud fallback)
+    rather than desynchronizing the worker stream."""
+    import pyspark.worker_util as wu
+
+    from igtdetect_spark import pydaemon
+
+    # at import the guard saw the STOCK function and the pin matched
+    # (after import the clone is installed, so check the recorded verdict)
+    assert pydaemon._SIGNATURE_OK is True
+
+    # simulate an upgrade: with a wrong pin, install must refuse to patch
+    orig_wu = wu.setup_spark_files
+    orig_sha = pydaemon._SETUP_SPARK_FILES_SHA256
+    orig_ok = pydaemon._SIGNATURE_OK
+    try:
+        # reset to a known stock-like sentinel so we can detect patching
+        sentinel = object()
+        wu.setup_spark_files = sentinel
+        pydaemon._SETUP_SPARK_FILES_SHA256 = "0" * 64
+        pydaemon._install_spark_files_cache()
+        assert wu.setup_spark_files is sentinel  # untouched on mismatch
+    finally:
+        pydaemon._SETUP_SPARK_FILES_SHA256 = orig_sha
+        pydaemon._SIGNATURE_OK = orig_ok
+        wu.setup_spark_files = orig_wu

@@ -204,6 +204,48 @@ def test_fold_sessions_late_data_merge_rules():
     assert closed == [(1, 2, 1, 1, 1, 1)] and op == [500, 600, 2, 2, 2, 3]
 
 
+def test_fold_sessions_multi_session_batch_late_data():
+    """Round-4 advice regression: a stand-alone late session sharing a
+    micro-batch with a mergeable current session must NOT close the
+    carried open session. Also covers the chained merge where the carried
+    session's extended end reaches the NEXT in-batch session."""
+    from igtdetect_spark.streaming.sessions import _fold_sessions
+
+    gap = 100
+
+    # the advice repro: open=[1000,1200], batch sessions (700,800) and
+    # (1150,1160) — (700,800) closes alone, (1150,1160) merges into the
+    # STILL-OPEN carried session.
+    closed, op = _fold_sessions(
+        [1000, 1200, 3, 300, 10, 12],
+        [(700, 800, 2, 20, 1, 2), (1150, 1160, 1, 5, 50, 50)],
+        gap,
+    )
+    assert closed == [(700, 800, 2, 20, 1, 2)]
+    assert op == [1000, 1200, 4, 305, 10, 50]
+
+    # chained merge: open [900, 1000] bridges two in-batch sessions that
+    # are gap-separated from EACH OTHER ((700,850)→(1050,1100) gap 200)
+    # but each within gap of the carried span — all three become one.
+    closed, op = _fold_sessions(
+        [900, 1000, 2, 200, 5, 6],
+        [(700, 850, 2, 20, 1, 2), (1050, 1100, 1, 10, 9, 9)],
+        gap,
+    )
+    assert closed == []
+    assert op == [700, 1100, 5, 230, 1, 9]
+
+    # two late stand-alone sessions + one merging current one
+    closed, op = _fold_sessions(
+        [1000, 1200, 3, 300, 10, 12],
+        [(100, 150, 1, 1, 1, 1), (400, 450, 1, 2, 2, 2),
+         (1250, 1260, 1, 3, 30, 30)],
+        gap,
+    )
+    assert closed == [(100, 150, 1, 1, 1, 1), (400, 450, 1, 2, 2, 2)]
+    assert op == [1000, 1260, 4, 303, 10, 30]
+
+
 def test_streaming_exact_dedup_within_watermark(spark, tmp_path_factory):
     """First delivery of a content fingerprint passes, replays inside
     the watermark horizon are dropped, and a re-delivery AFTER the
