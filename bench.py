@@ -98,6 +98,7 @@ def main():
         "dedup_exact", "neardup_clusters",
         "gopher_filters", "stratified_sample", "media_embeddings",
         "winnowing", "subword_stats",
+        "substring_dup_spans", "contamination_screen",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

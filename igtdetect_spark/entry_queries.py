@@ -1768,6 +1768,108 @@ FROM embeddings GROUP BY label
 # Registry
 # ---------------------------------------------------------------------------
 
+_SUBSTR_N = 13
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2021 semantics under a
+    fixed-n gram cover): maximal token spans covered by 13-grams that
+    occur ≥ 2 times anywhere in the corpus. Two shuffles total (gram
+    hash-agg, per-doc window+agg); span offsets are 1-based inclusive
+    integers so the cross-engine hash is exact."""
+    from .operators.dedup import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=_SUBSTR_N, min_count=2
+    )
+
+
+SQL_SUBSTRING_DUP_SPANS = f"""
+WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(tk, CAST(i AS INT),
+                                        CAST(i AS INT) + {_SUBSTR_N - 1}),
+                             ' ')) AS gram
+  FROM toks,
+       LATERAL unnest(generate_series(1, len(tk) - {_SUBSTR_N - 1})) s(i)
+  WHERE len(tk) >= {_SUBSTR_N}
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w IS NULL
+                OR pos - LAG(pos) OVER w > {_SUBSTR_N} THEN 1
+              ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_SUBSTR_N - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_SUBSTR_N - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, isl_id
+"""
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag corpus docs sharing ≥ 1
+    13-gram with an eval-set item (GPT-3 appendix-C style hygiene
+    check). The eval set is synthesized deterministically from the
+    corpus itself — tokens 5..30 of every doc_id ≡ 0 (mod 41) — so the
+    screen provably catches at least each item's source doc. The tiny
+    eval shingle relation is broadcast: the corpus side streams through
+    a broadcast hash join, never an all-pairs comparison."""
+    from .operators.dedup import contamination_screen, normalized_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm_toks = F.split(normalized_text(F.col("text")), " ")
+    evalset = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(norm_toks, 5, 26), " ").alias("text"),
+    )
+    return contamination_screen(docs, evalset, n=_SUBSTR_N)
+
+
+SQL_CONTAMINATION_SCREEN = f"""
+WITH norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+doc_sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, CAST(i AS INT),
+                                    CAST(i AS INT) + {_SUBSTR_N - 1}),
+                         ' ') AS shingle
+  FROM toks,
+       LATERAL unnest(generate_series(1, greatest(len(tk) - {_SUBSTR_N - 1},
+                                                  1))) s(i)
+),
+ev AS (
+  SELECT doc_id AS eval_id,
+         string_split(array_to_string(list_slice(tk, 5, 30), ' '), ' ') AS tk
+  FROM toks WHERE doc_id % 41 = 0
+),
+ev_sh AS (
+  SELECT DISTINCT eval_id,
+         array_to_string(list_slice(tk, CAST(i AS INT),
+                                    CAST(i AS INT) + {_SUBSTR_N - 1}),
+                         ' ') AS shingle
+  FROM ev,
+       LATERAL unnest(generate_series(1, greatest(len(tk) - {_SUBSTR_N - 1},
+                                                  1))) s(i)
+)
+SELECT d.doc_id, e.eval_id, COUNT(*) AS n_shared_grams
+FROM doc_sh d JOIN ev_sh e USING (shingle)
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -1815,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "media_meta": q_media_meta,
         "media_embeddings": q_media_embeddings,
+        "substring_dup_spans": q_substring_dup_spans,
+        "contamination_screen": q_contamination_screen,
     }
 
 
@@ -1864,6 +1968,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": SQL_EMBEDDING_STATS,
         "media_meta": SQL_MEDIA_META,
         "media_embeddings": SQL_MEDIA_EMBEDDINGS,
+        "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+        "contamination_screen": SQL_CONTAMINATION_SCREEN,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -665,3 +665,157 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (duplicated n-gram span detection)
+# ---------------------------------------------------------------------------
+
+def positional_ngram_hashes(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, gram): md5 of every POSITIONAL word n-gram (1-based
+    token position, NOT deduped — the positional twin of
+    ``word_shingles``). Docs shorter than ``n`` tokens emit nothing (they
+    cannot contain an n-token duplicated span).
+
+    The whole gram array is built as ONE native expression
+    (split + transform over a sequence + md5), so the scan stays inside
+    whole-stage codegen; ``posexplode_outer`` for the same
+    InferFiltersFromGenerate reason as ``word_shingles``."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.posexplode_outer(grams).alias("_p", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "gram")
+    )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 13,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = True,
+) -> DataFrame:
+    """Substring-level exact dedup: maximal token spans covered by word
+    n-grams occurring ≥ ``min_count`` times in the whole corpus
+    (including repeats inside one doc) — the detection half of
+    duplicated-training-span removal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"). Suffix-array semantics
+    are approximated by the fixed-``n`` gram cover: any duplicated
+    substring of ≥ n tokens is covered by its duplicated n-grams, and
+    overlapping/adjacent covers merge into one maximal span.
+
+    Returns (doc_id, span_start, span_end, n_tokens, n_dup_grams) with
+    1-based inclusive token offsets into the NORMALIZED token stream.
+    Callers remove spans with a slice on the same tokenization.
+
+    Scale shape: the positional gram relation is ~1 row per corpus token
+    — the plan does exactly TWO shuffles on it (one hash-agg by gram
+    with map-side partial aggregation, one window+agg by doc_id; the
+    island groupBy reuses the window's doc_id partitioning). The gram
+    relation feeds both the duplicate-gram aggregate and the join back,
+    so it is persisted once (``materialize``); at cluster scale write it
+    to a temp table instead and pass ``materialize=False``. At 100 TB,
+    hash grams to int64 (two md5 halves XORed) to shrink the shuffle —
+    kept as the md5 hex string here for bit-exact oracle parity.
+    """
+    g = positional_ngram_hashes(docs, n, id_col, text_col)
+    handles = []
+    if materialize:
+        g = g.persist()
+        handles.append(g)
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = (
+        hits.withColumn("_prev", F.lag("pos").over(w))
+        # consecutive duplicated grams at pos, prev cover overlapping or
+        # touching token ranges iff pos - prev <= n
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    out = (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+            "n_dup_grams",
+        )
+    )
+    out._plan_cache_handles = handles
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screen (corpus × eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contamination_screen(
+    docs: DataFrame,
+    evalset: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, eval_id, n_shared_grams): corpus docs sharing ≥ 1 word
+    n-gram with an eval-set item — the standard pretraining hygiene
+    check (13-gram overlap à la GPT-3 appendix C / PaLM contamination
+    analysis). ``n_shared_grams`` counts DISTINCT shared grams (both
+    sides' shingles are per-document distinct).
+
+    Scale shape: the eval set is small by construction (benchmarks are
+    thousands of items, the corpus is billions), so its shingle relation
+    is broadcast — the corpus side streams through a broadcast hash join
+    with NO shuffle, and the only exchange is the final (doc_id,
+    eval_id) count aggregate, whose input is already tiny (matches
+    only). Never an all-pairs comparison."""
+    doc_sh = word_shingles(docs, n, id_col, text_col)
+    ev_sh = (
+        word_shingles(evalset, n, eval_id_col, eval_text_col)
+        .withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("shingle", "shingle")
+    )
+    return (
+        doc_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

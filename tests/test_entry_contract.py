@@ -20,7 +20,7 @@ CHECKED = [
     "lang_id", "embedding_stats", "ann_cosine_topk", "media_meta",
     "simhash", "ann_lsh", "media_embeddings", "subword_stats",
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
-    "ann_ivf",
+    "ann_ivf", "substring_dup_spans", "contamination_screen",
 ]
 
 
@@ -130,7 +130,8 @@ HOSTILE_CHECKED = [
     "dedup_exact", "fingerprints", "minhash_bands", "minhash_lsh_pairs",
     "ngram_jaccard", "simhash", "token_stats", "quality_scores", "lang_id",
     "subword_stats", "winnowing", "media_meta", "media_embeddings",
-    "media_frames", "media_resize",
+    "media_frames", "media_resize", "substring_dup_spans",
+    "contamination_screen",
 ]
 
 

@@ -723,3 +723,99 @@ class TestAsofJoin:
         assert row["event_id"] == 101
         assert row["etype"] is None       # NOT back-filled from event 100
         assert row["asof_ts"] == datetime(2024, 1, 4)
+
+
+class TestSubstringDedup:
+    """duplicated_ngram_spans on planted duplicates (round-4 verdict #4)."""
+
+    def _docs(self, spark):
+        dup = "alpha bravo charlie delta echo"          # 5-token planted run
+        rows = [
+            # doc 1: run at token positions 6-10
+            (1, "u11 u12 u13 u14 u15 " + dup + " u16 u17 u18"),
+            # doc 2: run at token positions 3-7
+            (2, "v21 v22 " + dup + " v23 v24 v25 v26 v27 v28"),
+            # doc 3: run TWICE, far apart (positions 1-5 and 13-17)
+            (3, dup + " w31 w32 w33 w34 w35 w36 w37 " + dup),
+            # doc 4: nothing duplicated
+            (4, "x41 x42 x43 x44 x45 x46 x47 x48 x49 x50"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_spans_exact_offsets(self, spark):
+        from igtdetect_spark.operators.dedup import duplicated_ngram_spans
+
+        out = {
+            (r["doc_id"], r["span_start"]): (
+                r["span_end"], r["n_tokens"], r["n_dup_grams"]
+            )
+            for r in duplicated_ngram_spans(self._docs(spark), n=3).collect()
+        }
+        # only grams fully inside the planted run repeat (context differs),
+        # so each 5-token run yields 3 duplicated 3-grams → one 5-token span
+        assert out == {
+            (1, 6): (10, 5, 3),
+            (2, 3): (7, 5, 3),
+            (3, 1): (5, 5, 3),
+            (3, 13): (17, 5, 3),
+        }
+
+    def test_adjacent_covers_merge_and_gap_splits(self, spark):
+        """Two dup runs whose covers touch (distance ≤ n) merge into one
+        maximal span; distance > n keeps them separate."""
+        from igtdetect_spark.operators.dedup import duplicated_ngram_spans
+
+        run_a, run_b = "p1 p2 p3", "q1 q2 q3"
+        docs = spark.createDataFrame(
+            [
+                # runs at pos 1-3 and 6-8: dup gram positions 1 and 6,
+                # 6-1=5 > n=3 → two spans... but wait, covers [1,3] and
+                # [6,8] do not touch (gap token 4-5) → split correct
+                (1, run_a + " g11 g12 " + run_b),
+                (2, run_a + " g21 g22 " + run_b),
+                # runs back-to-back at pos 1-3 and 4-6: dup positions 1,4
+                # → 4-1=3 ≤ n → one merged span [1,6]
+                (3, run_a + " " + run_b + " h31 h32 h33"),
+                (4, run_a + " " + run_b + " h41 h42 h43"),
+            ],
+            "doc_id long, text string",
+        )
+        spans = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicated_ngram_spans(docs, n=3).collect()
+        }
+        assert (1, 1, 3) in spans and (1, 6, 8) in spans
+        assert (3, 1, 6) in spans
+        assert not any(d == 3 and (s, e) != (1, 6) for d, s, e in spans)
+
+    def test_short_docs_emit_nothing(self, spark):
+        from igtdetect_spark.operators.dedup import duplicated_ngram_spans
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, None)], "doc_id long, text string"
+        )
+        assert duplicated_ngram_spans(docs, n=3).count() == 0
+
+
+class TestContaminationScreen:
+    def test_eval_overlap_detected(self, spark):
+        from igtdetect_spark.operators.dedup import contamination_screen
+
+        leak = "one two three four five six"   # 6 tokens → 4 distinct 3-grams
+        docs = spark.createDataFrame(
+            [
+                (1, "c11 c12 " + leak + " c13 c14"),     # contaminated
+                (2, "d21 d22 d23 d24 d25 d26 d27 d28"),  # clean
+                (3, "e31 " + leak + " e32 e33 e34 e35"), # contaminated
+            ],
+            "doc_id long, text string",
+        )
+        evalset = spark.createDataFrame(
+            [(100, leak), (101, "zeta eta theta iota kappa")],
+            "eval_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["eval_id"]): r["n_shared_grams"]
+            for r in contamination_screen(docs, evalset, n=3).collect()
+        }
+        assert got == {(1, 100): 4, (3, 100): 4}  # eval 101 hits nothing

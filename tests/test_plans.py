@@ -183,3 +183,36 @@ def test_tfidf_plan_broadcasts_df_and_never_sortmerges(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoop" in plan   # the 1-row scalar
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_screen_broadcasts_eval_side(spark):
+    """The eval shingle relation must arrive via a broadcast hash join —
+    no shuffle of the corpus shingles, never a cartesian product."""
+    from igtdetect_spark.entry_queries import q_contamination_screen
+
+    plan = _plan(q_contamination_screen(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus side reaches the join without an exchange: the only
+    # hash exchanges allowed are the final (doc_id, eval_id) aggregate's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_substring_dup_spans_two_shuffle_shape(spark):
+    """Positional-gram dedup: one shuffle by gram (dup-gram aggregate +
+    join back) and one by doc_id (window + island aggregate reuse the
+    same partitioning); no cartesian, no Python evaluation."""
+    from igtdetect_spark.entry_queries import q_substring_dup_spans
+
+    df = q_substring_dup_spans(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # gram-side exchanges (agg + join probe) + one doc_id exchange; the
+    # island groupBy must NOT add a fourth (doc_id partitioning satisfies
+    # the (doc_id, _isl) clustering)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    from igtdetect_spark.operators.dedup import release_plan_caches
+
+    release_plan_caches(df)
