@@ -98,7 +98,8 @@ def main():
         "dedup_exact", "neardup_clusters",
         "gopher_filters", "stratified_sample", "media_embeddings",
         "winnowing", "subword_stats",
-        "substring_dup_spans", "contamination_screen",
+        "substring_dup_spans", "substring_dedup_clean",
+        "contamination_screen",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -1819,6 +1819,63 @@ FROM isl GROUP BY doc_id, isl_id
 """
 
 
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup: corpus text with every
+    duplicated-13-gram span dropped (remove-all policy), plus
+    removed/kept token counts. Chains the span detector with the native
+    exists-filter reconstruction — still two shuffles end-to-end."""
+    from .operators.dedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicated_ngram_spans(docs, n=_SUBSTR_N, min_count=2)
+    out = remove_duplicated_spans(docs, spans)
+    out._plan_cache_handles = getattr(spans, "_plan_cache_handles", [])
+    return out
+
+
+def _sql_substring_dedup_clean() -> str:
+    body = SQL_SUBSTRING_DUP_SPANS.strip()
+    assert body.startswith("WITH ") and body.rstrip().endswith(
+        "FROM isl GROUP BY doc_id, isl_id"
+    )
+    ctes = body[len("WITH "):body.index("\nSELECT doc_id,")]
+    return f"""
+WITH {ctes},
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_N - 1} AS e
+  FROM isl GROUP BY doc_id, isl_id
+),
+pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS p, tk[CAST(i AS INT)] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, len(tk))) s(i)
+),
+kept AS (
+  SELECT p.doc_id, p.p, p.tok
+  FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id AND p.p BETWEEN s.s AND s.e)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN t.tk IS NULL THEN NULL
+            ELSE COALESCE(a.clean_text, '') END AS clean_text,
+       CASE WHEN t.tk IS NULL THEN NULL
+            ELSE CAST(len(t.tk) - COALESCE(a.n_kept, 0) AS BIGINT)
+       END AS n_removed_tokens,
+       CASE WHEN t.tk IS NULL THEN NULL
+            ELSE CAST(COALESCE(a.n_kept, 0) AS BIGINT)
+       END AS n_kept_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: flag corpus docs sharing ≥ 1
     13-gram with an eval-set item (GPT-3 appendix-C style hygiene
@@ -1918,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_embeddings": q_media_embeddings,
         "substring_dup_spans": q_substring_dup_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
         "contamination_screen": q_contamination_screen,
     }
 
@@ -1969,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": SQL_MEDIA_META,
         "media_embeddings": SQL_MEDIA_EMBEDDINGS,
         "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+        "substring_dedup_clean": _sql_substring_dedup_clean(),
         "contamination_screen": SQL_CONTAMINATION_SCREEN,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.

@@ -20,12 +20,15 @@ rows sorting before left rows at equal t makes the bound inclusive;
 equal-timestamp right rows are broken by the ordered tiebreak column
 (largest wins), so the result is deterministic.
 
-Skew note: one hot key serializes its window partition. The standard
-cure mirrors the sessionize/top-N pattern — pre-bucket time into
-coarse ranges, run the union-window per (key, bucket), then stitch the
-per-bucket carry-in (the last right row of bucket b-1) with one more
-tiny window. Not wired here because as-of keys (user, instrument,
-device) are near-uniform in practice.
+Skew note: one hot key serializes its window partition. The cure is
+wired as ``bucket_width_sec``: pre-bucket time into coarse ranges, run
+the union-window per (key, bucket) — a hot key's rows then spread over
+its time buckets instead of serializing through one sort partition —
+and stitch the per-bucket carry-in (the last right row of any earlier
+bucket) with one more window over the TINY (key, bucket) relation.
+Default (None) keeps the single-window plan: as-of keys (user,
+instrument, device) are near-uniform in practice and the bucketed plan
+costs two extra small shuffles.
 """
 
 from __future__ import annotations
@@ -42,12 +45,23 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tiebreak: str | None = None,
+    bucket_width_sec: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every row of ``left``, plus ``right_cols`` from
     the latest ``right`` row with ``right_ts`` ≤ ``left_ts`` on the same
     ``on`` key (NULLs when no such row). ``tiebreak`` orders right rows
     sharing a timestamp (largest value wins); required for a
-    deterministic result when such ties exist."""
+    deterministic result when such ties exist.
+
+    ``bucket_width_sec``: hot-key cure. When set, the running-carry
+    window partitions by (key, floor(epoch/width)) so a hot key's rows
+    parallelize across its time buckets; rows whose bucket has no
+    earlier right row take the carry-in — the last right row of any
+    EARLIER bucket, computed with one window over the tiny
+    (key, bucket) relation (rowsBetween(unboundedPreceding, -1), i.e.
+    strictly previous buckets) and coalesced in. Output is identical to
+    the unbucketed plan (pytest-pinned); pick a width that yields
+    10-100× more buckets than the hot key's row count per core."""
     carry = [c for c in right_cols if c != right_ts]
     # The whole right payload rides in ONE struct carried by ONE
     # last(ignorenulls) — carrying each column independently would
@@ -82,14 +96,71 @@ def asof_join(
     order = [F.col("_t"), F.col("_tag")]
     if tiebreak is not None:
         order.append(F.col("_r").getField(tiebreak).asc_nulls_first())
-    w = (
-        Window.partitionBy(on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = l.unionByName(r).withColumn(
-        "_r", F.last(F.col("_r"), ignorenulls=True).over(w)
-    )
+
+    u = l.unionByName(r)
+    if bucket_width_sec is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn(
+            "_r", F.last(F.col("_r"), ignorenulls=True).over(w)
+        )
+    else:
+        # NULL timestamps bucket to a sentinel BELOW every real bucket:
+        # they sort first in the plain plan (carry NULL) and must not be
+        # dropped by the carry-in equi-join
+        u = u.withColumn(
+            "_b",
+            F.coalesce(
+                F.floor(F.unix_timestamp("_t") / bucket_width_sec),
+                F.lit(-(2 ** 62)),
+            ),
+        )
+        w_in = (
+            Window.partitionBy(on, "_b")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumn(
+            "_rin", F.last(F.col("_r"), ignorenulls=True).over(w_in)
+        )
+        # last right struct of each bucket, by the SAME ordering the
+        # in-bucket carry uses (max of the order key among right rows)
+        per_bucket = (
+            u.filter(F.col("_tag") == 0)
+            .groupBy(on, "_b")
+            .agg(
+                F.max_by(
+                    F.col("_r"),
+                    F.struct(
+                        F.col("_t"),
+                        *([F.col("_r").getField(tiebreak)]
+                          if tiebreak is not None else []),
+                    ),
+                ).alias("_rlast")
+            )
+        )
+        # all (key, bucket) pairs present on EITHER side, so a bucket
+        # with only left rows still receives its carry-in
+        buckets = u.select(on, "_b").distinct()
+        w_carry = (
+            Window.partitionBy(on)
+            .orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_in = (
+            buckets.join(per_bucket, [on, "_b"], "left")
+            .withColumn(
+                "_rprev", F.last(F.col("_rlast"), ignorenulls=True).over(w_carry)
+            )
+            .select(on, "_b", "_rprev")
+        )
+        filled = (
+            filled.join(carry_in, [on, "_b"])
+            .withColumn("_r", F.coalesce(F.col("_rin"), F.col("_rprev")))
+        )
     return (
         filled.filter(F.col("_tag") == 1)
         .select(*left.columns,

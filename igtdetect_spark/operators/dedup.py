@@ -819,3 +819,57 @@ def contamination_screen(
         .groupBy("doc_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal half of substring-level dedup: given the spans from
+    ``duplicated_ngram_spans`` (1-based inclusive token offsets into the
+    normalized token stream), return (doc_id, clean_text, n_removed_tokens,
+    n_kept_tokens) with every flagged token dropped — the Lee et al.
+    "remove one occurrence? remove all" policy applied as remove-all
+    (both occurrences are inside flagged spans by construction).
+
+    Fully native: spans aggregate to one array per doc (a LEFT join —
+    clean docs pass through with spans=[]), and the token filter is an
+    ``exists`` over that array inside ``F.filter`` — no shuffle beyond
+    the span aggregation's own, no Python. Output text is the
+    NORMALIZED token stream minus flagged tokens (normalization is the
+    dedup domain; callers needing original-byte surgery map offsets
+    back through their own tokenizer).
+    """
+    sp = spans.groupBy(F.col("doc_id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    joined = d.join(sp, "doc_id", "left").withColumn(
+        "_spans", F.coalesce("_spans", F.array())
+    )
+    # keep token i (1-based) iff no span covers it
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda tok, i: F.struct(
+                tok.alias("t"),
+                F.exists(
+                    F.col("_spans"),
+                    lambda s: (i + 1 >= s["span_start"])
+                    & (i + 1 <= s["span_end"]),
+                ).alias("drop"),
+            ),
+        ),
+        lambda st: ~st["drop"],
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda st: st["t"]), " ")
+        .alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).cast("long")
+        .alias("n_removed_tokens"),
+        F.size(kept).cast("long").alias("n_kept_tokens"),
+    )

@@ -724,6 +724,68 @@ class TestAsofJoin:
         assert row["etype"] is None       # NOT back-filled from event 100
         assert row["asof_ts"] == datetime(2024, 1, 4)
 
+    def test_bucketed_hot_key_plan_is_identical(self, spark):
+        """bucket_width_sec (the wired hot-key cure) must produce
+        bit-identical output to the single-window plan on a corpus with
+        a hot key, cross-bucket carries (buckets with only left rows),
+        equal-ts ties, NULL payload cells, and a key missing from right."""
+        from datetime import datetime, timedelta
+
+        from igtdetect_spark.operators.asof import asof_join
+
+        base = datetime(2024, 1, 1)
+        # hot key 1: 200 left rows over 200 minutes; right rows only in
+        # the first 30 minutes → later buckets rely purely on carry-in
+        left_rows = [(i, 1, base + timedelta(minutes=i)) for i in range(200)]
+        left_rows += [(1000, 2, base + timedelta(minutes=50))]   # sparse key
+        left_rows += [(2000, 3, base + timedelta(minutes=50))]   # no right
+        right_rows = [
+            (100 + j, 1, base + timedelta(minutes=j * 3), f"e{j}")
+            for j in range(11)                                   # ≤ min 30
+        ]
+        right_rows += [
+            (500, 1, base + timedelta(minutes=9), None),   # NULL payload tie
+            (501, 2, base + timedelta(minutes=50), "x"),   # equal-ts bound
+        ]
+        left = spark.createDataFrame(
+            left_rows, "order_id long, k long, odate timestamp"
+        )
+        right = spark.createDataFrame(
+            right_rows, "event_id long, k long, ts timestamp, etype string"
+        )
+        kw = dict(on="k", left_ts="odate", right_ts="ts",
+                  right_cols=["event_id", "etype", "ts"], tiebreak="event_id")
+        plain = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+        for width in (600, 3600):   # 10-minute and 1-hour buckets
+            bucketed = sorted(map(tuple, asof_join(
+                left, right, bucket_width_sec=width, **kw
+            ).collect()))
+            assert bucketed == plain, f"width={width}"
+
+    def test_bucketed_window_partitions_by_bucket(self, spark):
+        """The hot-key plan must actually partition the carry window by
+        (key, bucket) — otherwise the cure is a no-op."""
+        from datetime import datetime
+
+        from igtdetect_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, datetime(2024, 1, 5))],
+            "order_id long, k long, odate timestamp",
+        )
+        right = spark.createDataFrame(
+            [(100, 10, datetime(2024, 1, 2), "a")],
+            "event_id long, k long, ts timestamp, etype string",
+        )
+        df = asof_join(left, right, on="k", left_ts="odate", right_ts="ts",
+                       right_cols=["event_id", "etype", "ts"],
+                       tiebreak="event_id", bucket_width_sec=3600)
+        plan = str(df._jdf.queryExecution().executedPlan())
+        # in-bucket carry window + cross-bucket carry-in window
+        assert plan.count("Window") >= 2, plan
+        # the big window is keyed by (k, _b), not k alone
+        assert "_b#" in plan, plan
+
 
 class TestSubstringDedup:
     """duplicated_ngram_spans on planted duplicates (round-4 verdict #4)."""
@@ -819,3 +881,47 @@ class TestContaminationScreen:
             for r in contamination_screen(docs, evalset, n=3).collect()
         }
         assert got == {(1, 100): 4, (3, 100): 4}  # eval 101 hits nothing
+
+
+class TestRemoveDuplicatedSpans:
+    def test_planted_run_removed_clean_doc_untouched(self, spark):
+        from igtdetect_spark.operators.dedup import (
+            duplicated_ngram_spans,
+            remove_duplicated_spans,
+        )
+
+        dup = "alpha bravo charlie delta echo"
+        docs = spark.createDataFrame(
+            [
+                (1, "u11 u12 u13 u14 u15 " + dup + " u16 u17 u18"),
+                (2, "v21 v22 " + dup + " v23 v24 v25 v26 v27 v28"),
+                (3, "x41 x42 x43 x44 x45 x46 x47 x48"),   # clean
+                (4, None),                                # NULL text
+            ],
+            "doc_id long, text string",
+        )
+        spans = duplicated_ngram_spans(docs, n=3)
+        got = {
+            r["doc_id"]: (
+                r["clean_text"], r["n_removed_tokens"], r["n_kept_tokens"]
+            )
+            for r in remove_duplicated_spans(docs, spans).collect()
+        }
+        assert got[1] == ("u11 u12 u13 u14 u15 u16 u17 u18", 5, 8)
+        assert got[2] == ("v21 v22 v23 v24 v25 v26 v27 v28", 5, 8)
+        assert got[3] == ("x41 x42 x43 x44 x45 x46 x47 x48", 0, 8)
+        assert got[4] == (None, None, None)
+
+    def test_whole_doc_removed_yields_empty(self, spark):
+        from igtdetect_spark.operators.dedup import (
+            duplicated_ngram_spans,
+            remove_duplicated_spans,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+        )
+        spans = duplicated_ngram_spans(docs, n=3)
+        got = {r["doc_id"]: (r["clean_text"], r["n_kept_tokens"])
+               for r in remove_duplicated_spans(docs, spans).collect()}
+        assert got == {1: ("", 0), 2: ("", 0)}
