@@ -68,11 +68,16 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Distinct word n-gram shingles per doc as ONE array column:
-    (doc_id, shingles array<string>) — the narrow (no explode) form."""
+    (doc_id, *extra_cols, shingles array<string>) — the narrow (no
+    explode) form. ``extra_cols`` pass through untouched (e.g. the event
+    timestamp a streaming consumer needs downstream)."""
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), *extra_cols, toks.alias("_toks")
+    )
     d = d.withColumn(
         "_shingles",
         F.when(
@@ -83,7 +88,9 @@ def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             ),
         ).otherwise(F.array(F.array_join("_toks", " "))),
     )
-    return d.select("doc_id", F.array_distinct("_shingles").alias("shingles"))
+    return d.select(
+        "doc_id", *extra_cols, F.array_distinct("_shingles").alias("shingles")
+    )
 
 
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
@@ -234,9 +241,13 @@ def minhash_band_hashes(
     id_col: str = "doc_id",
     text_col: str = "text",
     scheme: str = "affine",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, band, band_hash): minhash signatures folded into LSH
-    bands. Docs sharing any band_hash are near-duplicate candidates.
+    """(doc_id, *extra_cols, band, band_hash): minhash signatures folded
+    into LSH bands. Docs sharing any band_hash are near-duplicate
+    candidates. ``extra_cols`` pass through the narrow projection chain
+    untouched (streaming consumers carry the event time this way —
+    joining it back post-hoc would be a stream-stream join).
 
     Two cross-engine-exact permutation schemes, both pure native column
     expressions (whole-stage codegen end-to-end — no Python on the path):
@@ -262,7 +273,7 @@ def minhash_band_hashes(
     # ceil: a trailing partial band still contributes (perms not evenly
     # divisible by band_size must not be silently dropped)
     n_bands = -(-n_perms // band_size)
-    sh = shingle_arrays(docs, shingle_n, id_col, text_col)
+    sh = shingle_arrays(docs, shingle_n, id_col, text_col, extra_cols)
 
     if scheme == "affine":
         a_list, b_list = minhash_affine_params(n_perms)
@@ -272,7 +283,7 @@ def minhash_band_hashes(
             lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
             .cast("long") % MINHASH_PRIME,
         )
-        d = sh.select("doc_id", hs.alias("_hs"))
+        d = sh.select("doc_id", *extra_cols, hs.alias("_hs"))
         # per-perm minimum over the affine rehash — products < 2^62 stay
         # exact in BIGINT on both engines (closure factory: pyspark
         # introspects lambda arity, so no default-arg binding)
@@ -288,7 +299,7 @@ def minhash_band_hashes(
             for p in range(n_perms)
         ]
     elif scheme == "md5":
-        d = sh.select("doc_id", F.col("shingles").alias("_hs"))
+        d = sh.select("doc_id", *extra_cols, F.col("shingles").alias("_hs"))
 
         def _perm_min_md5(pref: str):
             return F.array_min(
@@ -301,7 +312,7 @@ def minhash_band_hashes(
     else:
         raise ValueError(f"unknown minhash scheme: {scheme!r}")
 
-    d = d.select("doc_id", *mins)
+    d = d.select("doc_id", *extra_cols, *mins)
     bands = F.array(*[
         F.md5(
             F.concat_ws(
@@ -317,7 +328,7 @@ def minhash_band_hashes(
         for b in range(n_bands)
     ])
     return d.select(
-        "doc_id", F.posexplode(bands).alias("band", "band_hash")
+        "doc_id", *extra_cols, F.posexplode(bands).alias("band", "band_hash")
     )
 
 

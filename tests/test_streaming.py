@@ -306,3 +306,83 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path_factory):
     fps = dict(got)
     assert fps["u0"] == fps["u5"]          # same content, re-admitted
     assert len({fps["u0"], fps["u1"], fps["u4"], fps["u6"]}) == 4
+
+
+def test_streaming_neardup_lsh(spark, tmp_path_factory):
+    """Online near-dup: a doc near-identical to an earlier one is flagged
+    (shares ≥1 band with first_url pointing at the original), unrelated
+    docs are all-first, the band values equal the batch kernel's
+    (backfill parity), and a post-horizon re-delivery becomes a fresh
+    first (state evicted)."""
+    from datetime import datetime, timedelta
+
+    from igtdetect_spark.streaming.dedup import neardup_stream
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    lorem = ("the quick brown fox jumps over the lazy dog near the river "
+             "bank while a careful reader counts every distinct token")
+    other = ("completely different content about spark catalyst planning "
+             "and adaptive query execution with columnar batches")
+    horizon = 600
+
+    # 3 time-ordered files: original+unrelated → near-dup copy →
+    # far-future re-delivery (watermark passes the horizon in between)
+    batches = [
+        [("u://a", base, lorem), ("u://c", base, other)],
+        [("u://b", base + timedelta(seconds=60), lorem)],
+        [("u://d", base + timedelta(seconds=horizon + 3600), lorem)],
+    ]
+    src = str(tmp_path_factory.mktemp("neardup_stream_src"))
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    schema = "url string, warc_ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path_factory.mktemp("neardup_stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("neardup_stream_ckpt"))
+    q = (
+        neardup_stream(stream, horizon_sec=horizon)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from igtdetect_spark.streaming.dedup import _NEARDUP_SCHEMA
+
+    rows = spark.read.schema(_NEARDUP_SCHEMA).parquet(out).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+
+    # u://a and u://c arrived first: every band is_first
+    assert all(r["is_first"] for r in by_url["u://a"])
+    assert all(r["is_first"] for r in by_url["u://c"])
+    # u://b (identical text, inside horizon): every band matches u://a
+    assert by_url["u://b"] and all(
+        (not r["is_first"]) and r["first_url"] == "u://a"
+        for r in by_url["u://b"]
+    )
+    # u://d re-delivers the same text AFTER the horizon: state was
+    # evicted, so it is a fresh first again
+    assert by_url["u://d"] and all(r["is_first"] for r in by_url["u://d"])
+
+    # backfill parity: streamed band hashes == batch kernel band hashes
+    from igtdetect_spark.operators.dedup import minhash_band_hashes
+
+    batch_bands = {
+        (r["band"], r["band_hash"])
+        for r in minhash_band_hashes(
+            spark.createDataFrame([(1, lorem)], "doc_id long, text string")
+        ).collect()
+    }
+    stream_bands = {(r["band"], r["band_hash"]) for r in by_url["u://a"]}
+    assert stream_bands == batch_bands
