@@ -243,9 +243,9 @@ parallelism. A real cluster adds memory buses along with cores; this
 box cannot. The deep-skew section shows what happens when a straggler
 is big enough for chunking to beat it instead.
 
-### The skewed 2→8 ratio is the corpus's LPT packing bound — measured
+### Skewed-leg LPT packing bound — measured, not asserted
 
-The 2→8 sub-linearity is quantified, not asserted. Single-mega probe
+Any skewed 2→8 sub-linearity is quantified against a measured per-mega cost. (The round-4 feature-kernel cut shrank m enough that total_work/8 now exceeds 2m — the megas no longer bind at 8 cores, the cap is 1.0, and the ≥0.8 rule is met outright; the bound machinery stays in the ladder so any future corpus/kernel shift is re-quantified automatically.) Single-mega probe
 (1 core, pinned, best of 3): one 100k-line mega costs
 **m = {pb['mega_serial_sec_1core']} s** of indivisible serial work in
 the fused path. The corpus has NINE megas; 9 on 8 cores means one core
