@@ -143,22 +143,43 @@ def asof_join(
             )
         )
         # all (key, bucket) pairs present on EITHER side, so a bucket
-        # with only left rows still receives its carry-in
+        # with only left rows still receives its carry-in. Joins are
+        # NULL-SAFE on the key: the plain plan's Window.partitionBy
+        # groups NULL keys into one partition, and the bucketed plan
+        # must reproduce that (an equi-join would silently DROP NULL-key
+        # left rows — review finding). Note this window semantics means
+        # NULL-key rows carry among themselves, unlike a SQL ASOF
+        # equi-join where NULL matches nothing; both plans agree with
+        # each other, which is this function's contract.
         buckets = u.select(on, "_b").distinct()
         w_carry = (
             Window.partitionBy(on)
             .orderBy("_b")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        pb = per_bucket.select(
+            F.col(on).alias("_pbk"), F.col("_b").alias("_pbb"), "_rlast"
+        )
         carry_in = (
-            buckets.join(per_bucket, [on, "_b"], "left")
+            buckets.join(
+                pb,
+                F.col(on).eqNullSafe(F.col("_pbk"))
+                & (F.col("_b") == F.col("_pbb")),
+                "left",
+            )
             .withColumn(
                 "_rprev", F.last(F.col("_rlast"), ignorenulls=True).over(w_carry)
             )
-            .select(on, "_b", "_rprev")
+            .select(F.col(on).alias("_cik"), F.col("_b").alias("_cib"),
+                    "_rprev")
         )
         filled = (
-            filled.join(carry_in, [on, "_b"])
+            filled.join(
+                carry_in,
+                F.col(on).eqNullSafe(F.col("_cik"))
+                & (F.col("_b") == F.col("_cib")),
+                "left",
+            )
             .withColumn("_r", F.coalesce(F.col("_rin"), F.col("_rprev")))
         )
     return (

@@ -488,6 +488,10 @@ def connected_components(
     ``localCheckpoint``. Local checkpoints live on executor block
     stores — on a real cluster an executor loss mid-iteration kills the
     lineage-truncated frame; pass a checkpoint dir in cluster mode.
+    Checkpoint files are reclaimed when their RDDs are garbage-collected
+    ONLY under ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    (set by ``build_session``; a long-lived app with a different session
+    factory should set it too, or sweep the directory itself).
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -820,11 +824,9 @@ def contamination_screen(
     eval_id) count aggregate, whose input is already tiny (matches
     only). Never an all-pairs comparison."""
     doc_sh = word_shingles(docs, n, id_col, text_col)
-    ev_sh = (
-        word_shingles(evalset, n, eval_id_col, eval_text_col)
-        .withColumnRenamed("doc_id", "eval_id")
-        .withColumnRenamed("shingle", "shingle")
-    )
+    ev_sh = word_shingles(
+        evalset, n, eval_id_col, eval_text_col
+    ).withColumnRenamed("doc_id", "eval_id")
     return (
         doc_sh.join(F.broadcast(ev_sh), "shingle")
         .groupBy("doc_id", "eval_id")

@@ -41,6 +41,10 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # reliable checkpoints (connected_components checkpoint_dir=...)
+        # are deleted when their RDDs are GC'd instead of accumulating —
+        # must be set before the context starts
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # spill-aware input sizing: 128 MB scan splits keep a mapInPandas
         # task's working set (Arrow batch + pandas frames + feature
         # matrix, ~3-5x the text bytes) well inside a 2-4 GB executor

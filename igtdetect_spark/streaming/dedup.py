@@ -20,7 +20,7 @@ incremental path must do it ONLINE with bounded state. Two operators:
 - ``neardup_stream``: ONLINE near-duplicate candidate detection — each
   arriving document's MinHash LSH bands (the SAME native band kernel as
   the batch path, so a backfill agrees bit-for-bit) probe a
-  band_hash-keyed state holding the first document that produced that
+  (band, band_hash)-keyed state holding the first document that produced that
   band inside the horizon; any band hit marks the newcomer a near-dup
   candidate of that holder. State is one entry per DISTINCT band hash
   within the horizon with event-time-timeout eviction.
@@ -123,7 +123,8 @@ def neardup_stream(
     Plan: the batch MinHash band kernel (pure native expressions —
     ``minhash_band_hashes`` with the event time as a pass-through
     column) fans each doc into its LSH bands; ``applyInPandasWithState``
-    keyed by ``band_hash`` holds the FIRST (by event time, then url)
+    keyed by ``(band, band_hash)`` (the batch LSH equality) holds the
+    FIRST (by event time, then url)
     document that produced the band within ``horizon_sec``. Every
     (url, band) emits a row: ``is_first`` for the state holder,
     otherwise a candidate match against ``first_url`` — a downstream
@@ -165,7 +166,11 @@ def neardup_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        (band_hash,) = key
+        # state is keyed by (band, band_hash) — the batch LSH criterion
+        # requires equality on BOTH (the band hash does not encode the
+        # band index, so keying by hash alone could merge different
+        # bands' entries on degenerate inputs).
+        (band, band_hash) = key
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame([], columns=[f.name for f in _NEARDUP_SCHEMA])
@@ -191,20 +196,21 @@ def neardup_stream(
         # micro-batch boundaries. The timer below only garbage-collects
         # state for bands that never reappear.
         rows = []
-        for url, epoch, band in zip(
-            pdf["url"].astype(str),
-            pdf["_epoch"].astype("int64"),
-            pdf["band"].astype("int64"),
+        for url, epoch in zip(
+            pdf["url"].astype(str), pdf["_epoch"].astype("int64")
         ):
             if first_url is None or epoch - last_seen > horizon_sec:
                 first_url, first_ts = url, int(epoch)
             last_seen = int(epoch) if last_seen is None else max(
                 last_seen, int(epoch)
             )
+            # is_first by URL, not (url, ts): an at-least-once
+            # RE-DELIVERY of the holder inside the horizon must not
+            # report the document as a near-dup candidate of ITSELF —
+            # the batch criterion (doc_a < doc_b) has no self-pairs.
             rows.append(
                 (band_hash, url, int(epoch), int(band),
-                 url == first_url and int(epoch) == first_ts,
-                 first_url, first_ts)
+                 url == first_url, first_url, first_ts)
             )
         state.update((first_url, first_ts, last_seen))
         # GC when the watermark passes last_seen + horizon (strictly
@@ -219,7 +225,7 @@ def neardup_stream(
 
     return (
         bands.withWatermark("ts", watermark)
-        .groupBy("band_hash")
+        .groupBy("band", "band_hash")
         .applyInPandasWithState(
             fn,
             _NEARDUP_SCHEMA,

@@ -739,6 +739,7 @@ class TestAsofJoin:
         left_rows = [(i, 1, base + timedelta(minutes=i)) for i in range(200)]
         left_rows += [(1000, 2, base + timedelta(minutes=50))]   # sparse key
         left_rows += [(2000, 3, base + timedelta(minutes=50))]   # no right
+        left_rows += [(3000, None, base + timedelta(minutes=50))]  # NULL key
         right_rows = [
             (100 + j, 1, base + timedelta(minutes=j * 3), f"e{j}")
             for j in range(11)                                   # ≤ min 30

@@ -329,7 +329,10 @@ def test_streaming_neardup_lsh(spark, tmp_path_factory):
     # far-future re-delivery (watermark passes the horizon in between)
     batches = [
         [("u://a", base, lorem), ("u://c", base, other)],
-        [("u://b", base + timedelta(seconds=60), lorem)],
+        # u://b is a near-dup of a; u://a is also RE-DELIVERED (at-least-
+        # once source) — it must stay is_first, never a match of itself
+        [("u://b", base + timedelta(seconds=60), lorem),
+         ("u://a", base + timedelta(seconds=90), lorem)],
         [("u://d", base + timedelta(seconds=horizon + 3600), lorem)],
     ]
     src = str(tmp_path_factory.mktemp("neardup_stream_src"))
@@ -363,9 +366,11 @@ def test_streaming_neardup_lsh(spark, tmp_path_factory):
     for r in rows:
         by_url.setdefault(r["url"], []).append(r)
 
-    # u://a and u://c arrived first: every band is_first
+    # u://a and u://c arrived first: every band is_first — INCLUDING
+    # u://a's in-horizon re-delivery (no self-match on replay)
     assert all(r["is_first"] for r in by_url["u://a"])
     assert all(r["is_first"] for r in by_url["u://c"])
+    assert sum(1 for r in by_url["u://a"]) == 8  # 4 bands × 2 deliveries
     # u://b (identical text, inside horizon): every band matches u://a
     assert by_url["u://b"] and all(
         (not r["is_first"]) and r["first_url"] == "u://a"

@@ -53,8 +53,13 @@ def main():
                sys.executable, "-c", RUNNER, name, sf_dir, "3"]
         out = subprocess.run(cmd, capture_output=True, text=True,
                              cwd="/root/repo", timeout=900)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(
+                f"runner failed for {name!r} (rc={out.returncode})"
+            )
+        r = json.loads(lines[-1])
         warm = r["warm"]
         results[name] = {
             "cold": r["cold"],
