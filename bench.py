@@ -99,7 +99,7 @@ def main():
         "gopher_filters", "stratified_sample", "media_embeddings",
         "winnowing", "subword_stats",
         "substring_dup_spans", "substring_dedup_clean",
-        "contamination_screen",
+        "contamination_screen", "mixture_resample",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -1876,6 +1876,53 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling toward a UNIFORM (lang, source) share — the
+    action `corpus_mixture`'s report feeds. Integer-ppm acceptance rates
+    and an md5 draw keep the decision bit-equal across engines; the
+    corpus is scanned once with cell rates broadcast back on (no corpus
+    shuffle)."""
+    from .operators.sampling import mixture_resample
+
+    return mixture_resample(_t(spark, sf_dir, "documents"))
+
+
+def _sql_mixture_resample() -> str:
+    # proven nibble-sum hex→BIGINT (same helper the minhash oracle uses)
+    h8 = _SQL_HEX12.replace(
+        "generate_series(1, 12)", "generate_series(1, 8)"
+    ).replace("((12 - i) * 4)", "((8 - i) * 4)").format(
+        H="substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS n_cell
+  FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n_cell) AS BIGINT) AS n_total,
+         COUNT(*) AS n_cells
+  FROM counts
+),
+cells AS (
+  SELECT lang, source,
+         CAST(least(
+           1000000,
+           ((n_total * 1000000) // n_cells) // n_cell
+         ) AS BIGINT) AS accept_ppm
+  FROM counts, tot
+),
+draws AS (
+  SELECT doc_id, lang, source,
+         CAST(({h8}) % 1000000 AS BIGINT) AS draw_ppm
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source, d.draw_ppm, c.accept_ppm,
+       d.draw_ppm < c.accept_ppm AS accepted
+FROM draws d JOIN cells c USING (lang, source)
+"""
+
+
 def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: flag corpus docs sharing ≥ 1
     13-gram with an eval-set item (GPT-3 appendix-C style hygiene
@@ -1977,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup_clean": q_substring_dedup_clean,
         "contamination_screen": q_contamination_screen,
+        "mixture_resample": q_mixture_resample,
     }
 
 
@@ -2029,6 +2077,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
         "substring_dedup_clean": _sql_substring_dedup_clean(),
         "contamination_screen": SQL_CONTAMINATION_SCREEN,
+        "mixture_resample": _sql_mixture_resample(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

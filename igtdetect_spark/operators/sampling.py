@@ -58,3 +58,79 @@ def stratified_sample(
             F.col("grp").alias(group_col), "doc_id", "sample_rank"
         )
     )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    cell_cols: tuple[str, str] = ("lang", "source"),
+    target_ppm: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each corpus cell
+    (default (lang, source)) toward a target share distribution —
+    the action that `corpus_mixture`'s report feeds. With no
+    ``target_ppm`` the target is UNIFORM across observed cells
+    ("balance the corpus"); pass a (cell..., target_ppm) frame for an
+    explicit recipe (ppm of the corpus each cell should hold).
+
+    Per-cell acceptance rate (integer ppm — no float in the decision):
+        accept_ppm = min(1e6, target_docs_cell * 1e6 // n_docs_cell)
+    where target_docs_cell = total_docs * target_share. Cells under
+    their target keep everything (no upsampling — duplication is a
+    training-recipe decision, not a sampling one); cells over it are
+    thinned by a reproducible md5 draw on the document id, so reruns
+    and incremental rebuilds keep the SAME documents.
+
+    Returns (doc_id, *cell_cols, draw_ppm, accept_ppm, accepted).
+
+    Scale shape: one hash aggregate for cell counts (map-side partial),
+    one 1-row total, both broadcast back onto the corpus scan — the
+    corpus itself is touched once with no shuffle. The draw is
+    conv(md5)-based, bit-equal across engines.
+    """
+    a, b = cell_cols
+    d = docs.select(F.col(id_col).alias("doc_id"), a, b)
+    counts = d.groupBy(a, b).agg(F.count(F.lit(1)).alias("_n_cell"))
+    totals = counts.agg(
+        F.sum("_n_cell").alias("_n_total"),
+        F.count(F.lit(1)).alias("_n_cells"),
+    )
+    if target_ppm is None:
+        # uniform share: target_docs_cell·1e6 = n_total·1e6 / n_cells —
+        # pure INTEGER division so both engines agree to the last ppm
+        cells = counts.join(F.broadcast(totals)).select(
+            a, b, "_n_cell",
+            F.expr("(_n_total * 1000000L) div _n_cells")
+            .alias("_target_e6"),
+        )
+    else:
+        cells = (
+            counts.join(F.broadcast(target_ppm), [a, b], "left")
+            .join(F.broadcast(totals))
+            .select(
+                a, b, "_n_cell",
+                (F.col("_n_total")
+                 * F.coalesce(F.col("target_ppm"), F.lit(0)))
+                .cast("long").alias("_target_e6"),
+            )
+        )
+    cells = cells.select(
+        a, b,
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("_target_e6 div _n_cell"),
+        ).alias("accept_ppm"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 1_000_000
+    )
+    return (
+        d.join(F.broadcast(cells), [a, b])
+        .select(
+            "doc_id", a, b,
+            draw.alias("draw_ppm"),
+            "accept_ppm",
+            (draw < F.col("accept_ppm")).alias("accepted"),
+        )
+    )

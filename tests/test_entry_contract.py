@@ -21,7 +21,7 @@ CHECKED = [
     "simhash", "ann_lsh", "media_embeddings", "subword_stats",
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
     "ann_ivf", "substring_dup_spans", "contamination_screen",
-    "substring_dedup_clean",
+    "substring_dedup_clean", "mixture_resample",
 ]
 
 
@@ -132,7 +132,7 @@ HOSTILE_CHECKED = [
     "ngram_jaccard", "simhash", "token_stats", "quality_scores", "lang_id",
     "subword_stats", "winnowing", "media_meta", "media_embeddings",
     "media_frames", "media_resize", "substring_dup_spans",
-    "contamination_screen", "substring_dedup_clean",
+    "contamination_screen", "substring_dedup_clean", "mixture_resample",
 ]
 
 

@@ -926,3 +926,69 @@ class TestRemoveDuplicatedSpans:
         got = {r["doc_id"]: (r["clean_text"], r["n_kept_tokens"])
                for r in remove_duplicated_spans(docs, spans).collect()}
         assert got == {1: ("", 0), 2: ("", 0)}
+
+
+class TestMixtureResample:
+    def test_uniform_target_thins_only_over_represented_cells(self, spark):
+        from igtdetect_spark.operators.sampling import mixture_resample
+
+        # 80 docs en/web, 10 fr/web, 10 de/web → uniform target ≈ 33.3
+        # each: en/web thinned to ~1/3, small cells kept whole
+        rows = (
+            [(i, "en", "web") for i in range(80)]
+            + [(100 + i, "fr", "web") for i in range(10)]
+            + [(200 + i, "de", "web") for i in range(10)]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+        out = mixture_resample(docs).collect()
+        by_cell = {}
+        for r in out:
+            by_cell.setdefault((r["lang"], r["source"]), []).append(r)
+        # small cells: accept_ppm = 1e6 → everything accepted
+        for cell in (("fr", "web"), ("de", "web")):
+            assert all(r["accepted"] for r in by_cell[cell])
+            assert all(r["accept_ppm"] == 1_000_000 for r in by_cell[cell])
+        # big cell: accept_ppm = (100*1e6 div 3) div 80 = 416666
+        en = by_cell[("en", "web")]
+        assert en[0]["accept_ppm"] == 416_666
+        n_acc = sum(r["accepted"] for r in en)
+        assert 0 < n_acc < 80                      # actually thinned
+        # decision is exactly draw < accept (deterministic md5 draw)
+        assert all(r["accepted"] == (r["draw_ppm"] < r["accept_ppm"])
+                   for r in out)
+
+    def test_explicit_target_recipe(self, spark):
+        from igtdetect_spark.operators.sampling import mixture_resample
+
+        docs = spark.createDataFrame(
+            [(i, "en", "web") for i in range(50)]
+            + [(100 + i, "fr", "web") for i in range(50)],
+            "doc_id long, lang string, source string",
+        )
+        # recipe: en 10% of the corpus, fr 90%; cells absent → 0
+        target = spark.createDataFrame(
+            [("en", "web", 100_000), ("fr", "web", 900_000)],
+            "lang string, source string, target_ppm long",
+        )
+        out = {(r["lang"],): r for r in
+               mixture_resample(docs, target_ppm=target).collect()}
+        en = [r for r in mixture_resample(docs, target_ppm=target).collect()
+              if r["lang"] == "en"]
+        fr = [r for r in mixture_resample(docs, target_ppm=target).collect()
+              if r["lang"] == "fr"]
+        # en target = 100 docs * 10% = 10 docs of 50 → accept 200000 ppm
+        assert en[0]["accept_ppm"] == 200_000
+        # fr target = 90 docs of 50 present → capped at 1e6 (no upsample)
+        assert fr[0]["accept_ppm"] == 1_000_000
+        assert all(r["accepted"] for r in fr)
+
+    def test_rerun_is_reproducible(self, spark):
+        from igtdetect_spark.operators.sampling import mixture_resample
+
+        docs = spark.createDataFrame(
+            [(i, "en" if i % 3 else "fr", "web") for i in range(60)],
+            "doc_id long, lang string, source string",
+        )
+        a = sorted(map(tuple, mixture_resample(docs).collect()))
+        b = sorted(map(tuple, mixture_resample(docs).collect()))
+        assert a == b
