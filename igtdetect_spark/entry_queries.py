@@ -698,32 +698,41 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_t(spark, sf_dir, "documents"))
 
 
+# LSH pairs → undirected edges → recursive-CTE connected components →
+# per-doc cluster assignment. Shared between the neardup_clusters oracle
+# and the curation-funnel oracle (which needs the is_representative flag
+# as one of its gates).
+_SQL_CC_CTES = (
+    "pairs AS (\n"
+    "  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "  FROM bands a JOIN bands b\n"
+    "    ON a.band = b.band AND a.band_hash = b.band_hash\n"
+    "   AND a.doc_id < b.doc_id\n"
+    "),\n"
+    "und AS (\n"
+    "  SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+    "  UNION ALL SELECT doc_b, doc_a FROM pairs\n"
+    "),\n"
+    "-- reach(x, lab): lab is connected to x; UNION dedups, so the\n"
+    "-- recursion terminates at the transitive closure per component\n"
+    "reach(u, lab) AS (\n"
+    "  SELECT u, u FROM (SELECT DISTINCT u FROM und)\n"
+    "  UNION\n"
+    "  SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.lab\n"
+    "),\n"
+    "comp AS (SELECT u AS doc_id, MIN(lab) AS cluster_id\n"
+    "         FROM reach GROUP BY u),\n"
+    "assigned AS (\n"
+    "  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id\n"
+    "  FROM documents d LEFT JOIN comp c USING (doc_id)\n"
+    ")"
+)
+
+
 def _sql_neardup_clusters() -> str:
     return (
         f"WITH RECURSIVE {_SQL_SHINGLES},{_sql_minhash_bands_cte()},\n"
-        "pairs AS (\n"
-        "  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-        "  FROM bands a JOIN bands b\n"
-        "    ON a.band = b.band AND a.band_hash = b.band_hash\n"
-        "   AND a.doc_id < b.doc_id\n"
-        "),\n"
-        "und AS (\n"
-        "  SELECT doc_a AS u, doc_b AS v FROM pairs\n"
-        "  UNION ALL SELECT doc_b, doc_a FROM pairs\n"
-        "),\n"
-        "-- reach(x, lab): lab is connected to x; UNION dedups, so the\n"
-        "-- recursion terminates at the transitive closure per component\n"
-        "reach(u, lab) AS (\n"
-        "  SELECT u, u FROM (SELECT DISTINCT u FROM und)\n"
-        "  UNION\n"
-        "  SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.lab\n"
-        "),\n"
-        "comp AS (SELECT u AS doc_id, MIN(lab) AS cluster_id\n"
-        "         FROM reach GROUP BY u),\n"
-        "assigned AS (\n"
-        "  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id\n"
-        "  FROM documents d LEFT JOIN comp c USING (doc_id)\n"
-        ")\n"
+        f"{_SQL_CC_CTES}\n"
         "SELECT doc_id, cluster_id,\n"
         "       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,\n"
         "       doc_id = cluster_id AS is_representative\n"
@@ -1974,6 +1983,109 @@ GROUP BY 1, 2
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the whole pipeline's gates composed
+    on one corpus, reported as cumulative survivor counts: quality
+    (Gopher gates) → exact-dup keep-one → near-dup representative →
+    benchmark-contamination clean. One row of five BIGINTs; every gate
+    reuses the exact operator the standalone query grades."""
+    from .operators.dedup import (
+        contamination_screen,
+        fingerprint_docs,
+        neardup_clusters,
+        normalized_text,
+    )
+    from .operators.text_analysis import gopher_filters
+
+    docs = _t(spark, sf_dir, "documents")
+    gt = gopher_filters(docs).select("doc_id", "gopher_pass")
+    fp = fingerprint_docs(docs)
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("_keep"))
+    ex = fp.join(keep, "fingerprint").select(
+        "doc_id", (F.col("doc_id") == F.col("_keep")).alias("exact_keep")
+    )
+    nd = neardup_clusters(docs).select(
+        "doc_id", F.col("is_representative").alias("is_rep")
+    )
+    norm_toks = F.split(normalized_text(F.col("text")), " ")
+    evalset = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_join(F.slice(norm_toks, 5, 26), " ").alias("text"),
+    )
+    cont = (
+        contamination_screen(docs, evalset, n=_SUBSTR_N)
+        .select("doc_id").distinct().withColumn("_c", F.lit(1))
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(gt, "doc_id")
+        .join(ex, "doc_id")
+        .join(nd, "doc_id")
+        .join(cont, "doc_id", "left")
+    )
+    q, e = F.col("gopher_pass"), F.col("exact_keep")
+    r, nc = F.col("is_rep"), F.col("_c").isNull()
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(q.cast("long")).alias("n_quality"),
+        F.sum((q & e).cast("long")).alias("n_after_exact"),
+        F.sum((q & e & r).cast("long")).alias("n_after_neardup"),
+        F.sum((q & e & r & nc).cast("long")).alias("n_clean"),
+    )
+
+
+def _sql_curation_funnel() -> str:
+    import re as _re
+
+    # gopher CTEs, renamed g_* to avoid collision with the shingle CTEs
+    g = SQL_GOPHER_FILTERS.strip()
+    assert g.startswith("WITH ")
+    head, tail = g[len("WITH "):].rsplit("\nSELECT *,", 1)
+    for name in ("toks", "bg", "topbg", "scalars", "joined"):
+        head = _re.sub(rf"\b{name}\b", f"g_{name}", head)
+    gopher_bool = tail.rsplit("FROM", 1)[0].strip()  # "(...) AS gopher_pass"
+
+    # contamination CTEs minus its norm/toks (identical to the shared
+    # shingle norm/toks already in scope)
+    c = SQL_CONTAMINATION_SCREEN
+    cont_ctes = c[c.index("doc_sh AS"):c.index("\nSELECT")].rstrip()
+
+    return f"""
+WITH RECURSIVE {_SQL_SHINGLES},{_sql_minhash_bands_cte()},
+{_SQL_CC_CTES},
+nd AS (SELECT doc_id, doc_id = cluster_id AS is_rep FROM assigned),
+{head},
+gt AS (SELECT doc_id, {gopher_bool} FROM g_joined),
+fps AS (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents),
+keepx AS (SELECT fp, MIN(doc_id) AS keep_id FROM fps GROUP BY 1),
+ex AS (SELECT f.doc_id, f.doc_id = k.keep_id AS exact_keep
+       FROM fps f JOIN keepx k USING (fp)),
+{cont_ctes},
+cont AS (SELECT DISTINCT d.doc_id
+         FROM doc_sh d JOIN ev_sh e USING (shingle)),
+flags AS (
+  SELECT d.doc_id, gt.gopher_pass, ex.exact_keep, nd.is_rep,
+         (c.doc_id IS NULL) AS not_contaminated
+  FROM documents d
+  JOIN gt USING (doc_id)
+  JOIN ex USING (doc_id)
+  JOIN nd USING (doc_id)
+  LEFT JOIN cont c USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(CASE WHEN gopher_pass AND exact_keep
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+       CAST(SUM(CASE WHEN gopher_pass AND exact_keep AND is_rep
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after_neardup,
+       CAST(SUM(CASE WHEN gopher_pass AND exact_keep AND is_rep
+                     AND not_contaminated
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM flags
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -2025,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_clean": q_substring_dedup_clean,
         "contamination_screen": q_contamination_screen,
         "mixture_resample": q_mixture_resample,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -2078,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_clean": _sql_substring_dedup_clean(),
         "contamination_screen": SQL_CONTAMINATION_SCREEN,
         "mixture_resample": _sql_mixture_resample(),
+        "curation_funnel": _sql_curation_funnel(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -21,7 +21,7 @@ CHECKED = [
     "simhash", "ann_lsh", "media_embeddings", "subword_stats",
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
     "ann_ivf", "substring_dup_spans", "contamination_screen",
-    "substring_dedup_clean", "mixture_resample",
+    "substring_dedup_clean", "mixture_resample", "curation_funnel",
 ]
 
 
@@ -133,6 +133,7 @@ HOSTILE_CHECKED = [
     "subword_stats", "winnowing", "media_meta", "media_embeddings",
     "media_frames", "media_resize", "substring_dup_spans",
     "contamination_screen", "substring_dedup_clean", "mixture_resample",
+    "curation_funnel",
 ]
 
 
