@@ -1983,6 +1983,76 @@ GROUP BY 1, 2
 """
 
 
+def q_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative familiarity score with head/middle/tail buckets —
+    the LM-free analogue of CCNet's perplexity bucketing. Per token,
+    familiarity = floor(log2(corpus unigram count)) (an INTEGER that is
+    cross-engine exact: log2 is exactly k at 2^k on both engines and
+    irrational elsewhere, so 1-ulp libm differences cannot cross the
+    floor boundary); per doc, the mean familiarity in integer e6 via
+    `div`. Buckets split at fixed thresholds so the output is pure
+    integers/strings. Plan: one explode + one unigram hash aggregate
+    (map-side combine) broadcast back onto the token stream + one
+    per-doc aggregate — the corpus is scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[ \t\n\r\f\x0b]+", " "
+                    )
+                ),
+                " ",
+            )
+        ).alias("term"),
+    ).filter(F.length("term") >= 1)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    fam = toks.join(F.broadcast(counts), "term").select(
+        "doc_id",
+        F.expr("CAST(floor(log2(cnt)) AS BIGINT)").alias("_fam"),
+    )
+    per_doc = fam.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("CAST(sum(_fam) * 1000000 div count(1) AS BIGINT)")
+        .alias("familiarity_e6"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "familiarity_e6",
+        F.when(F.col("familiarity_e6") >= 4_000_000, F.lit("head"))
+        .when(F.col("familiarity_e6") >= 2_000_000, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )
+
+
+SQL_UNIGRAM_FAMILIARITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+ft AS (SELECT doc_id, term FROM toks WHERE length(term) >= 1),
+counts AS (SELECT term, COUNT(*) AS cnt FROM ft GROUP BY 1),
+fam AS (
+  SELECT f.doc_id, CAST(floor(log2(c.cnt)) AS BIGINT) AS fam
+  FROM ft f JOIN counts c USING (term)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST((SUM(fam) * 1000000) // COUNT(*) AS BIGINT)
+           AS familiarity_e6
+  FROM fam GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, familiarity_e6,
+       CASE WHEN familiarity_e6 >= 4000000 THEN 'head'
+            WHEN familiarity_e6 >= 2000000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM per_doc
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the whole pipeline's gates composed
     on one corpus, reported as cumulative survivor counts: quality
@@ -2138,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": q_contamination_screen,
         "mixture_resample": q_mixture_resample,
         "curation_funnel": q_curation_funnel,
+        "unigram_familiarity": q_unigram_familiarity,
     }
 
 
@@ -2192,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_screen": SQL_CONTAMINATION_SCREEN,
         "mixture_resample": _sql_mixture_resample(),
         "curation_funnel": _sql_curation_funnel(),
+        "unigram_familiarity": SQL_UNIGRAM_FAMILIARITY,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }
