@@ -216,3 +216,30 @@ def test_substring_dup_spans_two_shuffle_shape(spark):
     from igtdetect_spark.operators.dedup import release_plan_caches
 
     release_plan_caches(df)
+
+
+def test_mixture_resample_corpus_side_never_shuffles(spark):
+    """Cell rates broadcast back onto the corpus scan: the only hash
+    exchanges belong to the two tiny aggregates (cell counts + totals);
+    the corpus rows reach the output through a broadcast join."""
+    from igtdetect_spark.entry_queries import q_mixture_resample
+
+    plan = _plan(q_mixture_resample(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_unigram_familiarity_two_aggregate_shape(spark):
+    """One unigram aggregate (map-side combine) broadcast back onto the
+    token stream + one per-doc aggregate — no sort-merge join, no
+    cartesian, ≤2 hash exchanges, no Python evaluation."""
+    from igtdetect_spark.entry_queries import q_unigram_familiarity
+
+    plan = _plan(q_unigram_familiarity(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
