@@ -987,9 +987,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the e6-FLOORED score (not the raw double), and ties break on the
     term string — so the ordering is identical on both engines even if
     ln() differs in the last ulp. Plan: one explode + two hash
-    aggregations (term-frequency, document-frequency) + broadcast of
-    the tiny df relation back onto tf."""
+    aggregations (term-frequency, document-frequency) + a SIZE-AWARE
+    join of the document-frequency relation back onto tf: df_rel is
+    vocabulary-sized, so the broadcast hint is emitted only when the
+    corpus scan's Catalyst size bound (a sound upper bound on the
+    vocabulary bytes) fits under ``igtdetect.broadcastBoundBytes``
+    (default 64 MB); above it — i.e. at 100 TB, where Heaps' law puts
+    the vocabulary at 10^8-10^9 terms — the planner gets a plain
+    shuffle join on term instead (see operators/scale.py)."""
+    from .operators.scale import maybe_broadcast, plan_size_bytes
+
     docs = _t(spark, sf_dir, "documents")
+    _vocab_bound = plan_size_bytes(docs)
     toks = docs.select(
         "source",
         F.explode(
@@ -1013,7 +1022,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("double").alias("_n")
     )
     scored = (
-        tf.join(F.broadcast(df_rel), "term")
+        tf.join(maybe_broadcast(df_rel, bound_bytes=_vocab_bound), "term")
         .crossJoin(F.broadcast(n_src))  # 1-row scalar, stays lazy
         .select(
             "source",
@@ -1992,9 +2001,18 @@ def q_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor boundary); per doc, the mean familiarity in integer e6 via
     `div`. Buckets split at fixed thresholds so the output is pure
     integers/strings. Plan: one explode + one unigram hash aggregate
-    (map-side combine) broadcast back onto the token stream + one
-    per-doc aggregate — the corpus is scanned once."""
+    (map-side combine) joined back onto the token stream + one per-doc
+    aggregate — the corpus is scanned once.  The counts relation is
+    vocabulary-sized, so the join is SIZE-AWARE: broadcast only while
+    the corpus scan's Catalyst size bound (a sound upper bound on
+    vocabulary bytes — every distinct term occurs in the text) fits
+    under ``igtdetect.broadcastBoundBytes`` (default 64 MB); at corpus
+    scales where Heaps' law breaks that bound, the planner gets a
+    plain shuffle join on term (see operators/scale.py)."""
+    from .operators.scale import maybe_broadcast, plan_size_bytes
+
     docs = _t(spark, sf_dir, "documents")
+    _vocab_bound = plan_size_bytes(docs)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -2009,7 +2027,9 @@ def q_unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     ).filter(F.length("term") >= 1)
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    fam = toks.join(F.broadcast(counts), "term").select(
+    fam = toks.join(
+        maybe_broadcast(counts, bound_bytes=_vocab_bound), "term"
+    ).select(
         "doc_id",
         F.expr("CAST(floor(log2(cnt)) AS BIGINT)").alias("_fam"),
     )

@@ -185,6 +185,50 @@ def test_tfidf_plan_broadcasts_df_and_never_sortmerges(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_term_stats_joins_fall_back_to_shuffle_above_bound(spark):
+    """The vocabulary-sized relations in tf·idf and unigram familiarity
+    must NOT be unconditionally broadcast: with the size bound forced
+    to 0 (simulating a 100 TB corpus where Heaps' law breaks the
+    broadcast bound) both queries plan a plain shuffle join on term —
+    never a cartesian, never a broadcast of the vocabulary."""
+    from igtdetect_spark.entry_queries import (
+        q_tfidf_top_terms,
+        q_unigram_familiarity,
+    )
+
+    spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+    try:
+        plan_t = _plan(q_tfidf_top_terms(spark, SF_DIR))
+        plan_u = _plan(q_unigram_familiarity(spark, SF_DIR))
+    finally:
+        spark.conf.unset("igtdetect.broadcastBoundBytes")
+    for plan in (plan_t, plan_u):
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "ShuffledHashJoin" in plan, plan
+    # the 1-row distinct-source scalar in tf·idf may legitimately stay a
+    # broadcast nested loop; the unigram plan has no scalar join at all
+    assert "BroadcastNestedLoop" not in plan_u, plan_u
+
+
+def test_term_stats_shuffle_branch_matches_broadcast_branch(spark):
+    """Both join strategies produce identical rows — the size-aware
+    hint changes the physical plan only."""
+    from igtdetect_spark.entry_queries import (
+        q_tfidf_top_terms,
+        q_unigram_familiarity,
+    )
+
+    for q in (q_tfidf_top_terms, q_unigram_familiarity):
+        base = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+        try:
+            alt = sorted(map(tuple, q(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.unset("igtdetect.broadcastBoundBytes")
+        assert base == alt
+
+
 def test_contamination_screen_broadcasts_eval_side(spark):
     """The eval shingle relation must arrive via a broadcast hash join —
     no shuffle of the corpus shingles, never a cartesian product."""
