@@ -691,25 +691,41 @@ def positional_ngram_hashes(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    gram_hash: str = "md5",
 ) -> DataFrame:
-    """(doc_id, pos, gram): md5 of every POSITIONAL word n-gram (1-based
-    token position, NOT deduped — the positional twin of
+    """(doc_id, pos, gram): hash of every POSITIONAL word n-gram
+    (1-based token position, NOT deduped — the positional twin of
     ``word_shingles``). Docs shorter than ``n`` tokens emit nothing (they
     cannot contain an n-token duplicated span).
 
+    ``gram_hash``: ``'md5'`` (default — 32-char hex string, bit-exact
+    DuckDB oracle parity) or ``'i64'`` (native ``xxhash64`` → BIGINT).
+    At 100 TB the gram relation is ~1 row per corpus token and the md5
+    hex string is 32+ bytes per row of shuffle; ``'i64'`` shrinks the
+    shuffled key to 8 bytes (~4× smaller gram column) at a collision
+    probability that is negligible for duplicate DETECTION (a false
+    gram collision needs 2⁶⁴-scale luck AND must survive the ≥
+    min_count filter to flag a span).
+
     The whole gram array is built as ONE native expression
-    (split + transform over a sequence + md5), so the scan stays inside
+    (split + transform over a sequence + hash), so the scan stays inside
     whole-stage codegen; ``posexplode_outer`` for the same
     InferFiltersFromGenerate reason as ``word_shingles``."""
+    if gram_hash not in ("md5", "i64"):
+        raise ValueError(f"gram_hash must be 'md5' or 'i64', got {gram_hash!r}")
     toks = F.split(normalized_text(F.col(text_col)), " ")
     d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    if gram_hash == "md5":
+        hash_fn, empty_type = F.md5, "array<string>"
+    else:
+        hash_fn, empty_type = F.xxhash64, "array<bigint>"
     grams = F.when(
         F.size("_toks") >= n,
         F.transform(
             F.sequence(F.lit(0), F.size("_toks") - n),
-            lambda i: F.md5(F.array_join(F.slice("_toks", i + 1, n), " ")),
+            lambda i: hash_fn(F.array_join(F.slice("_toks", i + 1, n), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast(empty_type))
     return (
         d.select("doc_id", F.posexplode_outer(grams).alias("_p", "gram"))
         .filter(F.col("gram").isNotNull())
@@ -724,6 +740,7 @@ def duplicated_ngram_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """Substring-level exact dedup: maximal token spans covered by word
     n-grams occurring ≥ ``min_count`` times in the whole corpus
@@ -745,10 +762,15 @@ def duplicated_ngram_spans(
     relation feeds both the duplicate-gram aggregate and the join back,
     so it is persisted once (``materialize``); at cluster scale write it
     to a temp table instead and pass ``materialize=False``. At 100 TB,
-    hash grams to int64 (two md5 halves XORed) to shrink the shuffle —
-    kept as the md5 hex string here for bit-exact oracle parity.
+    pass ``gram_hash='i64'`` (native xxhash64 → BIGINT) to shrink the
+    shuffled gram key from a 32-byte md5 hex string to 8 bytes; the
+    default stays ``'md5'`` for bit-exact oracle parity. Both schemes
+    yield identical spans on non-adversarial corpora
+    (``test_i64_gram_hash_spans_identical``): only gram EQUALITY feeds
+    the span logic, so the hash choice only matters at 2⁶⁴-collision
+    probability.
     """
-    g = positional_ngram_hashes(docs, n, id_col, text_col)
+    g = positional_ngram_hashes(docs, n, id_col, text_col, gram_hash)
     handles = []
     if materialize:
         g = g.persist()

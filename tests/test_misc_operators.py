@@ -859,6 +859,33 @@ class TestSubstringDedup:
         )
         assert duplicated_ngram_spans(docs, n=3).count() == 0
 
+    def test_i64_gram_hash_spans_identical(self, spark):
+        """The 100 TB shuffle-shrink option (gram_hash='i64', xxhash64
+        BIGINT grams) yields spans identical to the md5 default on the
+        planted-duplicate fixture — only gram equality feeds the span
+        logic, so the hash scheme is plan-internal (round-4 verdict #4)."""
+        from igtdetect_spark.operators.dedup import (
+            duplicated_ngram_spans,
+            positional_ngram_hashes,
+        )
+
+        docs = self._docs(spark)
+        by_scheme = {
+            scheme: sorted(
+                map(tuple, duplicated_ngram_spans(
+                    docs, n=3, gram_hash=scheme
+                ).collect())
+            )
+            for scheme in ("md5", "i64")
+        }
+        assert by_scheme["md5"] == by_scheme["i64"]
+        assert len(by_scheme["md5"]) == 4
+        # the i64 gram column really is a BIGINT (8-byte shuffle key)
+        g = positional_ngram_hashes(docs, n=3, gram_hash="i64")
+        assert dict(g.dtypes)["gram"] == "bigint"
+        with pytest.raises(ValueError):
+            positional_ngram_hashes(docs, n=3, gram_hash="sha1")
+
 
 class TestContaminationScreen:
     def test_eval_overlap_detected(self, spark):
