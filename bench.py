@@ -100,7 +100,7 @@ def main():
         "winnowing", "subword_stats",
         "substring_dup_spans", "substring_dedup_clean",
         "contamination_screen", "mixture_resample",
-        "unigram_familiarity",
+        "unigram_familiarity", "mixture_resample_recipe",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -1941,6 +1941,73 @@ FROM draws d JOIN cells c USING (lang, source)
 """
 
 
+def q_mixture_resample_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling toward an EXPLICIT non-uniform recipe — the
+    ``target_ppm`` path of ``mixture_resample`` (the uniform query
+    exercises only the default). The recipe is synthesized
+    deterministically from the observed cells so both engines build the
+    identical relation: cells ranked alphabetically by (lang, source),
+    cell i targeting share i/Σranks in integer ppm — a strictly
+    increasing, non-uniform ladder that forces both the thin-everything
+    (low-rank) and keep-everything (high-rank) branches. The ranking
+    window runs on the DISTINCT cell relation (dozens of rows), not the
+    corpus; the corpus itself is still scanned once with the cell rates
+    broadcast back on."""
+    from .operators.sampling import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.select("lang", "source").distinct()
+    w = Window.orderBy("lang", "source")
+    rec = cells.withColumn("_r", F.row_number().over(w).cast("long"))
+    rsum = rec.agg(F.sum("_r").alias("_sr"))
+    recipe = rec.join(F.broadcast(rsum)).select(
+        "lang", "source",
+        F.expr("(_r * 1000000L) div _sr").alias("target_ppm"),
+    )
+    return mixture_resample(docs, target_ppm=recipe)
+
+
+def _sql_mixture_resample_recipe() -> str:
+    h8 = _SQL_HEX12.replace(
+        "generate_series(1, 12)", "generate_series(1, 8)"
+    ).replace("((12 - i) * 4)", "((8 - i) * 4)").format(
+        H="substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    )
+    return f"""
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS n_cell
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_cell) AS BIGINT) AS n_total FROM counts),
+rec AS (
+  SELECT lang, source,
+         CAST(ROW_NUMBER() OVER (ORDER BY lang, source) AS BIGINT) AS r
+  FROM (SELECT DISTINCT lang, source FROM documents)
+),
+rsum AS (SELECT CAST(SUM(r) AS BIGINT) AS sr FROM rec),
+recipe AS (
+  SELECT lang, source, (r * 1000000) // sr AS target_ppm
+  FROM rec, rsum
+),
+cells AS (
+  SELECT c.lang, c.source,
+         CAST(least(
+           1000000,
+           (t.n_total * coalesce(rp.target_ppm, 0)) // c.n_cell
+         ) AS BIGINT) AS accept_ppm
+  FROM counts c LEFT JOIN recipe rp USING (lang, source), tot t
+),
+draws AS (
+  SELECT doc_id, lang, source,
+         CAST(({h8}) % 1000000 AS BIGINT) AS draw_ppm
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.source, d.draw_ppm, c.accept_ppm,
+       d.draw_ppm < c.accept_ppm AS accepted
+FROM draws d JOIN cells c USING (lang, source)
+"""
+
+
 def q_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: flag corpus docs sharing ≥ 1
     13-gram with an eval-set item (GPT-3 appendix-C style hygiene
@@ -2227,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_clean": q_substring_dedup_clean,
         "contamination_screen": q_contamination_screen,
         "mixture_resample": q_mixture_resample,
+        "mixture_resample_recipe": q_mixture_resample_recipe,
         "curation_funnel": q_curation_funnel,
         "unigram_familiarity": q_unigram_familiarity,
     }
@@ -2282,6 +2350,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_clean": _sql_substring_dedup_clean(),
         "contamination_screen": SQL_CONTAMINATION_SCREEN,
         "mixture_resample": _sql_mixture_resample(),
+        "mixture_resample_recipe": _sql_mixture_resample_recipe(),
         "curation_funnel": _sql_curation_funnel(),
         "unigram_familiarity": SQL_UNIGRAM_FAMILIARITY,
         # igt_classify_lines / igt_detect_spans: model scoring is

@@ -22,7 +22,7 @@ CHECKED = [
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
     "ann_ivf", "substring_dup_spans", "contamination_screen",
     "substring_dedup_clean", "mixture_resample", "curation_funnel",
-    "unigram_familiarity",
+    "unigram_familiarity", "mixture_resample_recipe",
 ]
 
 
@@ -134,7 +134,7 @@ HOSTILE_CHECKED = [
     "subword_stats", "winnowing", "media_meta", "media_embeddings",
     "media_frames", "media_resize", "substring_dup_spans",
     "contamination_screen", "substring_dedup_clean", "mixture_resample",
-    "curation_funnel", "unigram_familiarity",
+    "curation_funnel", "unigram_familiarity", "mixture_resample_recipe",
 ]
 
 
