@@ -839,7 +839,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, i.e. a fully
     independent implementation of the semantics. Events are deduped to
     one row per (user_id, ts) — keep max event_id — in both engines so
-    equal-timestamp ties cannot make either side nondeterministic."""
+    equal-timestamp ties cannot make either side nondeterministic.
+
+    SKEW: this bench corpus's user keys are near-uniform, so the
+    single-window plan is used. If YOUR key distribution has hot keys
+    (one user/instrument dominating), pass ``bucket_width_sec`` — or
+    ``bucket_width_sec="auto"`` to let ``auto_bucket_width`` probe the
+    key counts and decide (see operators/asof.py) — the output is
+    pinned identical either way."""
     from .operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")

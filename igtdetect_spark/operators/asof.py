@@ -37,6 +37,68 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def auto_bucket_width(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    hot_key_threshold: int = 100_000,
+    probe_fraction: float = 1.0,
+    buckets_per_core: int = 32,
+) -> int | None:
+    """Hot-key probe for :func:`asof_join`: decide whether the bucketed
+    plan is worth its two extra small shuffles, and pick a width.
+
+    Samples both sides at ``probe_fraction`` (set well below 1.0 at
+    cluster scale — the probe is two small aggregate JOBS run at plan
+    time, the price of auto mode), estimates the hottest key's total
+    row count, and returns ``None`` (keep the single-window plan) when
+    the estimate stays under ``hot_key_threshold``. Above it, the width
+    spreads the full observed time range over
+    ``buckets_per_core × defaultParallelism`` buckets, so the hot key's
+    window sort parallelizes across every core with tens of buckets
+    each (amortizing the per-bucket carry-in stitch).
+
+    The threshold default is row-count-shaped, not bytes: a window
+    partition of 100k rows sorts in ~10s of ms, far below the point
+    where one straggler partition dominates a stage."""
+    probe = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).cast("timestamp").alias("_t")
+    ).unionByName(
+        right.select(
+            F.col(on).alias("_k"),
+            F.col(right_ts).cast("timestamp").alias("_t"),
+        )
+    )
+    if probe_fraction < 1.0:
+        probe = probe.sample(fraction=probe_fraction, seed=41)
+    stats = (
+        probe.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+        .agg(
+            F.max("_n").alias("max_n"),
+            F.min("_lo").alias("lo"),
+            F.max("_hi").alias("hi"),
+        )
+        .collect()[0]
+    )
+    if stats["max_n"] is None:
+        return None
+    est_max = stats["max_n"] / probe_fraction
+    if est_max < hot_key_threshold:
+        return None
+    span_sec = max(
+        1, int((stats["hi"] - stats["lo"]).total_seconds())
+    )
+    spark = left.sparkSession
+    n_buckets = max(
+        2, buckets_per_core * spark.sparkContext.defaultParallelism
+    )
+    return max(1, -(-span_sec // n_buckets))  # ceil div
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -45,7 +107,9 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tiebreak: str | None = None,
-    bucket_width_sec: int | None = None,
+    bucket_width_sec: int | str | None = None,
+    hot_key_threshold: int = 100_000,
+    probe_fraction: float = 1.0,
 ) -> DataFrame:
     """Left as-of join: every row of ``left``, plus ``right_cols`` from
     the latest ``right`` row with ``right_ts`` ≤ ``left_ts`` on the same
@@ -61,7 +125,25 @@ def asof_join(
     (key, bucket) relation (rowsBetween(unboundedPreceding, -1), i.e.
     strictly previous buckets) and coalesced in. Output is identical to
     the unbucketed plan (pytest-pinned); pick a width that yields
-    10-100× more buckets than the hot key's row count per core."""
+    10-100× more buckets than the hot key's row count per core.
+
+    ``bucket_width_sec="auto"``: run :func:`auto_bucket_width` — a
+    plan-time probe (two small aggregate jobs over a ``probe_fraction``
+    sample of both sides' keys) that keeps the single-window plan when
+    no key exceeds ``hot_key_threshold`` rows and otherwise spreads the
+    observed time range over ~32 buckets per core. Opt-in because of
+    the probe jobs; at cluster scale set ``probe_fraction`` ≪ 1."""
+    if bucket_width_sec == "auto":
+        bucket_width_sec = auto_bucket_width(
+            left, right, on, left_ts, right_ts,
+            hot_key_threshold=hot_key_threshold,
+            probe_fraction=probe_fraction,
+        )
+    elif isinstance(bucket_width_sec, str):
+        raise ValueError(
+            f"bucket_width_sec must be an int, None, or 'auto'; "
+            f"got {bucket_width_sec!r}"
+        )
     carry = [c for c in right_cols if c != right_ts]
     # The whole right payload rides in ONE struct carried by ONE
     # last(ignorenulls) — carrying each column independently would

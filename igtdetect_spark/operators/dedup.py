@@ -492,9 +492,32 @@ def connected_components(
     ONLY under ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
     (set by ``build_session``; a long-lived app with a different session
     factory should set it too, or sweep the directory itself).
+
+    SESSION-GLOBAL SIDE EFFECT: ``sparkContext.setCheckpointDir`` has no
+    scoped form, so it is called ONLY when the context has no checkpoint
+    dir yet; if one is already set and differs, a warning is emitted and
+    the EXISTING dir is used — silently redirecting another component's
+    reliable checkpoints mid-session would be worse than checkpointing
+    here under the caller's configured path.
     """
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = edges.sparkSession.sparkContext
+        current = sc._jsc.sc().getCheckpointDir()
+        current = current.get() if current.isDefined() else None
+        if current is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        # Spark resolves the dir to a URI and appends a UUID subdir, so
+        # "already points here" is a substring check on the request
+        elif checkpoint_dir.rstrip("/").lstrip("./") not in current:
+            import warnings
+
+            warnings.warn(
+                f"connected_components: sparkContext checkpoint dir is "
+                f"already {current!r}; keeping it (checkpoint_dir="
+                f"{checkpoint_dir!r} NOT applied — setCheckpointDir is "
+                f"session-global)",
+                stacklevel=2,
+            )
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint()

@@ -84,6 +84,13 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     per-token lowercase (reference igtdetect.py:1428-1433; the ':'/'#'
     strip is a no-op on \\w+ tokens).
 
+    NULL CONTRACT: null/NaN text maps to ``[]`` (the ``fillna("")``
+    below), the same tokens an empty line yields — deliberate, so
+    every output cell is a list and downstream kernels never branch on
+    NaN. Callers that must distinguish missing from empty text should
+    test for null BEFORE tokenizing (the pipeline pre-fills text, so
+    in-engine callers never see the difference).
+
     Order matters: lowercasing the whole line first can change \\w
     boundaries — 'İ' (U+0130) lowercases to 'i' + U+0307 COMBINING DOT,
     a non-word codepoint, so lower-then-findall splits 'İstanbul' into

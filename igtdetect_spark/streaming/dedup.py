@@ -52,14 +52,22 @@ def fingerprint_stream(
     ts_col: str = "warc_ts",
     text_col: str = "text",
 ) -> DataFrame:
-    """(url, ts, fp): md5 content fingerprint per streamed page — the
-    same expression the batch `doc_fingerprints` uses, so stream and
-    backfill agree exactly. NULL text fingerprints as md5('') (matching
-    the batch kernel's treatment of empty content)."""
+    """(url, ts, fp): md5 content fingerprint per streamed page — md5
+    over NORMALIZED text, the same expression the batch
+    `doc_fingerprints` / `fingerprint_docs` kernels use, so a stream
+    and a batch backfill produce bit-identical fingerprints (pinned
+    end-to-end by the streaming-funnel parity test). NULL text
+    fingerprints as md5('') — the batch kernel yields NULL there, so a
+    null-text page is the ONE row the two disagree on; a streaming
+    dedup key must be non-null for state keying."""
+    from ..operators.dedup import normalized_text
+
     return pages.select(
         "url",
         F.col(ts_col).alias("ts"),
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp"),
+        F.md5(
+            F.coalesce(normalized_text(F.col(text_col)), F.lit(""))
+        ).alias("fp"),
     )
 
 
@@ -124,8 +132,19 @@ def neardup_stream(
     ``minhash_band_hashes`` with the event time as a pass-through
     column) fans each doc into its LSH bands; ``applyInPandasWithState``
     keyed by ``(band, band_hash)`` (the batch LSH equality) holds the
-    FIRST (by event time, then url)
-    document that produced the band within ``horizon_sec``. Every
+    first document that produced the band within ``horizon_sec``.
+
+    FIRST-HOLDER IDENTITY IS ARRIVAL-ORDER DETERMINISTIC, NOT
+    EVENT-TIME DETERMINISTIC: rows are ordered by (event time, url)
+    only WITHIN a micro-batch. With a nonzero watermark delay, a late
+    cross-batch arrival whose event time precedes the current holder's
+    does NOT reclaim the holder slot — it is reported as a candidate of
+    the later-timestamped holder, so ``first_url`` can depend on
+    micro-batch boundaries for out-of-order deliveries. This is the
+    standard online-dedup contract (state answers "have I seen this
+    band before?", not "which sighting is event-time-minimal?"); a
+    backfill needing event-time-minimal holders should use the batch
+    ``neardup_clusters`` (min doc_id representative) instead. Every
     (url, band) emits a row: ``is_first`` for the state holder,
     otherwise a candidate match against ``first_url`` — a downstream
     consumer flags a doc as near-dup iff any of its bands matched

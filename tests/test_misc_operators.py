@@ -519,6 +519,47 @@ class TestNeardupClusters:
         assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
         assert any(os.scandir(ck))  # reliable checkpoints were written
 
+    def test_connected_components_checkpoint_dir_conflict_warns(
+        self, spark, tmp_path
+    ):
+        """setCheckpointDir is session-global (round-4 advice): when the
+        context already has a DIFFERENT checkpoint dir, the call keeps
+        the existing one and warns instead of silently redirecting other
+        components' checkpoints; the same dir re-requested is silent."""
+        import warnings
+
+        from igtdetect_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(0, 1), (7, 8)], "doc_a long, doc_b long"
+        )
+        sc = spark.sparkContext
+        pre = sc._jsc.sc().getCheckpointDir()
+        pre = pre.get() if pre.isDefined() else None
+        sc._jsc.sc().setCheckpointDir(None)  # isolate from earlier tests
+        ck1 = str(tmp_path / "cc_ck_one")
+        ck2 = str(tmp_path / "cc_ck_two")
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")  # same dir twice: no warn
+                connected_components(edges, checkpoint_dir=ck1).collect()
+                connected_components(edges, checkpoint_dir=ck1).collect()
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                got = {
+                    r["node"]: r["component"]
+                    for r in connected_components(
+                        edges, checkpoint_dir=ck2
+                    ).collect()
+                }
+            assert got == {0: 0, 1: 0, 7: 7, 8: 7}  # still correct
+            assert any("session-global" in str(x.message) for x in w)
+            # the conflicting dir was NOT applied
+            cur = sc._jsc.sc().getCheckpointDir().get()
+            assert "cc_ck_one" in cur and "cc_ck_two" not in cur
+        finally:
+            sc._jsc.sc().setCheckpointDir(pre)  # restore for the suite
+
     def test_neardup_clusters_groups_and_singletons(self, spark):
         """Exact-copy groups cluster together under min doc_id; unique
         docs are their own representatives."""
@@ -786,6 +827,53 @@ class TestAsofJoin:
         assert plan.count("Window") >= 2, plan
         # the big window is keyed by (k, _b), not k alone
         assert "_b#" in plan, plan
+
+    def test_auto_bucket_width_probes_and_matches_plain(self, spark):
+        """bucket_width_sec='auto' (round-4 verdict #8): on a skewed
+        corpus the probe picks a width and the output stays identical
+        to the plain plan; on a uniform corpus it keeps the
+        single-window plan (no _b bucket column). Bad strings raise."""
+        from datetime import datetime, timedelta
+
+        import pytest as _pytest
+
+        from igtdetect_spark.operators.asof import asof_join, auto_bucket_width
+
+        base = datetime(2024, 1, 1)
+        left_rows = [(i, 1, base + timedelta(minutes=i)) for i in range(120)]
+        left_rows += [(900 + j, 2 + j, base + timedelta(minutes=5))
+                      for j in range(3)]
+        right_rows = [(100 + j, 1, base + timedelta(minutes=j * 7), f"e{j}")
+                      for j in range(9)]
+        left = spark.createDataFrame(
+            left_rows, "order_id long, k long, odate timestamp"
+        )
+        right = spark.createDataFrame(
+            right_rows, "event_id long, k long, ts timestamp, etype string"
+        )
+        kw = dict(on="k", left_ts="odate", right_ts="ts",
+                  right_cols=["event_id", "etype", "ts"], tiebreak="event_id")
+
+        # probe decision: key 1 holds 129 of 132 rows — hot at a toy
+        # threshold, cold at the default
+        assert auto_bucket_width(
+            left, right, "k", "odate", "ts", hot_key_threshold=50
+        ) >= 1
+        assert auto_bucket_width(
+            left, right, "k", "odate", "ts"
+        ) is None  # default 100k threshold: nothing hot
+
+        plain = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+        hot = asof_join(left, right, bucket_width_sec="auto",
+                        hot_key_threshold=50, **kw)
+        assert sorted(map(tuple, hot.collect())) == plain
+        assert "_b#" in str(hot._jdf.queryExecution().executedPlan())
+        cold = asof_join(left, right, bucket_width_sec="auto", **kw)
+        assert sorted(map(tuple, cold.collect())) == plain
+        assert "_b#" not in str(cold._jdf.queryExecution().executedPlan())
+
+        with _pytest.raises(ValueError):
+            asof_join(left, right, bucket_width_sec="yes", **kw)
 
 
 class TestSubstringDedup:
