@@ -38,7 +38,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -208,6 +208,7 @@ def detect_spans_chunked(
     ctx: DetectContext,
     chunk_lines: int = 20_000,
     mega_doc_chars: int = 1_000_000,
+    chunk_waves: int = 4,
 ) -> DataFrame:
     """Skew-safe pages → spans with chunk-parallel everything (see module
     docstring). Small docs keep the zero-shuffle fused path."""
@@ -242,14 +243,32 @@ def detect_spans_chunked(
     # near-empty Python tasks whose boot round-trips dominate the branch
     # (measured: 2.39 s → ~1.1 s at 8 cores on the deep-skew ladder
     # corpus). Two waves per core keeps full parallelism.
+    # The .repartition(par) of the (tiny) span rows is NOT for balance —
+    # it puts the whole small-doc scan+score on the MAP side of an
+    # exchange, making it an independent shuffle query stage that AQE
+    # materializes CONCURRENTLY with the mega split stage. Without it
+    # the fused branch is narrow all the way into the result stage and
+    # runs only after split+score complete — measured: the whole job
+    # serializes split(1.3 s, one busy task) → score → small+stitch,
+    # with 7 idle cores during the split straggler.
     small_spans = detect_spans_fused(
         pages.filter(~is_chunkable).coalesce(max(2, 2 * par)), ctx
-    )
+    ).repartition(max(2, par))
     chunks = split_mega_pages(
         pages.filter(is_chunkable).coalesce(max(2, par)),
         chunk_lines,
         cfg.html_main_content,
-    ).repartition(2 * par, "url", "chunk_no")
+    ).repartition(chunk_waves * par, "url", "chunk_no")
+    # ^ hash balance with OVERDECOMPOSITION (default 4 waves/core): a mega doc
+    # yields few chunks relative to cores (e.g. 20 chunks at 8 cores),
+    # and hash placement is balls-into-bins — at 2 bins/core the
+    # expected max bin holds ~3 chunks (score stage runs at ~2/3
+    # parallelism); at 4 bins/core bins hold ≤2 and the scheduler
+    # load-balances the tail dynamically. The two non-hash balancers
+    # were MEASURED WORSE and rejected: round-robin repartition pays
+    # Spark's determinism sort comparing whole rows (megabyte text
+    # columns included), and repartitionByRange pays a sampling pass
+    # that re-executes the split mapInPandas a second time.
 
     def score_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = ModelWeights.from_broadcastable(model_bc.value)
@@ -349,37 +368,75 @@ def detect_spans_chunked(
     )
     chunk_spans = chunks.mapInPandas(score_chunk, schema=chunk_spans_schema)
 
-    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("start_line", kind="mergesort").reset_index(drop=True)
-        url = pdf["url"].iloc[0]
-        doc_last = int(pdf["_doc_last"].iloc[0])
-        merged: list[dict] = []
-        for r in pdf.itertuples(index=False):
-            if merged and merged[-1]["end_line"] + 1 == r.start_line:
-                m = merged[-1]
-                m["end_line"] = int(r.end_line)
-                m["tags"] = list(m["tags"]) + list(r.tags)
-                m["block_ids"] = list(m["block_ids"]) + list(r.block_ids)
-                m["text"] = m["text"] + "\n" + r.text
-            else:
-                merged.append(
-                    {
-                        "url": url,
-                        "start_line": int(r.start_line),
-                        "end_line": int(r.end_line),
-                        "tags": list(r.tags),
-                        "block_ids": list(r.block_ids),
-                        "text": r.text,
-                    }
-                )
-        if merged and not cfg.flush_eof_span and merged[-1]["end_line"] >= doc_last:
-            merged.pop()
-        for i, m in enumerate(merged):
-            m["span_no"] = i + 1
-        return pd.DataFrame(merged, columns=_SPAN_COLS)
-
-    mega_spans = chunk_spans.groupBy("url").applyInPandas(
-        stitch, schema=SPANS_SCHEMA
+    # Stitch NATIVELY (round-5: was a groupBy(url).applyInPandas — the
+    # deep-skew Amdahl decomposition put ~1 s of the serial tail in the
+    # 4-stage split→balance→score→stitch barrier chain, and the stitch
+    # stage's Python-worker boot + Arrow round-trip was the removable
+    # part). The span relation is a few rows per document, so the whole
+    # merge is a gaps-and-islands window + one aggregate: adjacent
+    # chunk-local spans (prev end_line + 1 == start_line) join into one
+    # island; per island the chunk pieces concatenate in start_line
+    # order (spans are disjoint per url, so start_line is a total
+    # order); the reference EOF quirk drops a doc's LAST merged span
+    # when it touches the final line and flush is off. One exchange on
+    # url — the island aggregate and the renumber window reuse its
+    # partitioning.
+    w = Window.partitionBy("url").orderBy("start_line")
+    flagged = (
+        chunk_spans.withColumn("_pe", F.lag("end_line").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_pe").isNull()
+                | (F.col("_pe") + 1 != F.col("start_line")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    pieces = F.array_sort(
+        F.collect_list(
+            F.struct("start_line", "tags", "block_ids", "text")
+        )
+    )
+    islands = flagged.groupBy("url", "_isl").agg(
+        F.min("start_line").alias("start_line"),
+        F.max("end_line").alias("end_line"),
+        pieces.alias("_ps"),
+        F.first("_doc_last").alias("_doc_last"),
+    )
+    merged = islands.select(
+        "url",
+        "start_line",
+        "end_line",
+        F.flatten(F.col("_ps.tags")).alias("tags"),
+        F.flatten(F.col("_ps.block_ids")).alias("block_ids"),
+        F.array_join(F.col("_ps.text"), "\n").alias("text"),
+        "_doc_last",
+    )
+    if not cfg.flush_eof_span:
+        w_url = Window.partitionBy("url")
+        merged = merged.withColumn(
+            "_last_start", F.max("start_line").over(w_url)
+        ).filter(
+            ~(
+                (F.col("start_line") == F.col("_last_start"))
+                & (F.col("end_line") >= F.col("_doc_last"))
+            )
+        )
+    mega_spans = merged.select(
+        "url",
+        F.row_number().over(w).alias("span_no"),
+        "start_line",
+        "end_line",
+        "tags",
+        "block_ids",
+        "text",
     )
     return small_spans.unionByName(mega_spans)
 

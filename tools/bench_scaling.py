@@ -192,7 +192,13 @@ def main():
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling.json", "w") as f:
         json.dump(results, f, indent=2)
+    render(results)
 
+
+def render(results):
+    """Write BENCH/BASELINE.md from a results dict (the scaling.json
+    shape) — split out so `--render-only` can re-render prose edits
+    without re-measuring a ~20-minute ladder."""
     import pyspark
 
     def table(res):
@@ -230,7 +236,9 @@ Python worker boot tax present in all earlier ladders. The tax scaled
 linearly with parallelism (it is per-task, parallel across workers), so
 earlier efficiency ratios were PADDED by it while every absolute wall
 was inflated — round-2/3 cross-comparisons of either metric are
-apples-to-oranges; this ladder is the round-4 record (re-run with the packing-bound probe and the divisible-skew control).
+apples-to-oranges; this ladder is the round-5 record (re-run with the
+packing-bound probe, the divisible-skew control, and the round-5
+deep-skew stage-tail cuts described below).
 
 ## Uniform corpus (150,000 synthetic docs, {u['N=local[2]']['lines']:,} lines)
 
@@ -319,26 +327,41 @@ This is the profile where the chunk machinery is load-bearing: one
 can never beat that wall no matter the core count (fused = the mega
 wall + smalls vs chunked {d['4N=local[8]']['sec']} s at 8 cores); auto
 selects the chunked path at every level and the straggler
-parallelizes. Round 4 also removed this profile's dominant overhead:
-the SMALL-doc branch inherited the input table's 256 partitions for
-~2k docs, paying hundreds of near-empty Python-task boot round-trips —
-it now coalesces to 2 waves/core (walls roughly halved vs the round-3
-record).
+parallelizes. Round 4 removed the profile's then-dominant overhead
+(the small-doc branch's hundreds of near-empty Python-task boots —
+now coalesced to 2 waves/core); round 5 attacked the remaining
+~1.7 s Amdahl serial term's stage-tail half with three measured
+changes (stage-timeline profiled via the UI REST API, spans pinned
+bit-identical throughout):
 
-The remaining 2→8 sub-linearity is a measured Amdahl term, not a
-mystery: solving T = s + p/cores from the two observed walls gives
-serial s ≈ 1.7 s, parallel p ≈ 13 s. The serial part decomposes into
-the split stage (the mega is segmented ONCE before its chunks fan out
-— 0.67 s measured: 0.50 s segmentation + 0.17 s chunk-row build) plus
-~1 s of stage tail (split → balance shuffle → score → stitch is a
-4-stage chain; each barrier strands cores behind the slowest task, and
-the 17 MB of chunk text pays one Arrow round-trip through the
-shuffle). Parallelizing the split itself (super-chunk pre-cut at
+1. **Native stitch** — the span-merge stage was a
+   groupBy(url).applyInPandas (a Python worker + Arrow round-trip on
+   the critical path for a few-rows-per-doc relation); it is now a
+   gaps-and-islands window + one aggregate, JVM-only (T₈ 3.82 →
+   3.31 s in the pinned A/B).
+2. **Concurrent small-doc stage** — the profile showed the whole job
+   SERIALIZED: the fused small-doc branch was narrow into the result
+   stage, so 7 cores idled behind the mega split's one busy task.
+   A span-level repartition puts the small-doc scan+score on the map
+   side of its own exchange, which AQE materializes concurrently
+   with the split stage — the small-doc work now hides under the
+   split straggler.
+3. **Score-stage overdecomposition** — chunk balance is hash
+   placement (balls-into-bins: 20 chunks over 16 bins → max bin ~3);
+   4 waves/core caps bins at ~2 with dynamic tail scheduling.
+   Round-robin and range repartition were both MEASURED WORSE
+   (round-robin pays Spark's determinism sort over megabyte text
+   rows; repartitionByRange's bounds sampling re-executes the split
+   mapInPandas twice) — see plans/chunked.py.
+
+The residual serial term is the one-time mega split (~0.7 s: 0.50 s
+segmentation + 0.17 s chunk-row build) plus the two remaining
+barriers. Parallelizing the split itself (super-chunk pre-cut at
 blank-line block boundaries) was sketched and costed: it converts
 0.67 s of serial into ~0.08 s parallel plus a ~0.25 s metadata action
-— a net ~0.3 s at this scale, leaving the stage tail dominant, so it
-is not wired here. It DOES matter when single documents reach
-executor-memory scale (a 10 GB page would stall one task in split).
+— a net ~0.3 s at this scale, so it is not wired here. It DOES matter
+when single documents reach executor-memory scale (a 10 GB page would
+stall one task in split).
 
 ## Why the 8→32 pair under-reports on a single box
 
@@ -362,4 +385,8 @@ paths and parallelism levels (parity-tested in
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--render-only":
+        with open("/root/repo/BENCH/scaling.json") as f:
+            render(json.load(f))
+    else:
+        main()
