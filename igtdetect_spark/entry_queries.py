@@ -2147,6 +2147,103 @@ FROM per_doc
 """
 
 
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-signal family (duplicate-line fraction and
+    char fraction, top bi/trigram char coverage) — zero-shuffle native
+    per-doc expressions on the Spark side (sorted-array run-length
+    aggregates), relational unnest + GROUP BY on the oracle side; both
+    break the top-gram tie toward the lexicographically largest gram
+    and ratio-then-scale in the same association so the e6 floors
+    agree bit-for-bit."""
+    from .operators.text_analysis import repetition_ratios
+
+    return repetition_ratios(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_RATIOS = r"""
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id,
+               unnest(string_split(coalesce(text, ''), chr(10))) AS l
+        FROM documents)
+  WHERE length(trim(l)) > 0
+),
+lstats AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         CAST(SUM(length(line)) AS BIGINT) AS tot_chars,
+         COUNT(DISTINCT line) AS n_distinct
+  FROM lines GROUP BY 1
+),
+ldup AS (
+  SELECT doc_id, CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_chars
+  FROM (SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS len
+        FROM lines GROUP BY doc_id, line)
+  GROUP BY 1
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0) AS tk
+  FROM documents
+),
+tstats AS (
+  SELECT doc_id, len(tk) AS n_tok,
+         length(array_to_string(tk, ' ')) AS tok_chars
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, CAST(i AS INT),
+                                    CAST(i AS INT) + 1), ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) s(i)
+  WHERE len(tk) >= 2
+),
+top2 AS (
+  SELECT doc_id, CAST(cnt * length(gram) AS BIGINT) AS mass
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram DESC
+               ) AS rn
+        FROM g2 GROUP BY doc_id, gram)
+  WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, CAST(i AS INT),
+                                    CAST(i AS INT) + 2), ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) s(i)
+  WHERE len(tk) >= 3
+),
+top3 AS (
+  SELECT doc_id, CAST(cnt * length(gram) AS BIGINT) AS mass
+  FROM (SELECT doc_id, gram, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram DESC
+               ) AS rn
+        FROM g3 GROUP BY doc_id, gram)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0) AS n_lines,
+       CAST(floor((CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines)
+                  * 1e6) AS BIGINT) AS dup_line_frac_e6,
+       CAST(floor((CAST(ld.dup_chars AS DOUBLE) / ls.tot_chars)
+                  * 1e6) AS BIGINT) AS dup_line_char_frac_e6,
+       CAST(floor((CAST(t2.mass AS DOUBLE) / ts.tok_chars)
+                  * 1e6) AS BIGINT) AS top_bigram_char_frac_e6,
+       CAST(floor((CAST(t3.mass AS DOUBLE) / ts.tok_chars)
+                  * 1e6) AS BIGINT) AS top_trigram_char_frac_e6
+FROM documents d
+LEFT JOIN lstats ls USING (doc_id)
+LEFT JOIN ldup ld USING (doc_id)
+LEFT JOIN tstats ts USING (doc_id)
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel — the whole pipeline's gates composed
     on one corpus, reported as cumulative survivor counts: quality
@@ -2302,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_screen": q_contamination_screen,
         "mixture_resample": q_mixture_resample,
         "mixture_resample_recipe": q_mixture_resample_recipe,
+        "repetition_ratios": q_repetition_ratios,
         "curation_funnel": q_curation_funnel,
         "unigram_familiarity": q_unigram_familiarity,
     }
@@ -2358,6 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_screen": SQL_CONTAMINATION_SCREEN,
         "mixture_resample": _sql_mixture_resample(),
         "mixture_resample_recipe": _sql_mixture_resample_recipe(),
+        "repetition_ratios": SQL_REPETITION_RATIOS,
         "curation_funnel": _sql_curation_funnel(),
         "unigram_familiarity": SQL_UNIGRAM_FAMILIARITY,
         # igt_classify_lines / igt_detect_spans: model scoring is

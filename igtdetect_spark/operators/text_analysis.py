@@ -342,3 +342,122 @@ def gopher_filters(
         & (F.coalesce(F.col("top_bigram_frac_e6"), F.lit(0)) <= 200_000)
     )
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def _dup_run_chars(sorted_arr):
+    """Characters in 2nd+ occurrences of each repeated element of a
+    SORTED string array — the duplicate-character mass, as one native
+    ``aggregate`` (no explode/groupBy shuffle)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        dup = F.when(
+            x == acc["prev"], acc["dup"] + F.length(x)
+        ).otherwise(acc["dup"])
+        return F.struct(x.alias("prev"), dup.alias("dup"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["dup"])
+
+
+def _top_run_char_mass(sorted_arr):
+    """count(top element) × length(top element) over a SORTED string
+    array, where "top" maximizes (count, element) — the tie-break every
+    SQL mirror can reproduce with ORDER BY cnt DESC, gram DESC LIMIT 1.
+    Single native ``aggregate``; 0 on an empty array."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_run"),
+        F.lit("").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run > acc["best_run"]) | (
+            (run == acc["best_run"]) & (x > acc["best"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: acc["best_run"].cast("long") * F.length(acc["best"]),
+    )
+
+
+def repetition_ratios(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac_e6, dup_line_char_frac_e6,
+    top_bigram_char_frac_e6, top_trigram_char_frac_e6): the Gopher
+    repetition-signal family (Rae et al. 2021 §A1.1) beyond the
+    top-bigram COUNT fraction ``gopher_filters`` already gates on:
+
+    - ``dup_line_frac``: fraction of non-empty trimmed lines that are
+      2nd+ occurrences of a line already seen in the document;
+    - ``dup_line_char_frac``: characters of those repeated occurrences
+      over all line characters;
+    - ``top_{bi,tri}gram_char_frac``: characters covered by the most
+      frequent word n-gram (count × gram length, joining spaces
+      included) over the normalized token stream's total characters —
+      ties broken toward the lexicographically largest gram so the SQL
+      mirror (ORDER BY cnt DESC, gram DESC LIMIT 1) agrees exactly.
+
+    All ratios integer-e6 floored (cross-engine hash-stable), NULL on
+    empty/short inputs via try_divide. Scale shape: every signal is a
+    per-document native expression chain (sorted-array run-length
+    aggregates instead of explode + groupBy), so the operator is
+    ZERO-shuffle — a pure scan-shaped job at any corpus size."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    tot_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup_line_frac = F.try_divide(
+        n_lines - F.size(F.array_distinct(lines)), n_lines
+    )
+    dup_line_char_frac = F.try_divide(
+        _dup_run_chars(F.array_sort(lines)), tot_line_chars
+    )
+
+    toks = F.filter(_tokens(t), lambda x: F.length(x) > 0)
+    n_tok = F.size(toks)
+    tok_chars = F.length(F.array_join(toks, " "))
+
+    def gram_frac(n):
+        grams = F.when(
+            n_tok >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_tok - n + 1),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.try_divide(
+            _top_run_char_mass(F.array_sort(grams)),
+            F.when(n_tok >= n, tok_chars),
+        )
+
+    e6 = lambda c: F.floor(c * 1e6).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        e6(dup_line_frac).alias("dup_line_frac_e6"),
+        e6(dup_line_char_frac).alias("dup_line_char_frac_e6"),
+        e6(gram_frac(2)).alias("top_bigram_char_frac_e6"),
+        e6(gram_frac(3)).alias("top_trigram_char_frac_e6"),
+    )

@@ -22,7 +22,7 @@ CHECKED = [
     "media_frames", "embedding_neardup", "winnowing", "media_resize",
     "ann_ivf", "substring_dup_spans", "contamination_screen",
     "substring_dedup_clean", "mixture_resample", "curation_funnel",
-    "unigram_familiarity", "mixture_resample_recipe",
+    "unigram_familiarity", "mixture_resample_recipe", "repetition_ratios",
 ]
 
 
@@ -135,6 +135,7 @@ HOSTILE_CHECKED = [
     "media_frames", "media_resize", "substring_dup_spans",
     "contamination_screen", "substring_dedup_clean", "mixture_resample",
     "curation_funnel", "unigram_familiarity", "mixture_resample_recipe",
+    "repetition_ratios",
 ]
 
 

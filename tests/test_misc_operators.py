@@ -1107,3 +1107,48 @@ class TestMixtureResample:
         a = sorted(map(tuple, mixture_resample(docs).collect()))
         b = sorted(map(tuple, mixture_resample(docs).collect()))
         assert a == b
+
+
+class TestRepetitionRatios:
+    def test_planted_repetition_exact_values(self, spark):
+        """Hand-checkable fixture: every ratio verified against the
+        documented definitions (duplicate lines = 2nd+ occurrences;
+        top-gram char mass = count x gram length incl. joining spaces;
+        ties toward the lexicographically largest gram)."""
+        from igtdetect_spark.operators.text_analysis import repetition_ratios
+
+        docs = spark.createDataFrame(
+            [
+                # 4 lines, "dup line" twice: dup_line_frac = 1/4;
+                # line chars 8+5+12+8=33, dup (2nd occurrence) = 8
+                (1, "dup line\nalpha\nbravo juliet\ndup line"),
+                # tokens: a b a b a -> bigrams: "a b"x2, "b a"x2 ->
+                # tie on count 2, "b a" > "a b" -> mass 2*3=6 over
+                # tok_chars 9; trigrams "a b a"x2 > "b a b" -> 10/9
+                (2, "a b a b a"),
+                (3, None),
+                (4, "single"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r.asDict() for r in repetition_ratios(docs).collect()}
+        assert got[1]["n_lines"] == 4
+        assert got[1]["dup_line_frac_e6"] == 250_000
+        assert got[1]["dup_line_char_frac_e6"] == int(8 / 33 * 1e6)
+        assert got[2]["top_bigram_char_frac_e6"] == int(6 / 9 * 1e6)
+        assert got[2]["top_trigram_char_frac_e6"] == int(10 / 9 * 1e6)
+        assert got[3]["n_lines"] == 0
+        assert got[3]["dup_line_frac_e6"] is None
+        assert got[4]["top_bigram_char_frac_e6"] is None  # < 2 tokens
+
+    def test_zero_shuffle_plan(self, spark):
+        """The whole repetition family must stay scan-shaped: no
+        exchange, no Python evaluation."""
+        from igtdetect_spark.operators.text_analysis import repetition_ratios
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = str(
+            repetition_ratios(docs)._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
