@@ -101,7 +101,7 @@ def main():
         "substring_dup_spans", "substring_dedup_clean",
         "contamination_screen", "mixture_resample",
         "unigram_familiarity", "mixture_resample_recipe",
-        "repetition_ratios",
+        "repetition_ratios", "substring_dup_spans_i64",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -23,6 +23,7 @@ CHECKED = [
     "ann_ivf", "substring_dup_spans", "contamination_screen",
     "substring_dedup_clean", "mixture_resample", "curation_funnel",
     "unigram_familiarity", "mixture_resample_recipe", "repetition_ratios",
+    "substring_dup_spans_i64",
 ]
 
 
@@ -135,7 +136,7 @@ HOSTILE_CHECKED = [
     "media_frames", "media_resize", "substring_dup_spans",
     "contamination_screen", "substring_dedup_clean", "mixture_resample",
     "curation_funnel", "unigram_familiarity", "mixture_resample_recipe",
-    "repetition_ratios",
+    "repetition_ratios", "substring_dup_spans_i64",
 ]
 
 
