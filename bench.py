@@ -102,6 +102,7 @@ def main():
         "contamination_screen", "mixture_resample",
         "unigram_familiarity", "mixture_resample_recipe",
         "repetition_ratios", "substring_dup_spans_i64",
+        "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

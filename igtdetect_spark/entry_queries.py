@@ -2364,6 +2364,259 @@ FROM flags
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-cleaning family: C4 rules, corpus line dedup, PII redaction, DSIR
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: whitespace tokens per document (mirror of
+# operators.cleaning._words — same explicit WS class as the Spark side).
+_SQL_CLEAN_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0) AS tk
+  FROM documents)
+"""
+
+# Shared oracle CTE fragment: 8-token pseudo-line chunks (mirror of
+# operators.cleaning.pseudo_lines — chunk i covers 1-based tokens
+# i*8+1 .. i*8+8; empty docs emit one empty chunk, like posexplode of
+# the Spark side's singleton-[''] chunk array).
+_SQL_PSEUDO_LINES = r"""
+lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
+                                    CAST(i * 8 + 8 AS INT)), ' ') AS line
+  FROM toks, LATERAL unnest(generate_series(
+         0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1, 0))) s(i))
+"""
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule cleaning (terminal-punctuation + min-word line
+    gates, lorem-ipsum / curly-brace / min-kept-lines page gates) over
+    documents re-rendered as deterministic pseudo-lines: 8-token
+    chunks, with a terminal '.' on every line where
+    (doc_id + pos) % 3 == 0 so each gate has both passing and failing
+    population (the driver corpus itself carries no newlines or
+    punctuation). Zero shuffles — one per-row codegen stage."""
+    from .operators.cleaning import c4_clean, paged_text
+
+    return c4_clean(paged_text(_t(spark, sf_dir, "documents")))
+
+
+SQL_C4_CLEAN = r"""
+WITH
+""" + _SQL_CLEAN_TOKS + r""",
+paged AS (
+  SELECT doc_id,
+         string_agg(
+           array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
+                                      CAST(i * 8 + 8 AS INT)), ' ')
+           || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END,
+           chr(10) ORDER BY i) AS text
+  FROM toks, LATERAL unnest(generate_series(
+         0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1, 0))) s(i)
+  GROUP BY doc_id),
+split AS (
+  SELECT doc_id, text,
+         list_transform(string_split(coalesce(text, ''), chr(10)),
+                        l -> trim(l)) AS lines
+  FROM paged),
+gated AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]$') AND
+           len(list_filter(
+                 string_split(trim(regexp_replace(l,
+                   '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+                 w -> length(w) > 0)) >= 5) AS kept
+  FROM split),
+flags AS (
+  SELECT doc_id, lines, kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace,
+         (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')) AS page_kept
+  FROM gated)
+SELECT doc_id,
+       CASE WHEN page_kept THEN array_to_string(kept, chr(10))
+            ELSE '' END AS clean_text,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       CAST(has_lorem AS INTEGER) AS has_lorem,
+       CAST(has_brace AS INTEGER) AS has_brace,
+       CAST(page_kept AS INTEGER) AS page_kept
+FROM flags
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-level duplicated-line removal over the
+    same 8-token pseudo-lines: any line occurring in ≥ 2 distinct
+    documents is removed from every document (boilerplate semantics).
+    The duplicated-line relation is corpus-derived, so the join uses
+    the size-aware broadcast-XOR-shuffle_hash helper with the corpus
+    scan's Catalyst bytes as the sound bound — never an unconditional
+    broadcast of a corpus-sized relation (operators/scale.py)."""
+    from .operators.cleaning import corpus_line_dedup, pseudo_lines
+    from .operators.scale import plan_size_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_line_dedup(
+        pseudo_lines(docs), min_docs=2,
+        corpus_bound_bytes=plan_size_bytes(docs),
+    )
+
+
+SQL_LINE_DEDUP = r"""
+WITH
+""" + _SQL_CLEAN_TOKS + "," + _SQL_PSEUDO_LINES + r""",
+dup AS (
+  SELECT line FROM lines WHERE length(line) > 0
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS is_dup
+  FROM lines l LEFT JOIN dup d ON l.line = d.line)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM marked
+GROUP BY doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → <EMAIL>, IPv4 → <IP>, +N-NNN-NNNN
+    phones → <PHONE>) with per-kind counts. The driver corpus contains
+    no PII, so the query plants a deterministic contact trailer derived
+    from doc_id on BOTH engines before redacting — every pattern fires
+    on every row and the redaction cascade (email, then IP on the
+    email-redacted text, then phone) is exercised end-to-end. Zero
+    shuffles; patterns restricted to the Java∩RE2 regex subset."""
+    from .operators.cleaning import pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@mail.example.com ip 10."),
+            (d % 256).cast("string"), F.lit(".0."),
+            ((d * 7) % 256).cast("string"),
+            F.lit(" tel +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_redact(aug)
+
+
+SQL_PII_REDACT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         || ' tel +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents),
+steps AS (
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS after_email
+  FROM aug),
+steps2 AS (
+  SELECT *,
+         regexp_replace(after_email,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+           AS after_ip
+  FROM steps)
+SELECT doc_id,
+       regexp_replace(after_ip, '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g')
+         AS redacted_text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(after_ip,
+         '\+\d{1,2}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(after_email,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM steps2
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023):
+    score every document by Σ_grams log(p_target/p_raw) over 1024 md5
+    hash buckets of unigrams+bigrams, target = lang='en'. Per-bucket
+    log-ratios are floored to integer micro-units BEFORE the per-doc
+    sum, so the aggregate is an order-independent integer sum — exact
+    cross-engine hashing without float-summation drift. The per-bucket
+    stats relation is bounded at 1024 rows by construction, so its
+    broadcast is safe at any corpus scale."""
+    from .operators.sampling import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _sql_dsir_weights(n_buckets: int = 1024) -> str:
+    h8 = _SQL_HEX12.replace(
+        "generate_series(1, 12)", "generate_series(1, 8)"
+    ).replace("((12 - i) * 4)", "((8 - i) * 4)").format(
+        H="substring(md5(gram), 1, 8)"
+    )
+    B = n_buckets
+    return r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(
+           string_split(trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0) AS tk
+  FROM documents),
+grams AS (
+  SELECT doc_id, is_target, unnest(tk) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, is_target,
+         list_extract(tk, CAST(i AS INT)) || ' '
+           || list_extract(tk, CAST(i + 1 AS INT)) AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) s(i)
+  WHERE len(tk) >= 2),
+""" + f"""
+b AS (
+  SELECT doc_id, is_target, ({h8}) % {B} AS bucket FROM grams),
+stats AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct
+  FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+  FROM stats),
+bw AS (
+  SELECT bucket,
+         CAST(floor(ln(
+           (CAST(ct + 1 AS DOUBLE) * CAST(tr + {B} AS DOUBLE))
+           / (CAST(cr + 1 AS DOUBLE) * CAST(tt + {B} AS DOUBLE))
+         ) * 1e6) AS BIGINT) AS w_e6
+  FROM stats, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(w_e6) AS BIGINT) AS weight_e6
+FROM b JOIN bw USING (bucket)
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -2420,6 +2673,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratios": q_repetition_ratios,
         "curation_funnel": q_curation_funnel,
         "unigram_familiarity": q_unigram_familiarity,
+        "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
+        "pii_redact": q_pii_redact,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2478,6 +2735,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ratios": SQL_REPETITION_RATIOS,
         "curation_funnel": _sql_curation_funnel(),
         "unigram_familiarity": SQL_UNIGRAM_FAMILIARITY,
+        "c4_clean": SQL_C4_CLEAN,
+        "line_dedup": SQL_LINE_DEDUP,
+        "pii_redact": SQL_PII_REDACT,
+        "dsir_weights": _sql_dsir_weights(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -134,3 +134,107 @@ def mixture_resample(
             (draw < F.col("accept_ppm")).alias("accepted"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw document by how much its hashed unigram+bigram
+    distribution looks like a TARGET domain (here: the rows matching
+    ``target_pred``, e.g. ``F.col('lang') == 'en'``), so a downstream
+    sampler can resample the raw corpus toward the target.
+
+    Per hash bucket ``b`` of ``n_buckets``: Laplace-smoothed
+    probabilities ``p_t(b) = (c_t(b)+1)/(T_t+B)`` over the target slice
+    and ``p_r(b)`` over the full corpus; per document, the importance
+    weight is ``Σ_grams log(p_t/p_r)`` with multiplicity.
+
+    Float discipline: the log-ratio is computed ONCE per bucket and
+    floored to integer micro-units (``floor(1e6·ln(x))`` as BIGINT);
+    the per-document weight is then an INTEGER sum of those micro-units
+    — order-independent, so Spark and DuckDB hash identically (a
+    double sum would depend on reduction order).
+
+    Output: (doc_id, n_grams, weight_e6 BIGINT).
+
+    Scale shape: the gram stream aggregates once per side on ``bucket``
+    (map-side partial combine) into exactly ``n_buckets`` rows each —
+    the joined per-bucket stats relation is BOUNDED BY CONSTRUCTION at
+    ``n_buckets`` rows regardless of corpus size, so broadcasting it is
+    safe at 100 TB (unlike a vocabulary relation); the only other
+    exchange is the final per-doc sum, which reuses the corpus's
+    ``doc_id`` partitioning. Target and raw counts come from ONE
+    conditional aggregate (``sum(is_target)``) rather than two slice
+    scans; the physical plan still reads the corpus twice (once for the
+    bucket stats, once for the weighting join) — at 10^12 docs that is
+    the right trade (the alternative, materializing the gram stream, is
+    corpus-sized), and reruns can checkpoint the 1024-row stats
+    relation to skip the first pass entirely.
+    """
+    B = n_buckets
+    toks = F.split(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                r"[ \t\n\r\f\x0b]+", " ")),
+        " ",
+    )
+    toks = F.filter(toks, lambda w: F.length(w) > 0)
+    unigrams = toks
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("_is_target"),
+        F.explode(F.concat(unigrams, bigrams)).alias("gram"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(B),
+        ),
+    )
+    stats = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.col("_is_target").cast("long")).alias("_ct"),
+    )
+    # Corpus totals via a whole-frame window over the 1024-row stats
+    # relation — NOT a separate stats.agg() + cross join, which would
+    # make Catalyst re-execute the (corpus-sized) gram aggregation
+    # subtree a second time; the window is a single-partition pass over
+    # n_buckets rows, so the grams are scanned exactly once per side.
+    w = Window.partitionBy()
+    tr = F.sum("_cr").over(w)
+    tt = F.sum("_ct").over(w)
+    # log-ratio in one association on both engines:
+    # ln( ((ct+1)*(tr+B)) / ((cr+1)*(tt+B)) ), floored to micro-units.
+    ratio = (
+        (F.col("_ct") + 1).cast("double") * (tr + B).cast("double")
+    ) / (
+        (F.col("_cr") + 1).cast("double") * (tt + B).cast("double")
+    )
+    bucket_w = stats.select(
+        "bucket",
+        F.floor(F.log(ratio) * 1e6).cast("long").alias("_w_e6"),
+    )
+    return (
+        grams.join(F.broadcast(bucket_w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("_w_e6").alias("weight_e6"),
+        )
+        .select("doc_id", "n_grams", "weight_e6")
+    )

@@ -1,0 +1,270 @@
+"""Corpus-cleaning operator tests: C4 rule cleaning, corpus-level
+line dedup, PII redaction, DSIR importance weights.
+
+The graded queries run these over deterministic pseudo-lines (the
+driver corpus has no newlines/punctuation); these tests exercise the
+REALISTIC branches the driver data cannot reach — lorem-ipsum / brace
+page drops, genuine multi-line boilerplate, PII edge cases, and the
+importance-weight direction — plus the pseudo-line derivation itself.
+"""
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(rows)],
+        "doc_id long, text string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# c4_clean
+# ---------------------------------------------------------------------------
+
+GOOD_PAGE = (
+    "This is a perfectly ordinary first sentence.\n"
+    "Here is another sentence with enough words in it.\n"
+    "And a third line that also terminates properly!\n"
+    "short.\n"
+    "This line has many words but no terminal punctuation"
+)
+
+
+def test_c4_keeps_only_punctuated_long_lines(spark):
+    from igtdetect_spark.operators.cleaning import c4_clean
+
+    out = c4_clean(_docs(spark, [GOOD_PAGE])).collect()[0]
+    assert out.n_lines == 5
+    assert out.n_kept == 3  # 'short.' fails words, last fails punct
+    assert out.page_kept == 1
+    assert out.clean_text.count("\n") == 2
+    assert "short." not in out.clean_text
+
+
+@pytest.mark.parametrize(
+    "poison, flag",
+    [("\nSome Lorem Ipsum filler sentence here today.", "has_lorem"),
+     ("\nA line with code {braces} in it today.", "has_brace")],
+)
+def test_c4_page_gates_drop_whole_page(spark, poison, flag):
+    from igtdetect_spark.operators.cleaning import c4_clean
+
+    out = c4_clean(_docs(spark, [GOOD_PAGE + poison])).collect()[0]
+    assert out[flag] == 1
+    assert out.page_kept == 0
+    assert out.clean_text == ""
+
+
+def test_c4_min_kept_lines_gate(spark):
+    from igtdetect_spark.operators.cleaning import c4_clean
+
+    two_liner = (
+        "Only two proper sentences live on this page.\n"
+        "Here is the second and final proper sentence."
+    )
+    out = c4_clean(_docs(spark, [two_liner])).collect()[0]
+    assert out.n_kept == 2
+    assert out.page_kept == 0 and out.clean_text == ""
+
+
+def test_c4_null_text_is_empty_page(spark):
+    from igtdetect_spark.operators.cleaning import c4_clean
+
+    out = c4_clean(
+        spark.createDataFrame([Row(doc_id=0, text=None)],
+                              "doc_id long, text string")
+    ).collect()[0]
+    assert out.n_kept == 0 and out.page_kept == 0
+
+
+# ---------------------------------------------------------------------------
+# pseudo_lines / paged_text
+# ---------------------------------------------------------------------------
+
+def test_pseudo_lines_chunking_and_order(spark):
+    from igtdetect_spark.operators.cleaning import pseudo_lines
+
+    text = " ".join(f"w{i}" for i in range(19))  # 19 tokens → 3 chunks
+    rows = sorted(
+        pseudo_lines(_docs(spark, [text]), tokens_per_line=8).collect(),
+        key=lambda r: r.pos,
+    )
+    assert [r.pos for r in rows] == [0, 1, 2]
+    assert rows[0].line.split(" ") == [f"w{i}" for i in range(8)]
+    assert rows[2].line.split(" ") == ["w16", "w17", "w18"]
+
+
+def test_pseudo_lines_empty_doc_emits_one_empty_line(spark):
+    from igtdetect_spark.operators.cleaning import pseudo_lines
+
+    rows = pseudo_lines(_docs(spark, ["", "   "])).collect()
+    assert sorted((r.doc_id, r.pos, r.line) for r in rows) == [
+        (0, 0, ""), (1, 0, ""),
+    ]
+
+
+def test_paged_text_punctuates_every_third_line(spark):
+    from igtdetect_spark.operators.cleaning import paged_text
+
+    text = " ".join(f"w{i}" for i in range(24))  # doc_id=0 → 3 chunks
+    out = paged_text(_docs(spark, [text])).collect()[0]
+    lines = out.text.split("\n")
+    assert len(lines) == 3
+    # (doc_id + pos) % 3 == 0 → pos 0 only
+    assert lines[0].endswith(".") and not lines[1].endswith(".")
+    assert not lines[2].endswith(".")
+
+
+# ---------------------------------------------------------------------------
+# corpus_line_dedup
+# ---------------------------------------------------------------------------
+
+def _lines_df(spark, docs):
+    rows = [
+        Row(doc_id=d, pos=p, line=line)
+        for d, lines in enumerate(docs)
+        for p, line in enumerate(lines)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, pos long, line string")
+
+
+def test_line_dedup_removes_boilerplate_everywhere(spark):
+    from igtdetect_spark.operators.cleaning import corpus_line_dedup
+
+    banner = "Accept all cookies to continue"
+    docs = [
+        [banner, "unique body one", "All rights reserved"],
+        [banner, "unique body two", "All rights reserved"],
+        ["unique body three"],
+    ]
+    out = {
+        r.doc_id: r
+        for r in corpus_line_dedup(
+            _lines_df(spark, docs), min_docs=2, corpus_bound_bytes=1
+        ).collect()
+    }
+    assert out[0].clean_text == "unique body one"
+    assert out[0].n_removed == 2 and out[0].n_lines == 3
+    assert out[1].clean_text == "unique body two"
+    assert out[2].clean_text == "unique body three"
+    assert out[2].n_removed == 0
+
+
+def test_line_dedup_preserves_original_order(spark):
+    from igtdetect_spark.operators.cleaning import corpus_line_dedup
+
+    dup = "dup line"
+    docs = [["z last", dup, "a first"], [dup]]
+    out = {
+        r.doc_id: r.clean_text
+        for r in corpus_line_dedup(
+            _lines_df(spark, docs), min_docs=2, corpus_bound_bytes=1
+        ).collect()
+    }
+    assert out[0] == "z last\na first"  # pos order, not lexicographic
+    assert out[1] == ""
+
+
+def test_line_dedup_empty_lines_never_count_as_duplicates(spark):
+    from igtdetect_spark.operators.cleaning import corpus_line_dedup
+
+    docs = [["", "body a"], ["", "body b"]]
+    out = {
+        r.doc_id: r
+        for r in corpus_line_dedup(
+            _lines_df(spark, docs), min_docs=2, corpus_bound_bytes=1
+        ).collect()
+    }
+    assert out[0].n_removed == 0 and out[0].clean_text == "\nbody a"
+
+
+def test_line_dedup_same_doc_repeat_is_not_cross_doc(spark):
+    """min_docs counts DISTINCT documents — a line repeated inside one
+    doc is repetition (Gopher's domain), not corpus boilerplate."""
+    from igtdetect_spark.operators.cleaning import corpus_line_dedup
+
+    docs = [["echo", "echo", "body"], ["other"]]
+    out = corpus_line_dedup(
+        _lines_df(spark, docs), min_docs=2, corpus_bound_bytes=1
+    ).filter(F.col("doc_id") == 0).collect()[0]
+    assert out.n_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+
+def test_pii_redact_all_kinds(spark):
+    from igtdetect_spark.operators.cleaning import pii_redact
+
+    text = (
+        "Mail alice.smith+tag@sub.example.org or bob@x.co, "
+        "server 192.168.0.1, call +1-555-0199 now"
+    )
+    out = pii_redact(_docs(spark, [text])).collect()[0]
+    assert out.n_emails == 2 and out.n_ips == 1 and out.n_phones == 1
+    assert "<EMAIL>" in out.redacted_text
+    assert "192.168.0.1" not in out.redacted_text
+    assert "+1-555-0199" not in out.redacted_text
+
+
+def test_pii_redact_ip_inside_email_not_double_counted(spark):
+    """The IP count is taken AFTER email redaction: a dotted-quad-ish
+    domain inside an email never also counts as an IP."""
+    from igtdetect_spark.operators.cleaning import pii_redact
+
+    out = pii_redact(
+        _docs(spark, ["u@10.0.0.1abc.com and plain 10.0.0.2 here"])
+    ).collect()[0]
+    assert out.n_emails == 1
+    assert out.n_ips == 1  # only the standalone address
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    from igtdetect_spark.operators.cleaning import pii_redact
+
+    out = pii_redact(_docs(spark, ["no pii here at all"])).collect()[0]
+    assert out.redacted_text == "no pii here at all"
+    assert (out.n_emails, out.n_phones, out.n_ips) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_favor_target_like_documents(spark):
+    """Documents sharing the target slice's n-gram distribution must
+    score higher than out-of-distribution documents."""
+    from igtdetect_spark.operators.sampling import dsir_weights
+
+    target_phrase = "the quick brown fox jumps over the lazy dog"
+    other_phrase = "zzz qqq vvv kkk xxx www yyy uuu ppp"
+    rows = [
+        Row(doc_id=0, lang="en", text=target_phrase),
+        Row(doc_id=1, lang="en", text=target_phrase),
+        Row(doc_id=2, lang="de", text=target_phrase),  # raw, target-like
+        Row(doc_id=3, lang="de", text=other_phrase),   # raw, OOD
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: r.weight_e6
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    assert out[2] > out[3]
+
+
+def test_dsir_weights_are_integer_micro_units(spark):
+    from igtdetect_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, lang="en", text="a b c"),
+         Row(doc_id=1, lang="de", text="a b d")]
+    )
+    rows = dsir_weights(df, F.col("lang") == "en").collect()
+    assert all(isinstance(r.weight_e6, int) for r in rows)
+    # unigrams + bigrams with multiplicity: 3 + 2 grams each
+    assert all(r.n_grams == 5 for r in rows)

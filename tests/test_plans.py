@@ -308,3 +308,64 @@ def test_unigram_familiarity_two_aggregate_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_c4_clean_and_pii_redact_are_zero_shuffle_maps(spark):
+    """The cheap page gates must pipeline into the scan: per-row map
+    operators with no exchange and no Python evaluation — at 10^12
+    docs these run before anything that shuffles."""
+    from igtdetect_spark.entry_queries import q_c4_clean, q_pii_redact
+
+    for q in (q_c4_clean, q_pii_redact):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_line_dedup_join_is_broadcast_xor_shuffle(spark):
+    """The duplicated-line relation is corpus-derived: broadcast under
+    the size bound (bench scale), plain shuffle-hash join above it
+    (100 TB posture) — never unconditional, never cartesian."""
+    from igtdetect_spark.entry_queries import q_line_dedup
+
+    plan_small = _plan(q_line_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan_small, plan_small
+
+    spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+    try:
+        plan_big = _plan(q_line_dedup(spark, SF_DIR))
+    finally:
+        spark.conf.unset("igtdetect.broadcastBoundBytes")
+    assert "BroadcastHashJoin" not in plan_big, plan_big
+    assert "ShuffledHashJoin" in plan_big, plan_big
+    for plan in (plan_small, plan_big):
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_line_dedup_shuffle_branch_matches_broadcast_branch(spark):
+    from igtdetect_spark.entry_queries import q_line_dedup
+
+    base = sorted(map(tuple, q_line_dedup(spark, SF_DIR).collect()))
+    spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+    try:
+        alt = sorted(map(tuple, q_line_dedup(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.unset("igtdetect.broadcastBoundBytes")
+    assert base == alt
+
+
+def test_dsir_bucket_stats_are_broadcast_and_bounded(spark):
+    """The per-bucket stats relation is bounded at n_buckets rows BY
+    CONSTRUCTION (unlike a vocabulary), so its broadcast is the correct
+    plan at every corpus scale; the weighting join must be a broadcast
+    hash join and the whole query at most two real exchanges (bucket
+    stats agg + final per-doc agg)."""
+    from igtdetect_spark.entry_queries import q_dsir_weights
+
+    df = q_dsir_weights(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, plan
