@@ -492,3 +492,48 @@ def test_streaming_funnel_matches_batch_gates(spark, tmp_path_factory):
     # fingerprint VALUES agree bit-for-bit with the batch kernel
     for r in exact_rows:
         assert r["fp"] == batch_fps[int(r["url"])]
+
+
+def test_stateless_cleaning_gates_run_under_streaming(spark, tmp_path_factory):
+    """c4_clean and pii_redact are stateless per-row maps, so they run
+    UNMODIFIED on a readStream — no foreachBatch shim, no watermark,
+    no state store — and emit exactly the batch results. This is the
+    streaming posture for the cheap gates at ingest time: apply them in
+    the WARC ingest stream before anything stateful."""
+    from igtdetect_spark.operators.cleaning import c4_clean, pii_redact
+
+    rows = [
+        (0, "A proper sentence with enough words here.\n"
+            "Another proper sentence with enough words too!\n"
+            "And a third full sentence to pass the gate.\n"
+            "short."),
+        (1, "mail me at someone@example.com or 10.1.2.3"),
+        (2, None),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path_factory.mktemp("clean_stream"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    batch_df = spark.read.schema(schema).parquet(src)
+    expect_c4 = sorted(map(tuple, c4_clean(batch_df).collect()))
+    expect_pii = sorted(map(tuple, pii_redact(batch_df).collect()))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    for op, expect, tag in (
+        (c4_clean, expect_c4, "c4"), (pii_redact, expect_pii, "pii")
+    ):
+        out = str(tmp_path_factory.mktemp(f"{tag}_out"))
+        ckpt = str(tmp_path_factory.mktemp(f"{tag}_ckpt"))
+        q = (
+            op(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        assert got == expect, tag
