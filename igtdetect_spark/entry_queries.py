@@ -2617,6 +2617,43 @@ GROUP BY doc_id
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk into 512-token
+    training windows per (lang, source) stratum): where every document
+    lands in the packed token stream — start pack, offset, and how many
+    windows it spans. Pure integer arithmetic (BIGINT cumsum + integral
+    DIV) so offsets stay exact past 2^53 total tokens; one shuffle on
+    the stratum key, cumsum parallel across strata."""
+    from .operators.sampling import sequence_pack
+
+    return sequence_pack(_t(spark, sf_dir, "documents"))
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CAST(len(list_filter(
+           string_split(trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY lang, source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+  FROM t)
+SELECT doc_id, lang, source, n_tokens,
+       CAST((cum_end - n_tokens) // 512 AS BIGINT) AS start_pack,
+       CAST((cum_end - n_tokens) % 512 AS BIGINT) AS start_offset,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (cum_end - 1) // 512
+                      - (cum_end - n_tokens) // 512 + 1
+            END AS BIGINT) AS n_chunks
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -2677,6 +2714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "pii_redact": q_pii_redact,
         "dsir_weights": q_dsir_weights,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -2739,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "pii_redact": SQL_PII_REDACT,
         "dsir_weights": _sql_dsir_weights(),
+        "sequence_pack": SQL_SEQUENCE_PACK,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -238,3 +238,62 @@ def dsir_weights(
         )
         .select("doc_id", "n_grams", "weight_e6")
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    strata: tuple = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk): within each
+    stratum, concatenate documents in ``doc_id`` order and cut the
+    token stream into fixed ``chunk_tokens`` windows; report where each
+    document lands — (doc_id, <strata>, n_tokens, start_pack,
+    start_offset, n_chunks).  ``n_chunks`` is how many training windows
+    the document spans (0 for empty documents); documents DO straddle
+    chunk boundaries, which is exactly the GPT-2/3 packing semantics
+    (no padding, no document-boundary realignment).
+
+    All arithmetic is integer (cumulative BIGINT sums + integral DIV),
+    so Spark and DuckDB agree exactly at any corpus size — no
+    double-precision division on token offsets, which would silently
+    lose exactness past 2^53 total tokens (a 100 TB corpus is ~10^13
+    tokens; the failure is real, not theoretical).
+
+    Scale shape: ONE shuffle on the stratum key; the running sum is
+    computed independently per stratum, so strata parallelize across
+    the cluster.  A single stratum's cumsum is sequential within its
+    partition — for mega-strata (one language dominating a 10^12-doc
+    corpus), pre-shard the stratum by doc_id range, run this per
+    shard, and offset each shard's packs by the previous shards' total
+    token count (a 2-phase scan; the per-shard totals relation is tiny).
+    """
+    L = chunk_tokens
+    toks = F.split(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                                r"[ \t\n\r\f\x0b]+", " ")),
+        " ",
+    )
+    n_tokens = F.size(F.filter(toks, lambda x: F.length(x) > 0))
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), *strata,
+        n_tokens.cast("long").alias("n_tokens"),
+    ).withColumn("_cum_end", F.sum("n_tokens").over(w))
+    return base.select(
+        "doc_id", *strata, "n_tokens",
+        F.expr(f"(_cum_end - n_tokens) DIV {L}").alias("start_pack"),
+        F.expr(f"(_cum_end - n_tokens) % {L}").alias("start_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(f"(_cum_end - 1) DIV {L}")
+            - F.expr(f"(_cum_end - n_tokens) DIV {L}") + 1
+        )
+        .alias("n_chunks"),
+    )

@@ -268,3 +268,55 @@ def test_dsir_weights_are_integer_micro_units(spark):
     assert all(isinstance(r.weight_e6, int) for r in rows)
     # unigrams + bigrams with multiplicity: 3 + 2 grams each
     assert all(r.n_grams == 5 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack
+# ---------------------------------------------------------------------------
+
+def _pack_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+def test_sequence_pack_concat_then_chunk_semantics(spark):
+    from igtdetect_spark.operators.sampling import sequence_pack
+
+    rows = [
+        (0, "en", "a", " ".join(["w"] * 5)),   # tokens 0-4 of pack 0
+        (1, "en", "a", " ".join(["x"] * 4)),   # tokens 5-8: straddles
+        (2, "en", "a", ""),                    # empty: spans nothing
+        (3, "en", "a", " ".join(["y"] * 10)),  # tokens 9-18
+        (4, "de", "b", "z z z"),               # separate stratum
+    ]
+    out = {
+        r.doc_id: r
+        for r in sequence_pack(_pack_df(spark, rows),
+                               chunk_tokens=8).collect()
+    }
+    assert (out[0].start_pack, out[0].start_offset, out[0].n_chunks) \
+        == (0, 0, 1)
+    assert (out[1].start_pack, out[1].start_offset, out[1].n_chunks) \
+        == (0, 5, 2)   # crosses the 8-token boundary
+    assert (out[2].n_tokens, out[2].n_chunks) == (0, 0)
+    assert (out[3].start_pack, out[3].start_offset, out[3].n_chunks) \
+        == (1, 1, 2)
+    # the other stratum packs from zero — strata are independent streams
+    assert (out[4].start_pack, out[4].start_offset) == (0, 0)
+
+
+def test_sequence_pack_exact_boundary_doc_spans_one_chunk(spark):
+    from igtdetect_spark.operators.sampling import sequence_pack
+
+    rows = [(0, "en", "a", " ".join(["w"] * 8)),
+            (1, "en", "a", " ".join(["x"] * 8))]
+    out = {
+        r.doc_id: r
+        for r in sequence_pack(_pack_df(spark, rows),
+                               chunk_tokens=8).collect()
+    }
+    # exactly-full docs never straddle: doc 1 starts pack 1 offset 0
+    assert (out[0].start_pack, out[0].n_chunks) == (0, 1)
+    assert (out[1].start_pack, out[1].start_offset, out[1].n_chunks) \
+        == (1, 0, 1)

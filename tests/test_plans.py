@@ -369,3 +369,13 @@ def test_dsir_bucket_stats_are_broadcast_and_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 2, plan
+
+
+def test_sequence_pack_is_one_stratum_shuffle(spark):
+    """Packing = one exchange on the stratum key + per-stratum running
+    sum; no Python, no extra shuffle for the integral-DIV arithmetic."""
+    from igtdetect_spark.entry_queries import q_sequence_pack
+
+    plan = _plan(q_sequence_pack(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
