@@ -185,13 +185,18 @@ def dsir_weights(
     )
     toks = F.filter(toks, lambda w: F.length(w) > 0)
     unigrams = toks
+    # Bigrams via zip_with over two slices, NOT transform(sequence, i ->
+    # element_at(toks, i)): Catalyst inlines the (filter∘split) token
+    # expression into each element_at call inside the lambda, so the
+    # sequence form re-tokenizes the WHOLE document once per bigram —
+    # O(tokens²) per row, measured 19.8 s at sf0.1 vs 3.5 s for this
+    # form (each slice evaluates the token expression once per row).
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array())
     grams = docs.select(
