@@ -72,7 +72,15 @@ def pseudo_lines(docs: DataFrame, tokens_per_line: int = 8,
     token index ``i`` → chunk ``(i-1) // k``), making every downstream
     comparison exact.  Trailing chunks may be short (< k tokens)."""
     k = tokens_per_line
-    tk = _words(F.col(text_col))
+    # tokenize into a NAMED column first — slicing the tokenizer
+    # expression inside the transform lambda would re-tokenize the
+    # whole document once per chunk (the O(tokens²) lambda trap,
+    # PLANS.md); an attribute reference is evaluated once per row.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(F.col(text_col)).alias("_tk"),
+    )
+    tk = F.col("_tk")
     chunks = F.transform(
         F.sequence(
             F.lit(0),
@@ -82,10 +90,8 @@ def pseudo_lines(docs: DataFrame, tokens_per_line: int = 8,
         ),
         lambda i: F.array_join(F.slice(tk, i * k + 1, k), " "),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias(
-            "pos", "line"
-        )
+    return base.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "line")
     )
 
 
@@ -98,7 +104,12 @@ def paged_text(docs: DataFrame, tokens_per_line: int = 8,
     corpus where every gate (punctuation, word count, page size) has
     both passing and failing population.  Mirrored verbatim in SQL."""
     k, p = tokens_per_line, punct_every
-    tk = _words(F.col(text_col))
+    # same named-column discipline as pseudo_lines (lambda trap)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(F.col(text_col)).alias("_tk"),
+    )
+    tk = F.col("_tk")
     lines = F.transform(
         F.sequence(
             F.lit(0),
@@ -108,14 +119,13 @@ def paged_text(docs: DataFrame, tokens_per_line: int = 8,
         ),
         lambda i: F.concat(
             F.array_join(F.slice(tk, i * k + 1, k), " "),
-            F.when((F.col(id_col) + i) % p == 0, F.lit(".")).otherwise(
+            F.when((F.col("doc_id") + i) % p == 0, F.lit(".")).otherwise(
                 F.lit("")
             ),
         ),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_join(lines, "\n").alias("text"),
+    return base.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
     )
 
 
@@ -135,24 +145,35 @@ def c4_clean(docs: DataFrame, min_words: int = 5, min_kept_lines: int = 3,
     at 10^12 docs this is the cheapest gate in the funnel and belongs
     before every shuffling stage."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.transform(F.split(t, "\n"), lambda l: F.trim(l))
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike(TERMINAL_PUNCT_RE)
-        & (F.size(_words(l)) >= min_words),
-    )
-    has_lorem = F.lower(t).contains("lorem ipsum")
-    has_brace = t.contains("{")
-    page_kept = (
-        (F.size(kept) >= min_kept_lines) & ~has_lorem & ~has_brace
-    )
-    return docs.select(
+    # staged named columns: the kept-lines filter is referenced three
+    # times (size, join, gate) — as a raw expression each reference
+    # would re-run the per-line regex filter (lambda trap, PLANS.md)
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(page_kept, F.array_join(kept, "\n"))
+        t.alias("_t"),
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)).alias(
+            "_lines"
+        ),
+    ).select(
+        "doc_id", "_t", "_lines",
+        F.filter(
+            F.col("_lines"),
+            lambda l: l.rlike(TERMINAL_PUNCT_RE)
+            & (F.size(_words(l)) >= min_words),
+        ).alias("_kept"),
+    )
+    has_lorem = F.lower(F.col("_t")).contains("lorem ipsum")
+    has_brace = F.col("_t").contains("{")
+    page_kept = (
+        (F.size("_kept") >= min_kept_lines) & ~has_lorem & ~has_brace
+    )
+    return staged.select(
+        "doc_id",
+        F.when(page_kept, F.array_join("_kept", "\n"))
         .otherwise(F.lit(""))
         .alias("clean_text"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
         has_lorem.cast("int").alias("has_lorem"),
         has_brace.cast("int").alias("has_brace"),
         page_kept.cast("int").alias("page_kept"),

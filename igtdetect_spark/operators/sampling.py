@@ -178,31 +178,37 @@ def dsir_weights(
     relation to skip the first pass entirely.
     """
     B = n_buckets
-    toks = F.split(
-        F.trim(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
-                                r"[ \t\n\r\f\x0b]+", " ")),
-        " ",
+    # Tokenize ONCE into a named column, and build bigrams via zip_with
+    # over two slices of that attribute — NOT transform(sequence, i ->
+    # element_at(<tokenizer expr>, i)), which re-ran the whole
+    # (filter∘split) tokenizer once per bigram: O(tokens²) per row,
+    # measured 19.8 s at sf0.1 vs 3.5 s for this form (PLANS.md,
+    # "lambda trap").
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("_is_target"),
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    r"[ \t\n\r\f\x0b]+", " ")),
+                " ",
+            ),
+            lambda w: F.length(w) > 0,
+        ).alias("_tk"),
     )
-    toks = F.filter(toks, lambda w: F.length(w) > 0)
-    unigrams = toks
-    # Bigrams via zip_with over two slices, NOT transform(sequence, i ->
-    # element_at(toks, i)): Catalyst inlines the (filter∘split) token
-    # expression into each element_at call inside the lambda, so the
-    # sequence form re-tokenizes the WHOLE document once per bigram —
-    # O(tokens²) per row, measured 19.8 s at sf0.1 vs 3.5 s for this
-    # form (each slice evaluates the token expression once per row).
+    tk = F.col("_tk")
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size(tk) >= 2,
         F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
+            F.slice(tk, 1, F.size(tk) - 1),
+            F.slice(tk, 2, F.size(tk) - 1),
             lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array())
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        target_pred.cast("boolean").alias("_is_target"),
-        F.explode(F.concat(unigrams, bigrams)).alias("gram"),
+    grams = tokenized.select(
+        "doc_id", "_is_target",
+        F.explode(F.concat(tk, bigrams)).alias("gram"),
     ).withColumn(
         "bucket",
         F.pmod(

@@ -420,10 +420,21 @@ def repetition_ratios(
     aggregates instead of explode + groupBy), so the operator is
     ZERO-shuffle — a pure scan-shaped job at any corpus size."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-        lambda x: F.length(x) > 0,
+    # Materialize the line and token arrays as NAMED columns first: an
+    # expression object reused inside a transform lambda is re-evaluated
+    # once PER ELEMENT (the dsir_weights O(tokens²) trap, PLANS.md);
+    # an attribute reference is evaluated once per row, and Catalyst's
+    # CollapseProject guard keeps multi-referenced non-cheap aliases
+    # from being re-inlined.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+            lambda x: F.length(x) > 0,
+        ).alias("_lines"),
+        F.filter(_tokens(t), lambda x: F.length(x) > 0).alias("_toks"),
     )
+    lines, toks = F.col("_lines"), F.col("_toks")
     n_lines = F.size(lines)
     tot_line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
@@ -435,7 +446,6 @@ def repetition_ratios(
         _dup_run_chars(F.array_sort(lines)), tot_line_chars
     )
 
-    toks = F.filter(_tokens(t), lambda x: F.length(x) > 0)
     n_tok = F.size(toks)
     tok_chars = F.length(F.array_join(toks, " "))
 
@@ -453,8 +463,8 @@ def repetition_ratios(
         )
 
     e6 = lambda c: F.floor(c * 1e6).cast("long")
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_lines.alias("n_lines"),
         e6(dup_line_frac).alias("dup_line_frac_e6"),
         e6(dup_line_char_frac).alias("dup_line_char_frac_e6"),
