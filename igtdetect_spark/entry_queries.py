@@ -2654,6 +2654,36 @@ FROM c
 """
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-style temperature-sampling mixture shares per language
+    (alpha=0.3): observed share_ppm and the flattened temp_share_ppm —
+    a drop-in target_ppm recipe for mixture_resample. One tiny group
+    aggregate; the only float op (pow) is floored to integer nano-units
+    per group before any summation, so the shares are exact BIGINT
+    arithmetic cross-engine."""
+    from .operators.sampling import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"))
+
+
+SQL_TEMPERATURE_MIXTURE = r"""
+WITH counts AS (
+  SELECT lang AS grp, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM counts),
+wts AS (
+  SELECT grp, n_docs, total,
+         CAST(floor(pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE),
+                        0.3) * 1e9) AS BIGINT) AS w_e9
+  FROM counts, tot),
+s AS (SELECT *, CAST(SUM(w_e9) OVER () AS BIGINT) AS w_sum FROM wts)
+SELECT grp AS lang, n_docs,
+       CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((w_e9 * 1000000) // w_sum AS BIGINT) AS temp_share_ppm
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -2715,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dsir_weights": q_dsir_weights,
         "sequence_pack": q_sequence_pack,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -2778,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": SQL_PII_REDACT,
         "dsir_weights": _sql_dsir_weights(),
         "sequence_pack": SQL_SEQUENCE_PACK,
+        "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

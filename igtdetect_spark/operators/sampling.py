@@ -308,3 +308,54 @@ def sequence_pack(
         )
         .alias("n_chunks"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """XLM-style temperature-sampling mixture (Conneau & Lample 2019):
+    re-weight each group's corpus share p_g to q_g ∝ p_g^alpha
+    (alpha < 1 flattens the distribution toward low-resource groups —
+    the standard multilingual-LM sampling recipe). Output
+    (group, n_docs, share_ppm, temp_share_ppm); ``temp_share_ppm`` is a
+    drop-in ``target_ppm`` recipe for :func:`mixture_resample`.
+
+    Float discipline: the only float op is the per-group ``pow``,
+    immediately floored to integer nano-units (``floor(1e9·p^alpha)``);
+    the normalization Σ and the ppm shares are pure BIGINT arithmetic —
+    order-independent, so Spark and DuckDB agree exactly (a double
+    softmax would drift with summation order). At the e9 scale a 1-ulp
+    ``pow`` divergence moves the floored value only with ~1e-7
+    probability per group.
+
+    Scale shape: one hash aggregate to group counts (map-side combine);
+    the group relation is bounded by the number of groups (languages:
+    dozens), so the whole-frame window over it is a single tiny
+    partition — the corpus is scanned exactly once."""
+    counts = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    p = F.col("n_docs").cast("double") / total.cast("double")
+    w_e9 = F.floor(F.pow(p, F.lit(alpha)) * 1e9).cast("long")
+    staged = counts.select(
+        "grp", "n_docs",
+        F.expr("n_docs * 1000000L").alias("_n_e6"),
+        total.alias("_total"),
+        w_e9.alias("_w_e9"),
+    ).select(
+        "grp", "n_docs",
+        F.expr("_n_e6 div _total").alias("share_ppm"),
+        F.col("_w_e9"),
+        F.sum("_w_e9").over(w).alias("_w_sum"),
+    )
+    return staged.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "share_ppm",
+        F.expr("(_w_e9 * 1000000L) div _w_sum").alias("temp_share_ppm"),
+    )

@@ -320,3 +320,37 @@ def test_sequence_pack_exact_boundary_doc_spans_one_chunk(spark):
     assert (out[0].start_pack, out[0].n_chunks) == (0, 1)
     assert (out[1].start_pack, out[1].start_offset, out[1].n_chunks) \
         == (1, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture
+# ---------------------------------------------------------------------------
+
+def test_temperature_mixture_flattens_toward_low_resource(spark):
+    """alpha < 1 must raise the low-resource group's share and lower
+    the high-resource group's, with ppm totals conserved (±rounding)."""
+    from igtdetect_spark.operators.sampling import temperature_mixture
+
+    rows = [Row(doc_id=i, lang=("en" if i < 90 else "yo")) for i in range(100)]
+    out = {
+        r.lang: r
+        for r in temperature_mixture(
+            spark.createDataFrame(rows), alpha=0.3
+        ).collect()
+    }
+    assert out["en"].share_ppm == 900_000 and out["yo"].share_ppm == 100_000
+    assert out["yo"].temp_share_ppm > out["yo"].share_ppm
+    assert out["en"].temp_share_ppm < out["en"].share_ppm
+    total = out["en"].temp_share_ppm + out["yo"].temp_share_ppm
+    assert 999_998 <= total <= 1_000_000
+
+
+def test_temperature_mixture_alpha_one_is_identity(spark):
+    from igtdetect_spark.operators.sampling import temperature_mixture
+
+    rows = [Row(doc_id=i, lang=("a" if i % 4 else "b")) for i in range(80)]
+    out = temperature_mixture(
+        spark.createDataFrame(rows), alpha=1.0
+    ).collect()
+    for r in out:
+        assert abs(r.temp_share_ppm - r.share_ppm) <= 1  # e9-floor rounding
