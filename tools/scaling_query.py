@@ -1,0 +1,134 @@
+"""Per-query two-parallelism scaling probe (extends the flagship ladder
+in ``bench_scaling.py`` to arbitrary registry queries).
+
+Runs a registry query at taskset-pinned ``local[2]`` (N) and
+``local[8]`` (4N) on the SAME sf input, interleaving the levels A/B/A/B
+(best wall per level) so both legs see the same host window, and prints
+the N→4N scaling efficiency = (1/T4N ÷ 1/TN) / 4.
+
+Why local[2] vs local[8] and not local[32]: the flagship ladder's
+single-socket analysis (BENCH/BASELINE.md) — 32 local workers share one
+memory bus, which a real cluster does not; the 2→8 pair is the faithful
+N→4N cluster proxy.
+
+A sub-second sf0.1 query wall is dominated by fixed per-job overhead
+(planning, scheduling, Python worker spin-up), so its 2→8 ratio
+measures overhead, not the engine — pass ``--scale K`` to run over a
+K×-replicated copy of the documents table (doc_id remapped per
+replica, written once under data/scaled_k{K}/) so the parallel work
+dwarfs the fixed cost and the ratio means something.
+
+Usage: python tools/scaling_query.py [--scale K] [sf_dir] query [...]
+Appends results under ``registry_queries`` in BENCH/scaling.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+from igtdetect_spark.session import build_session
+from igtdetect_spark.entry_queries import queries as registry
+from igtdetect_spark.operators.dedup import release_plan_caches
+
+name, sf_dir, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3])
+# identical shuffle plan at both levels; only parallelism differs
+spark = build_session(master=f"local[{cpus}]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+fn = registry()[name]
+df = fn(spark, sf_dir)
+df.count()  # warm-up: python workers, broadcasts, page cache
+release_plan_caches(df)
+best = None
+for _ in range(3):
+    t0 = time.time()
+    d = fn(spark, sf_dir)
+    n = d.count()
+    dt = time.time() - t0
+    release_plan_caches(d)
+    best = dt if best is None or dt < best else best
+print(json.dumps({"query": name, "cpus": cpus, "rows": n,
+                  "sec": round(best, 3)}))
+spark.stop()
+"""
+
+
+def run_level(name: str, sf_dir: str, cpus: int) -> dict:
+    n_host = os.cpu_count() or 32
+    cmd = ["taskset", "-c", f"{n_host - cpus}-{n_host - 1}",
+           sys.executable, "-c", RUNNER, name, sf_dir, str(cpus)]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd="/root/repo", timeout=2400)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    print(r, flush=True)
+    return r
+
+
+SCALER = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from igtdetect_spark.session import build_session
+from pyspark.sql import functions as F
+
+src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = build_session(master="local[8]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(f"{src}/documents.parquet")
+reps = spark.range(k).select(F.col("id").alias("_rep"))
+scaled = docs.crossJoin(reps).select(
+    (F.col("doc_id") + F.col("_rep") * 10_000_000).alias("doc_id"),
+    "text", "lang", "source", "n_chars",
+)
+scaled.repartition(32).write.mode("overwrite").parquet(
+    f"{dst}/documents.parquet")
+print("scaled", scaled.count())
+spark.stop()
+"""
+
+
+def main():
+    args = sys.argv[1:]
+    scale = 1
+    if args and args[0] == "--scale":
+        scale, args = int(args[1]), args[2:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    if scale > 1:
+        dst = f"/root/repo/data/scaled_k{scale}"
+        if not os.path.isdir(f"{dst}/documents.parquet"):
+            subprocess.run(
+                [sys.executable, "-c", SCALER, sf_dir, dst, str(scale)],
+                cwd="/root/repo", timeout=2400, check=True,
+            )
+        sf_dir = dst
+    results = {}
+    for name in args:
+        r2s, r8s = [], []
+        for _ in range(2):  # interleave legs against host drift
+            r2s.append(run_level(name, sf_dir, 2))
+            r8s.append(run_level(name, sf_dir, 8))
+        t2 = min(r["sec"] for r in r2s)
+        t8 = min(r["sec"] for r in r8s)
+        eff = round((t2 / t8) / 4, 3)
+        key = name if scale == 1 else f"{name}@k{scale}"
+        results[key] = {"sf_dir": sf_dir, "scale": scale, "T2_sec": t2,
+                        "T8_sec": t8, "efficiency_2_to_8": eff}
+        print(f"{key}: T2={t2}s T8={t8}s efficiency 2→8 = {eff}",
+              flush=True)
+
+    path = "/root/repo/BENCH/scaling.json"
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data.setdefault("registry_queries", {}).update(results)
+    json.dump(data, open(path, "w"), indent=1)
+    print("written to BENCH/scaling.json registry_queries")
+
+
+if __name__ == "__main__":
+    main()
