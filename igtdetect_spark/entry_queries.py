@@ -2657,7 +2657,9 @@ FROM c
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLM-style temperature-sampling mixture shares per language
     (alpha=0.3): observed share_ppm and the flattened temp_share_ppm —
-    a drop-in target_ppm recipe for mixture_resample. One tiny group
+    the integer-ppm recipe convention mixture_resample consumes
+    (distribute a language's share across its cells to feed it
+    directly). One tiny group
     aggregate; the only float op (pow) is floored to integer nano-units
     per group before any summation, so the shares are exact BIGINT
     arithmetic cross-engine."""

@@ -320,8 +320,10 @@ def temperature_mixture(
     re-weight each group's corpus share p_g to q_g ∝ p_g^alpha
     (alpha < 1 flattens the distribution toward low-resource groups —
     the standard multilingual-LM sampling recipe). Output
-    (group, n_docs, share_ppm, temp_share_ppm); ``temp_share_ppm`` is a
-    drop-in ``target_ppm`` recipe for :func:`mixture_resample`.
+    (group, n_docs, share_ppm, temp_share_ppm); ``temp_share_ppm`` uses
+    the same integer-ppm convention :func:`mixture_resample` consumes —
+    distribute a group's share across its (group, source) cells (e.g.
+    proportionally to observed cell counts) to feed it directly.
 
     Float discipline: the only float op is the per-group ``pow``,
     immediately floored to integer nano-units (``floor(1e9·p^alpha)``);

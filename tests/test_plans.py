@@ -379,3 +379,15 @@ def test_sequence_pack_is_one_stratum_shuffle(spark):
     plan = _plan(q_sequence_pack(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_temperature_mixture_is_two_tiny_aggregates(spark):
+    """Group counts + whole-frame windows over the (languages-sized)
+    group relation — no cartesian, no Python, and the corpus is
+    scanned exactly once (one hash aggregate feeds everything)."""
+    from igtdetect_spark.entry_queries import q_temperature_mixture
+
+    plan = _plan(q_temperature_mixture(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1, plan
