@@ -1,0 +1,167 @@
+"""Property-based tests (hypothesis) for the corpus-cleaning and
+packing operators: invariants that must hold on ANY corpus, checked
+against pure-Python models of the semantics. Each example is a whole
+small corpus (one Spark job per example, small max_examples)."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Row
+
+WORDS = ["alpha", "beta", "gamma", "delta", "tok", "line", "x1", "y2"]
+
+word_lines = st.lists(
+    st.sampled_from(WORDS), min_size=0, max_size=9
+).map(" ".join)
+pii_bits = st.sampled_from([
+    "a@b.co", "x.y+z@mail.example.org", "10.0.0.1", "255.1.2.3",
+    "+1-555-0000", "+44-123-4567", "plain", "dots...", "at@", "@x",
+])
+pii_texts = st.lists(
+    st.one_of(st.sampled_from(WORDS), pii_bits), min_size=0, max_size=12
+).map(" ".join)
+corpora = st.lists(
+    st.lists(word_lines, min_size=0, max_size=6), min_size=1, max_size=6
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(pii_texts, min_size=1, max_size=5))
+def test_pii_redact_is_idempotent_and_leaves_no_matches(spark, texts):
+    from igtdetect_spark.operators.cleaning import (
+        EMAIL_RE, IPV4_RE, PHONE_RE, pii_redact,
+    )
+
+    once = pii_redact(_docs(spark, texts))
+    rows = {r.doc_id: r for r in once.collect()}
+    # no residual pattern survives redaction
+    for r in rows.values():
+        assert not re.search(EMAIL_RE, r.redacted_text), r
+        assert not re.search(PHONE_RE, r.redacted_text), r
+    # idempotence: redacting the redacted text changes nothing
+    twice = pii_redact(
+        _docs(spark, [rows[i].redacted_text for i in sorted(rows)])
+    ).collect()
+    for r in twice:
+        assert r.redacted_text == rows[r.doc_id].redacted_text
+        assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpora)
+def test_line_dedup_conservation_and_subsequence(spark, docs_lines):
+    from igtdetect_spark.operators.cleaning import corpus_line_dedup
+
+    rows = [
+        Row(doc_id=d, pos=p, line=line)
+        for d, lines in enumerate(docs_lines)
+        for p, line in enumerate(lines)
+    ]
+    if not rows:
+        return
+    lines_df = spark.createDataFrame(
+        rows, "doc_id long, pos long, line string"
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus_line_dedup(
+            lines_df, min_docs=2, corpus_bound_bytes=1
+        ).collect()
+    }
+    # pure-Python model of the boilerplate set
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for d, lines in enumerate(docs_lines):
+        for line in lines:
+            if line:
+                docs_per_line[line].add(d)
+    boiler = {l for l, ds in docs_per_line.items() if len(ds) >= 2}
+
+    for d, lines in enumerate(docs_lines):
+        if not lines:
+            assert d not in out
+            continue
+        r = out[d]
+        expect_kept = [l for l in lines if l not in boiler]
+        assert r.n_lines == len(lines)
+        assert r.n_removed == len(lines) - len(expect_kept)
+        got = r.clean_text.split("\n") if r.clean_text != "" else []
+        # "" kept lines make split ambiguous; compare joined form instead
+        assert r.clean_text == "\n".join(expect_kept) or got == expect_kept
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["en", "de"]), word_lines),
+    min_size=1, max_size=8,
+))
+def test_sequence_pack_offsets_are_contiguous_per_stratum(spark, rows):
+    from igtdetect_spark.operators.sampling import sequence_pack
+
+    L = 7
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=lang, source="s", text=t)
+         for i, (lang, t) in enumerate(rows)]
+    )
+    out = sorted(sequence_pack(df, chunk_tokens=L).collect(),
+                 key=lambda r: (r.lang, r.doc_id))
+    cum = {}
+    for r in out:
+        key = (r.lang, r.source)
+        start = cum.get(key, 0)
+        assert r.start_pack == start // L and r.start_offset == start % L
+        end = start + r.n_tokens
+        if r.n_tokens == 0:
+            assert r.n_chunks == 0
+        else:
+            assert r.n_chunks == (end - 1) // L - start // L + 1
+        cum[key] = end
+    # token counts match a pure-Python whitespace tokenizer
+    expect = {i: len(t.split()) for i, (_, t) in enumerate(rows)}
+    for r in out:
+        assert r.n_tokens == expect[r.doc_id]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.lists(
+        st.one_of(
+            word_lines,
+            word_lines.map(lambda s: s + "."),
+            st.just("Lorem Ipsum dolor."),
+            st.just("code { brace }"),
+        ),
+        min_size=0, max_size=6,
+    ).map("\n".join),
+    min_size=1, max_size=5,
+))
+def test_c4_clean_output_lines_all_satisfy_the_keep_rule(spark, texts):
+    from igtdetect_spark.operators.cleaning import (
+        TERMINAL_PUNCT_RE, c4_clean,
+    )
+
+    out = {r.doc_id: r for r in c4_clean(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        r = out[i]
+        orig = [l.strip() for l in t.split("\n")]
+        assert r.n_lines == len(orig)
+        if r.page_kept == 0:
+            assert r.clean_text == ""
+            continue
+        kept = r.clean_text.split("\n") if r.clean_text else []
+        assert len(kept) == r.n_kept >= 3
+        it = iter(orig)
+        for line in kept:
+            assert line in it  # subsequence: order preserved
+            assert re.search(TERMINAL_PUNCT_RE, line)
+            assert len(line.split()) >= 5
+        assert "lorem ipsum" not in t.lower() and "{" not in t
