@@ -2654,6 +2654,108 @@ FROM c
 """
 
 
+def q_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning gates COMPOSED end-to-end (the cleaning-family
+    analogue of curation_funnel): deterministic paged rendering →
+    corpus-level boilerplate line removal → C4 page gates on the
+    deduped text, reported as one summary row (doc/line totals,
+    boilerplate lines removed, pages and lines surviving C4). Every
+    stage reuses the exact operator its standalone query grades; the
+    oracle composes the same CTE fragments. Deliberately NOT in bench
+    (it would double-count already-timed work)."""
+    from .operators.cleaning import c4_clean, corpus_line_dedup, paged_text
+    from .operators.scale import plan_size_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    paged = paged_text(docs)
+    lines = paged.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    )
+    deduped = corpus_line_dedup(
+        lines, min_docs=2, corpus_bound_bytes=plan_size_bytes(docs)
+    )
+    cleaned = c4_clean(
+        deduped.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    joined = deduped.select("doc_id", "n_lines", "n_removed").join(
+        cleaned.select("doc_id", "n_kept", "page_kept"), "doc_id"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_removed").alias("n_boiler_removed"),
+        F.sum(F.col("page_kept").cast("long")).alias("n_pages_kept"),
+        F.sum(
+            F.when(F.col("page_kept") == 1, F.col("n_kept").cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("n_lines_kept"),
+    )
+
+
+SQL_CLEANING_FUNNEL = r"""
+WITH
+""" + _SQL_CLEAN_TOKS + r""",
+paged AS (
+  SELECT doc_id,
+         string_agg(
+           array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
+                                      CAST(i * 8 + 8 AS INT)), ' ')
+           || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END,
+           chr(10) ORDER BY i) AS text
+  FROM toks, LATERAL unnest(generate_series(
+         0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1, 0))) s(i)
+  GROUP BY doc_id),
+plines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         list_extract(ls, CAST(i AS INT)) AS line
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM paged),
+       LATERAL unnest(generate_series(1, len(ls))) s(i)),
+dup AS (
+  SELECT line FROM plines WHERE length(line) > 0
+  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS is_dup
+  FROM plines l LEFT JOIN dup d ON l.line = d.line),
+deduped AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN NOT is_dup THEN line END,
+                             chr(10) ORDER BY pos), '') AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM marked GROUP BY doc_id),
+c4split AS (
+  SELECT doc_id, text, n_lines, n_removed,
+         list_transform(string_split(coalesce(text, ''), chr(10)),
+                        l -> trim(l)) AS lines
+  FROM deduped),
+c4gated AS (
+  SELECT doc_id, text, n_lines, n_removed,
+         list_filter(lines, l ->
+           regexp_matches(l, '[.!?"]$') AND
+           len(list_filter(
+                 string_split(trim(regexp_replace(l,
+                   '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+                 w -> length(w) > 0)) >= 5) AS kept
+  FROM c4split),
+flags AS (
+  SELECT doc_id, n_lines, n_removed, len(kept) AS n_kept,
+         (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{')) AS page_kept
+  FROM c4gated)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_removed) AS BIGINT) AS n_boiler_removed,
+       CAST(SUM(CASE WHEN page_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pages_kept,
+       CAST(SUM(CASE WHEN page_kept THEN n_kept ELSE 0 END) AS BIGINT)
+         AS n_lines_kept
+FROM flags
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLM-style temperature-sampling mixture shares per language
     (alpha=0.3): observed share_ppm and the flattened temp_share_ppm —
@@ -2748,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "sequence_pack": q_sequence_pack,
         "temperature_mixture": q_temperature_mixture,
+        "cleaning_funnel": q_cleaning_funnel,
     }
 
 
@@ -2812,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _sql_dsir_weights(),
         "sequence_pack": SQL_SEQUENCE_PACK,
         "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
+        "cleaning_funnel": SQL_CLEANING_FUNNEL,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }
