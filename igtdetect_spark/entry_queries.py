@@ -2387,8 +2387,9 @@ toks AS (
 _SQL_PSEUDO_LINES = r"""
 lines AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
-                                    CAST(i * 8 + 8 AS INT)), ' ') AS line
+         coalesce(array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
+                                    CAST(i * 8 + 8 AS INT)), ' '), '')
+           AS line
   FROM toks, LATERAL unnest(generate_series(
          0, greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1, 0))) s(i))
 """
@@ -2413,8 +2414,10 @@ WITH
 paged AS (
   SELECT doc_id,
          string_agg(
-           array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
-                                      CAST(i * 8 + 8 AS INT)), ' ')
+           -- coalesce: DuckDB's array_to_string over an EMPTY slice is
+           -- NULL where Spark's array_join is '' (empty/NULL docs)
+           coalesce(array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
+                                      CAST(i * 8 + 8 AS INT)), ' '), '')
            || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END,
            chr(10) ORDER BY i) AS text
   FROM toks, LATERAL unnest(generate_series(
@@ -2699,8 +2702,10 @@ WITH
 paged AS (
   SELECT doc_id,
          string_agg(
-           array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
-                                      CAST(i * 8 + 8 AS INT)), ' ')
+           -- coalesce: DuckDB's array_to_string over an EMPTY slice is
+           -- NULL where Spark's array_join is '' (empty/NULL docs)
+           coalesce(array_to_string(list_slice(tk, CAST(i * 8 + 1 AS INT),
+                                      CAST(i * 8 + 8 AS INT)), ' '), '')
            || CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END,
            chr(10) ORDER BY i) AS text
   FROM toks, LATERAL unnest(generate_series(

@@ -137,6 +137,8 @@ HOSTILE_CHECKED = [
     "contamination_screen", "substring_dedup_clean", "mixture_resample",
     "curation_funnel", "unigram_familiarity", "mixture_resample_recipe",
     "repetition_ratios", "substring_dup_spans_i64",
+    "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
+    "sequence_pack", "temperature_mixture", "cleaning_funnel",
 ]
 
 
