@@ -103,7 +103,7 @@ def main():
         "unigram_familiarity", "mixture_resample_recipe",
         "repetition_ratios", "substring_dup_spans_i64",
         "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
-        "sequence_pack", "temperature_mixture",
+        "sequence_pack", "temperature_mixture", "incremental_dedup",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -2761,6 +2761,41 @@ FROM flags
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a crawl increment against an existing
+    corpus's fingerprint store (historical corpus never re-scanned).
+    Deterministic split: docs with doc_id % 3 == 0 play the existing
+    corpus, the full table plays the increment — so a third of the
+    increment is flagged seen and the rest admitted. Seen-relation join
+    is size-aware broadcast-XOR-shuffle (operators/scale.py)."""
+    from .operators.dedup import fingerprint_docs, incremental_dedup
+    from .operators.scale import plan_size_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = fingerprint_docs(docs.filter(F.col("doc_id") % 3 == 0))
+    return incremental_dedup(
+        docs, seen, corpus_bound_bytes=plan_size_bytes(docs)
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents),
+seen AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0),
+first AS (
+  SELECT fingerprint, MIN(doc_id) AS first_id FROM fp GROUP BY 1)
+SELECT f.doc_id, f.fingerprint,
+       CAST(s.fingerprint IS NOT NULL AS INTEGER) AS seen_in_corpus,
+       CAST(f.doc_id = fi.first_id AS INTEGER) AS first_in_increment,
+       CAST(s.fingerprint IS NULL AND f.doc_id = fi.first_id AS INTEGER)
+         AS is_new
+FROM fp f
+LEFT JOIN seen s USING (fingerprint)
+JOIN first fi USING (fingerprint)
+"""
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLM-style temperature-sampling mixture shares per language
     (alpha=0.3): observed share_ppm and the flattened temp_share_ppm —
@@ -2856,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "temperature_mixture": q_temperature_mixture,
         "cleaning_funnel": q_cleaning_funnel,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2921,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": SQL_SEQUENCE_PACK,
         "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
         "cleaning_funnel": SQL_CLEANING_FUNNEL,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

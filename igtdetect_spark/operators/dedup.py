@@ -931,3 +931,62 @@ def remove_duplicated_spans(
         .alias("n_removed_tokens"),
         F.size(kept).cast("long").alias("n_kept_tokens"),
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    corpus_bound_bytes: int = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW crawl increment against an EXISTING corpus: the
+    production shape of exact dedup, where the historical corpus is not
+    re-scanned — only its fingerprint relation is. A new document is
+    admitted (``is_new=1``) iff its normalized-text md5 is absent from
+    ``seen_fps`` AND it is the first holder of that fingerprint within
+    the increment (ties broken by lowest doc_id — the same keep-first
+    policy as ``exact_dedup_groups``).
+
+    Output: (doc_id, fingerprint, seen_in_corpus INT,
+    first_in_increment INT, is_new INT).
+
+    Scale shape: the increment is fingerprinted in one narrow map; the
+    seen relation is CORPUS-sized (one row per distinct historical
+    document), so the membership join is broadcast XOR shuffle-hash via
+    ``maybe_broadcast`` — pass the historical fingerprint store's scan
+    bytes as ``corpus_bound_bytes`` (at 10^12 docs it shuffle-joins on
+    fingerprint; both sides hash-exchange on the same key). The
+    within-increment keep-first is one aggregate on fingerprint that
+    reuses that exchange.
+    """
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    if corpus_bound_bytes is None:
+        corpus_bound_bytes = plan_size_bytes(seen_fps)
+    fp = fingerprint_docs(new_docs, id_col, text_col)
+    seen = seen_fps.select(
+        F.col("fingerprint"), F.lit(1).alias("_seen")
+    ).dropDuplicates(["fingerprint"])
+    first = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    out = (
+        fp.join(
+            maybe_broadcast(seen, bound_bytes=corpus_bound_bytes),
+            "fingerprint", "left",
+        )
+        .join(first, "fingerprint")
+        .select(
+            "doc_id", "fingerprint",
+            F.col("_seen").isNotNull().cast("int").alias("seen_in_corpus"),
+            (F.col("doc_id") == F.col("_first_id")).cast("int").alias(
+                "first_in_increment"
+            ),
+            (
+                F.col("_seen").isNull()
+                & (F.col("doc_id") == F.col("_first_id"))
+            ).cast("int").alias("is_new"),
+        )
+    )
+    return out

@@ -354,3 +354,45 @@ def test_temperature_mixture_alpha_one_is_identity(spark):
     ).collect()
     for r in out:
         assert abs(r.temp_share_ppm - r.share_ppm) <= 1  # e9-floor rounding
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_keep_first_and_seen_flags(spark):
+    from igtdetect_spark.operators.dedup import (
+        fingerprint_docs, incremental_dedup,
+    )
+
+    old = _docs(spark, ["historical page one", "historical page two"])
+    seen = fingerprint_docs(old)
+    new = spark.createDataFrame(
+        [Row(doc_id=10, text="historical page one"),   # already seen
+         Row(doc_id=11, text="fresh content a"),
+         Row(doc_id=12, text="fresh content a"),       # in-increment dup
+         Row(doc_id=13, text="fresh content b")],
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_dedup(new, seen, corpus_bound_bytes=1).collect()
+    }
+    assert out[10].seen_in_corpus == 1 and out[10].is_new == 0
+    assert out[11].is_new == 1 and out[11].first_in_increment == 1
+    assert out[12].is_new == 0 and out[12].first_in_increment == 0
+    assert out[12].seen_in_corpus == 0     # dup of the increment, not corpus
+    assert out[13].is_new == 1
+
+
+def test_incremental_dedup_normalization_matches_exact_dedup(spark):
+    """'Hello,  World!' and 'hello world' share a fingerprint — the
+    increment uses the SAME normalization as the batch exact dedup."""
+    from igtdetect_spark.operators.dedup import (
+        fingerprint_docs, incremental_dedup,
+    )
+
+    seen = fingerprint_docs(_docs(spark, ["Hello,  World!"]))
+    out = incremental_dedup(
+        _docs(spark, ["hello world"]), seen, corpus_bound_bytes=1
+    ).collect()[0]
+    assert out.seen_in_corpus == 1 and out.is_new == 0

@@ -139,6 +139,7 @@ HOSTILE_CHECKED = [
     "repetition_ratios", "substring_dup_spans_i64",
     "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
     "sequence_pack", "temperature_mixture", "cleaning_funnel",
+    "incremental_dedup",
 ]
 
 

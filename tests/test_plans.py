@@ -391,3 +391,21 @@ def test_temperature_mixture_is_two_tiny_aggregates(spark):
     assert "CartesianProduct" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_incremental_dedup_join_is_broadcast_xor_shuffle(spark):
+    """The seen-fingerprint relation is corpus-sized: broadcast under
+    the bound, shuffle-hash on fingerprint above it, never cartesian —
+    the same size-aware discipline as the term and boilerplate joins."""
+    from igtdetect_spark.entry_queries import q_incremental_dedup
+
+    plan_small = _plan(q_incremental_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan_small, plan_small
+    spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+    try:
+        plan_big = _plan(q_incremental_dedup(spark, SF_DIR))
+    finally:
+        spark.conf.unset("igtdetect.broadcastBoundBytes")
+    assert "ShuffledHashJoin" in plan_big, plan_big
+    for plan in (plan_small, plan_big):
+        assert "CartesianProduct" not in plan, plan
