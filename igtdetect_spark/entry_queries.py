@@ -2828,6 +2828,53 @@ FROM s
 """
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection ("keep the best 25% of tokens"):
+    admit documents in (quality score DESC, doc_id) order while the
+    inclusive running token sum fits 250000 ppm of the corpus's total
+    tokens. The score is all-integer (distinct-token ratio + alnum
+    ratio, exact `x*1e6 div y` millionths) so there is no float
+    anywhere in the contract. The Spark plan is the two-pass HISTOGRAM
+    threshold — per-score-bucket token masses (≤201 rows by
+    construction) pick the cut, only the single boundary bucket pays a
+    window — instead of the global sort the oracle spells, so the
+    output is identical while the shuffle is ~1/201 of the corpus
+    (operators/sampling.py:budget_select for the full argument)."""
+    from .operators.sampling import budget_select
+
+    return budget_select(_t(spark, sf_dir, "documents"))
+
+
+SQL_BUDGET_SELECT = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0) AS tk,
+         coalesce(text, '') AS txt
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(coalesce(len(list_distinct(tk)) * 1000000 // len(tk), 0)
+              + coalesce(length(regexp_replace(txt, '[^a-zA-Z0-9 ]',
+                                               '', 'g'))
+                         * 1000000 // nullif(length(txt), 0), 0)
+              AS BIGINT) AS score_e6
+  FROM t),
+c AS (
+  SELECT m.*,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY score_e6 DESC, doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n_tokens) OVER () * 250000 // 1000000 AS BIGINT)
+           AS budget
+  FROM m)
+SELECT doc_id, n_tokens, score_e6 FROM c WHERE cum <= budget
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -2892,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "cleaning_funnel": q_cleaning_funnel,
         "incremental_dedup": q_incremental_dedup,
+        "budget_select": q_budget_select,
     }
 
 
@@ -2958,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mixture": SQL_TEMPERATURE_MIXTURE,
         "cleaning_funnel": SQL_CLEANING_FUNNEL,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "budget_select": SQL_BUDGET_SELECT,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -361,3 +361,131 @@ def temperature_mixture(
         "share_ppm",
         F.expr("(_w_e9 * 1000000L) div _w_sum").alias("temp_share_ppm"),
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_ppm: int = 250_000,
+    bucket_width_e6: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus selection: admit the highest-quality prefix
+    of the corpus whose cumulative token count fits a budget of
+    ``budget_ppm`` parts-per-million of the TOTAL corpus tokens — the
+    "keep the best 25%" step every pretraining recipe ends with.
+
+    Semantics (the contract both engines implement): order documents by
+    (score_e6 DESC, doc_id ASC) and admit every document whose
+    INCLUSIVE running token sum is ≤ budget.  The score is an
+    all-integer quality signal — distinct-token ratio plus
+    alphanumeric-character ratio, each in exact integer millionths
+    (``x*1000000 div y`` — no floats anywhere, so cross-engine hashes
+    cannot drift).
+
+    Scale shape — the point of this operator: the obvious plan (global
+    sort by score + running-total window) range-shuffles the ENTIRE
+    corpus through one total order; at 10^12 documents that sort is the
+    job.  Instead we run the classic two-pass histogram threshold:
+
+    1. one narrow pass computes per-doc (n_tokens, score_e6) and
+       hash-aggregates token mass into score BUCKETS of width
+       ``bucket_width_e6`` — the histogram is ≤ 2e6/width + 1 rows
+       (default 201) BY CONSTRUCTION, independent of corpus size;
+    2. a whole-frame window over that tiny relation (one partition of
+       ≤201 rows — deliberately fine) finds the cut: buckets strictly
+       above the threshold are admitted outright, exactly ONE boundary
+       bucket is partially admitted with its residual budget;
+    3. the per-bucket verdicts broadcast back onto the corpus
+       (bounded relation — genuinely safe, unlike a vocabulary) and
+       only the BOUNDARY bucket's docs (≈ 1/n_buckets of the corpus)
+       pay a row_number/cumsum window, partitioned by bucket.
+
+    Bucket order is consistent with the global order because buckets
+    partition the score range: every doc in a higher bucket outscores
+    every doc in a lower one, and the within-boundary window uses the
+    same (score_e6 DESC, doc_id) tie-break.  Output is therefore
+    IDENTICAL to the global-sort plan; only the shuffle is ~1/201 the
+    size.  The per-doc stats pass is recomputed for step 3 (two corpus
+    scans) — at scale that beats materializing a total order, and a
+    rerun can checkpoint the histogram to skip pass 1.
+
+    Output: (doc_id, n_tokens, score_e6) of admitted documents.
+    """
+    tk = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")),
+                r"[ \t\n\r\f\x0b]+", " ")),
+            " ",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tk.alias("_tk"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
+    ).select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_tokens"),
+        (
+            F.coalesce(
+                F.expr(
+                    "size(array_distinct(_tk)) * 1000000L"
+                    " div nullif(size(_tk), 0)"
+                ),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.expr(
+                    "length(regexp_replace(_txt, '[^a-zA-Z0-9 ]', ''))"
+                    " * 1000000L div nullif(length(_txt), 0)"
+                ),
+                F.lit(0),
+            )
+        ).cast("long").alias("score_e6"),
+    ).withColumn(
+        "_bucket", F.expr(f"score_e6 div {int(bucket_width_e6)}L")
+    )
+
+    hist = per_doc.groupBy("_bucket").agg(
+        F.sum("n_tokens").alias("_mass")
+    )
+    w_desc = (
+        Window.partitionBy()
+        .orderBy(F.col("_bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    annot = hist.select(
+        "_bucket", "_mass",
+        F.expr(f"sum(_mass) over () * {int(budget_ppm)}L div 1000000L")
+        .alias("_budget"),
+        (F.sum("_mass").over(w_desc) - F.col("_mass")).alias("_before"),
+    ).select(
+        "_bucket",
+        (F.col("_before") + F.col("_mass") <= F.col("_budget"))
+        .alias("_full"),
+        # Raw (possibly negative) residual: a bucket whose preceding
+        # mass already exceeds the budget must admit NOTHING — not even
+        # zero-token docs — while a bucket that starts exactly at the
+        # budget still admits zero-token prefixes (cum 0 <= 0), matching
+        # the global inclusive-cumsum contract. Clamping to 0 would
+        # conflate the two.
+        (F.col("_budget") - F.col("_before")).alias("_residual"),
+    )
+    joined = per_doc.join(F.broadcast(annot), "_bucket")
+    full = joined.filter(F.col("_full")).select(
+        "doc_id", "n_tokens", "score_e6"
+    )
+    w_bound = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("score_e6").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        joined.filter(~F.col("_full") & (F.col("_residual") >= 0))
+        .withColumn("_cum", F.sum("n_tokens").over(w_bound))
+        .filter(F.col("_cum") <= F.col("_residual"))
+        .select("doc_id", "n_tokens", "score_e6")
+    )
+    return full.unionByName(boundary)

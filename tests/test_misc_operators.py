@@ -1152,3 +1152,121 @@ class TestRepetitionRatios:
         )
         assert "Exchange" not in plan, plan
         assert "Python" not in plan, plan
+
+
+class TestBudgetSelect:
+    """Token-budget selection: the bucketed-histogram plan must emit
+    EXACTLY the set the global-sort spec admits, including the nasty
+    edges (zero-token docs riding a residual-0 boundary, NULL/empty
+    text, score ties broken by doc_id, budget 0 and budget ≈ total)."""
+
+    @staticmethod
+    def _model(rows, budget_ppm):
+        import re
+
+        per = []
+        for i, t in rows:
+            txt = t or ""
+            tk = [
+                w
+                for w in re.sub(
+                    r"[ \t\n\r\f\x0b]+", " ", txt
+                ).strip().split(" ")
+                if w
+            ]
+            n = len(tk)
+            d = (len(set(tk)) * 1000000) // n if n else 0
+            alnum = len(re.sub(r"[^a-zA-Z0-9 ]", "", txt))
+            a = (alnum * 1000000) // len(txt) if txt else 0
+            per.append((i, n, d + a))
+        total = sum(p[1] for p in per)
+        budget = total * budget_ppm // 1000000
+        out, cum = set(), 0
+        for i, n, s in sorted(per, key=lambda p: (-p[2], p[0])):
+            cum += n
+            if cum <= budget:
+                out.add((i, n, s))
+        return out
+
+    @staticmethod
+    def _docs():
+        import random
+
+        rng = random.Random(17)
+        words = ["alpha", "beta", "gamma", "delta", "x9", "!!", "zz"]
+        rows = [
+            (0, None), (1, ""), (2, "   \t "),       # null / empty / ws-only
+            (3, "same same same same"),              # low distinct ratio
+            (4, "punct !!! ??? ***"),                # low alnum ratio
+        ]
+        for i in range(5, 65):
+            rows.append(
+                (i, " ".join(rng.choice(words)
+                             for _ in range(rng.randrange(1, 30))))
+            )
+        return rows
+
+    @pytest.mark.parametrize("ppm", [0, 100_000, 250_000, 999_999])
+    def test_matches_global_sort_spec(self, spark, ppm):
+        from igtdetect_spark.operators.sampling import budget_select
+
+        rows = self._docs()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            tuple(r)
+            for r in budget_select(df, budget_ppm=ppm).collect()
+        }
+        assert got == self._model(rows, ppm)
+
+    def test_zero_token_doc_on_residual_zero_boundary(self, spark):
+        """Budget exactly exhausted by the top bucket: the next bucket's
+        residual is 0, and a zero-token doc ordered at its head must
+        still be admitted (inclusive cumsum 0 <= 0) while every
+        token-bearing doc there is rejected — the clamp-vs-raw residual
+        distinction in budget_select."""
+        from igtdetect_spark.operators.sampling import budget_select
+
+        # Scores: docs 0-1 land in bucket 200 (score 2e6) whose mass
+        # exactly exhausts the budget; docs 2-3 BOTH score exactly 1e6
+        # (bucket 100, residual 0): doc 2 is whitespace-only (0 tokens,
+        # alnum ratio 1e6) and doc 3 is all-distinct pure punctuation
+        # (1 token, distinct ratio 1e6, alnum 0 — no spaces survive the
+        # punctuation strip). The score tie breaks on doc_id, so doc 2
+        # heads the boundary bucket and must be admitted (cum 0 <=
+        # residual 0) while doc 3 is rejected.
+        rows = [
+            (0, "one two three four"),          # score 2e6, 4 tokens
+            (1, "five six seven eight"),        # score 2e6, 4 tokens
+            (2, "   "),                         # score 1e6, 0 tokens
+            (3, "!!!"),                         # score 1e6, 1 token
+        ]
+        total = 9
+        ppm = 8 * 1_000_000 // total + 1       # budget == 8 exactly
+        assert total * ppm // 1_000_000 == 8
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            tuple(r)
+            for r in budget_select(df, budget_ppm=ppm).collect()
+        }
+        assert got == self._model(rows, ppm)
+        assert {r[0] for r in got} == {0, 1, 2}
+
+    def test_histogram_plan_shape(self, spark):
+        """The scale claim: histogram relation broadcast back (bounded
+        ≤201 rows — always a BroadcastHashJoin), no cartesian, no
+        Python, and the corpus-wide window is confined to the boundary
+        bucket (every non-single-partition window exchange partitions
+        on the bucket key, never a global range sort of the corpus)."""
+        from igtdetect_spark.operators.sampling import budget_select
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            budget_select(docs)._jdf.queryExecution().executedPlan()
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        # no global total-order of the corpus anywhere in the plan
+        assert "rangepartitioning" not in plan.lower(), plan
