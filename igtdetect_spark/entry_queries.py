@@ -2875,6 +2875,57 @@ SELECT doc_id, n_tokens, score_e6 FROM c WHERE cum <= budget
 """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised perplexity filter: per-document NLL under a
+    Laplace-smoothed corpus bigram LM, bucketed head/middle/tail —
+    the CCNet gate without an external model. Per-bigram-TYPE log-prob
+    floored to integer micro-units once, per-doc NLL an integer sum
+    (dsir float discipline). Every vocabulary-sized join (unigram
+    counts into bigram counts, LM relation onto the bigram stream) is
+    size-aware broadcast-XOR-shuffle via operators/scale.py."""
+    from .operators.text_analysis import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0) AS tk
+  FROM documents),
+uni AS (SELECT unnest(tk) AS term FROM toks),
+c1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM c1),
+bg AS (
+  SELECT doc_id,
+         list_extract(tk, CAST(i AS INT)) AS w1,
+         list_extract(tk, CAST(i + 1 AS INT)) AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) s(i)
+  WHERE len(tk) >= 2),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+rel AS (
+  SELECT w1, w2,
+         CAST(floor(ln(CAST(c2 + 1 AS DOUBLE)
+                       / CAST(c1.c1 + v.nv AS DOUBLE)) * 1e6)
+              AS BIGINT) AS w_e6
+  FROM c2 JOIN c1 ON c2.w1 = c1.term CROSS JOIN v),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(w_e6) AS BIGINT) AS nll_e6
+  FROM bg JOIN rel USING (w1, w2) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, nll_e6,
+       CAST(nll_e6 // n_bigrams AS BIGINT) AS avg_nll_e6,
+       CASE WHEN nll_e6 // n_bigrams < 3390000 THEN 'head'
+            WHEN nll_e6 // n_bigrams < 3420000 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM per_doc
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -2940,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cleaning_funnel": q_cleaning_funnel,
         "incremental_dedup": q_incremental_dedup,
         "budget_select": q_budget_select,
+        "bigram_lm_score": q_bigram_lm_score,
     }
 
 
@@ -3007,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "cleaning_funnel": SQL_CLEANING_FUNNEL,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "budget_select": SQL_BUDGET_SELECT,
+        "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

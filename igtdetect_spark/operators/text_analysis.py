@@ -471,3 +471,112 @@ def repetition_ratios(
         e6(gram_frac(2)).alias("top_bigram_char_frac_e6"),
         e6(gram_frac(3)).alias("top_trigram_char_frac_e6"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    corpus_bound_bytes: int | None = None,
+    head_below_e6: int = 3_390_000,
+    tail_from_e6: int = 3_420_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/KenLM-style perplexity filtering without an external LM:
+    score every document's negative log-likelihood under a Laplace-
+    smoothed BIGRAM language model estimated from the corpus itself,
+    then bucket into head/middle/tail — documents the corpus's own
+    bigram statistics find surprising (boilerplate mashups, OCR noise,
+    wrong-language fragments) land in the tail.
+
+    Model: p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V) with c1 the corpus
+    unigram count, c2 the bigram count, V the distinct-unigram count
+    (add-one smoothing over the observed vocabulary).
+
+    Float discipline (the dsir_weights convention): the log-probability
+    is computed ONCE per distinct bigram TYPE as
+    ``floor(1e6·ln((c2+1)/(c1+V)))`` — the argument is an exact
+    integer ratio, identical on both engines — and the per-document NLL
+    is then an order-independent INTEGER sum of those micro-units.
+
+    Scale shape: both count relations are VOCABULARY-sized (unigrams by
+    Heaps' law, bigrams worse), so every join here is size-aware via
+    ``operators/scale.py`` — broadcast only while ``corpus_bound_bytes``
+    (a sound upper bound: every gram's characters occur in the text, so
+    gram-type bytes ≤ 2× corpus text bytes) fits the configured bound,
+    else shuffle-hash on the gram key, which both sides already
+    exchange on for their aggregates. The V scalar is a genuine 1-row
+    broadcast. Documents with < 2 tokens have no bigrams and are not
+    emitted (nothing to score).
+
+    Output: (doc_id, n_bigrams, nll_e6, avg_nll_e6, ppl_bucket).
+    Bucket thresholds are FIXED integer parameters (defaults bracket
+    the bench corpus's quartiles) so the output is deterministic; a
+    production run would set them from measured NLL terciles the same
+    way CCNet does with its Wikipedia LM.
+    """
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    if corpus_bound_bytes is None:
+        corpus_bound_bytes = 2 * plan_size_bytes(docs)
+    tk = F.filter(
+        _tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+        lambda w: F.length(w) > 0,
+    )
+    # Tokenize once into a NAMED column; bigrams via zip_with over two
+    # slices of that attribute (per-element lambda-trap discipline —
+    # see PLANS.md).
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"), tk.alias("_tk")
+    )
+    col = F.col("_tk")
+    uni = tokenized.select(F.explode(col).alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    vrel = c1.agg(F.count(F.lit(1)).alias("V"))
+
+    pairs = tokenized.filter(F.size(col) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(col, 1, F.size(col) - 1),
+                F.slice(col, 2, F.size(col) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.w1").alias("w1"),
+             F.col("_bg.w2").alias("w2"))
+
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    rel = (
+        c2.join(
+            maybe_broadcast(
+                c1.withColumnRenamed("term", "w1"),
+                bound_bytes=corpus_bound_bytes,
+            ),
+            "w1",
+        )
+        .crossJoin(F.broadcast(vrel))
+        .select(
+            "w1", "w2",
+            F.expr(
+                "CAST(floor(ln(CAST(c2 + 1 AS DOUBLE)"
+                " / CAST(c1 + V AS DOUBLE)) * 1e6) AS BIGINT)"
+            ).alias("_w_e6"),
+        )
+    )
+    scored = pairs.join(
+        maybe_broadcast(rel, bound_bytes=corpus_bound_bytes), ["w1", "w2"]
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("_w_e6")).cast("long").alias("nll_e6"),
+    ).withColumn(
+        "avg_nll_e6", F.expr("nll_e6 div n_bigrams").cast("long")
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "nll_e6", "avg_nll_e6",
+        F.when(F.col("avg_nll_e6") < F.lit(int(head_below_e6)),
+               F.lit("head"))
+        .when(F.col("avg_nll_e6") < F.lit(int(tail_from_e6)),
+              F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("ppl_bucket"),
+    )

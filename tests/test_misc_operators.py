@@ -1270,3 +1270,109 @@ class TestBudgetSelect:
         assert "BroadcastHashJoin" in plan, plan
         # no global total-order of the corpus anywhere in the plan
         assert "rangepartitioning" not in plan.lower(), plan
+
+
+class TestBigramLmScores:
+    """Corpus bigram-LM NLL scoring vs an exact Python model."""
+
+    @staticmethod
+    def _model(rows):
+        import math
+        import re
+        from collections import Counter
+
+        tok = {
+            i: [
+                w
+                for w in re.sub(
+                    r"[ \t\n\r\f\x0b]+", " ", (t or "").lower()
+                ).strip().split(" ")
+                if w
+            ]
+            for i, t in rows
+        }
+        c1 = Counter(w for tk in tok.values() for w in tk)
+        v = len(c1)
+        c2 = Counter(
+            (a, b)
+            for tk in tok.values()
+            for a, b in zip(tk, tk[1:])
+        )
+        w_e6 = {
+            bg: math.floor(math.log((n + 1) / (c1[bg[0]] + v)) * 1e6)
+            for bg, n in c2.items()
+        }
+        out = {}
+        for i, tk in tok.items():
+            bgs = list(zip(tk, tk[1:]))
+            if not bgs:
+                continue
+            nll = -sum(w_e6[bg] for bg in bgs)
+            out[i] = (len(bgs), nll, nll // len(bgs))
+        return out
+
+    def test_matches_python_model(self, spark):
+        from igtdetect_spark.operators.text_analysis import (
+            bigram_lm_scores,
+        )
+
+        rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the cat"),     # repeated bigram
+            (2, "THE CAT SAT"),                # case folding
+            (3, "solo"),                       # 1 token → no row
+            (4, None),                         # NULL → no row
+            (5, ""),                           # empty → no row
+            (6, "zebra quark flux"),           # all-unseen bigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["nll_e6"], r["avg_nll_e6"])
+            for r in bigram_lm_scores(df).collect()
+        }
+        assert got == self._model(rows)
+
+    def test_smoothing_orders_docs(self, spark):
+        """A doc of corpus-frequent bigrams must score a strictly lower
+        NLL than a doc of singleton bigrams — the filtering signal."""
+        from igtdetect_spark.operators.text_analysis import (
+            bigram_lm_scores,
+        )
+
+        rows = [(i, "good good good good good") for i in range(5)]
+        rows.append((90, "weird mixture of rare words here"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["avg_nll_e6"]
+            for r in bigram_lm_scores(df).collect()
+        }
+        assert got[0] < got[90]
+
+    def test_vocab_joins_are_broadcast_xor_shuffle(self, spark):
+        """Both count relations are vocabulary-sized: broadcast under
+        the configured bound, shuffle-hash above it, never cartesian-
+        joined, never Python-evaluated."""
+        from igtdetect_spark.operators.text_analysis import (
+            bigram_lm_scores,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan_small = str(
+            bigram_lm_scores(docs)._jdf.queryExecution().executedPlan()
+        )
+        assert "BroadcastHashJoin" in plan_small, plan_small
+        spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+        try:
+            plan_big = str(
+                bigram_lm_scores(docs)
+                ._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.broadcastBoundBytes")
+        assert "ShuffledHashJoin" in plan_big, plan_big
+        for plan in (plan_small, plan_big):
+            assert "CartesianProduct" not in plan, plan
+            assert "ArrowEvalPython" not in plan, plan
+            assert "BatchEvalPython" not in plan, plan
