@@ -104,7 +104,7 @@ def main():
         "repetition_ratios", "substring_dup_spans_i64",
         "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
         "sequence_pack", "temperature_mixture", "incremental_dedup",
-        "budget_select", "bigram_lm_score",
+        "budget_select", "bigram_lm_score", "incremental_dedup_bloom",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -2796,6 +2796,25 @@ JOIN first fi USING (fingerprint)
 """
 
 
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup — EXACT same output contract
+    as `incremental_dedup` (graded against the same oracle), but the
+    increment probes a fixed-size broadcast Bloom bitset built from the
+    historical store first, so only the hit fraction (true dups + ~0.8%
+    false positives at 10 bits/key) pays the store join; misses are
+    definitively new with no join at all. The false-positive rate costs
+    extra join rows, never correctness (operators/dedup.py
+    incremental_dedup_bloom)."""
+    from .operators.dedup import fingerprint_docs, incremental_dedup_bloom
+    from .operators.scale import plan_size_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = fingerprint_docs(docs.filter(F.col("doc_id") % 3 == 0))
+    return incremental_dedup_bloom(
+        docs, seen, corpus_bound_bytes=plan_size_bytes(docs)
+    )
+
+
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLM-style temperature-sampling mixture shares per language
     (alpha=0.3): observed share_ppm and the flattened temp_share_ppm —
@@ -2992,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "budget_select": q_budget_select,
         "bigram_lm_score": q_bigram_lm_score,
+        "incremental_dedup_bloom": q_incremental_dedup_bloom,
     }
 
 
@@ -3060,6 +3080,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "budget_select": SQL_BUDGET_SELECT,
         "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+        # bloom variant: same exact-output contract, same oracle
+        "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -990,3 +990,123 @@ def incremental_dedup(
         )
     )
     return out
+
+
+def bloom_bitset(
+    fps: DataFrame, m_bits: int = 1 << 20, k: int = 5
+) -> np.ndarray:
+    """Packed Bloom-filter bitset (``m_bits/8`` bytes, uint8) over the
+    ``fingerprint`` column of ``fps``.
+
+    Bit positions are ``xxhash64(fingerprint, seed=i) mod m_bits`` for
+    ``i in 0..k-1``, computed JVM-side (one narrow projection + explode)
+    and reduced to the DISTINCT set bits — the only thing that ever
+    reaches the driver, bounded by ``m_bits`` (default 2^20 bits =
+    128 KiB packed) REGARDLESS of how many fingerprints the store
+    holds.  At 10^12 historical docs you size ``m_bits`` to ~10 bits
+    per key (1.2 TB of history fingerprints → a 1.2 GB bitset is still
+    broadcastable, or shard the filter by fingerprint prefix); the
+    false-positive rate only costs extra rows through the exact join,
+    never correctness.
+    """
+    pos = fps.select(
+        F.explode(
+            F.array(*[
+                F.pmod(
+                    F.xxhash64(F.col("fingerprint"), F.lit(i)),
+                    F.lit(int(m_bits)),
+                )
+                for i in range(k)
+            ])
+        ).alias("p")
+    ).distinct()
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for (p,) in pos.collect():
+        bits[p >> 3] |= np.uint8(1 << (p & 7))
+    return bits
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    corpus_bound_bytes: int = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_dedup` with a Bloom pre-filter on the
+    historical store — EXACT output (bit-identical to the plain path;
+    pytest-pinned), different physical plan for the common case where
+    most of a crawl increment is genuinely new.
+
+    Plain incremental dedup joins the WHOLE increment against the
+    corpus-sized fingerprint store.  Here the increment first probes a
+    broadcast Bloom bitset built from the store (:func:`bloom_bitset`):
+    a miss is a definitive not-seen (``seen_in_corpus=0`` with no join
+    at all), so only the hit fraction — true positives plus the
+    configured false-positive rate — pays the store join.  With 10 bits
+    per key (~0.8% FP) and a 90%-new increment, the join shrinks ~10×;
+    the bitset is fixed-size and the probe is a vectorized Arrow batch
+    (positions computed JVM-side with the same xxhash64 the builder
+    used, the UDF only indexes the shared ``uint8`` array).
+
+    The within-increment keep-first aggregate still sees every row (it
+    must), reusing the fingerprint exchange the hit-side join needs.
+    """
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    if corpus_bound_bytes is None:
+        corpus_bound_bytes = plan_size_bytes(seen_fps)
+    spark = new_docs.sparkSession
+    bits_bc = spark.sparkContext.broadcast(
+        bloom_bitset(seen_fps, m_bits=m_bits, k=k)
+    )
+
+    @pandas_udf("boolean")
+    def _probe(*pos: pd.Series) -> pd.Series:
+        bits = bits_bc.value
+        hit = np.ones(len(pos[0]), dtype=bool)
+        for p in pos:
+            pv = p.to_numpy(dtype=np.int64)
+            hit &= (bits[pv >> 3] >> (pv & 7) & 1).astype(bool)
+        return pd.Series(hit)
+
+    fp = fingerprint_docs(new_docs, id_col, text_col)
+    probed = fp.withColumn(
+        "_maybe",
+        _probe(*[
+            F.pmod(
+                F.xxhash64(F.col("fingerprint"), F.lit(i)),
+                F.lit(int(m_bits)),
+            )
+            for i in range(k)
+        ]),
+    )
+    seen = seen_fps.select(
+        F.col("fingerprint"), F.lit(1).alias("_seen")
+    ).dropDuplicates(["fingerprint"])
+    hits = probed.filter(F.col("_maybe")).join(
+        maybe_broadcast(seen, bound_bytes=corpus_bound_bytes),
+        "fingerprint", "left",
+    )
+    misses = probed.filter(~F.col("_maybe")).withColumn(
+        "_seen", F.lit(None).cast("int")
+    )
+    merged = hits.select("doc_id", "fingerprint", "_seen").unionByName(
+        misses.select("doc_id", "fingerprint", "_seen")
+    )
+    first = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("_first_id")
+    )
+    return merged.join(first, "fingerprint").select(
+        "doc_id", "fingerprint",
+        F.col("_seen").isNotNull().cast("int").alias("seen_in_corpus"),
+        (F.col("doc_id") == F.col("_first_id")).cast("int").alias(
+            "first_in_increment"
+        ),
+        (
+            F.col("_seen").isNull()
+            & (F.col("doc_id") == F.col("_first_id"))
+        ).cast("int").alias("is_new"),
+    )

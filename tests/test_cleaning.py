@@ -396,3 +396,80 @@ def test_incremental_dedup_normalization_matches_exact_dedup(spark):
         _docs(spark, ["hello world"]), seen, corpus_bound_bytes=1
     ).collect()[0]
     assert out.seen_in_corpus == 1 and out.is_new == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup_bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_path_is_bit_identical_to_plain_incremental_dedup(spark):
+    """The Bloom pre-filter is a physical-plan optimization only: the
+    output must equal the plain path exactly — including under a
+    deliberately tiny bitset (m=64, k=2) where false positives are
+    near-certain, since FPs may only cost extra join rows."""
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.operators.dedup import (
+        fingerprint_docs,
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen = fingerprint_docs(docs.filter(F.col("doc_id") % 3 == 0))
+    want = {tuple(r) for r in incremental_dedup(docs, seen).collect()}
+    got = {
+        tuple(r) for r in incremental_dedup_bloom(docs, seen).collect()
+    }
+    got_fp = {
+        tuple(r)
+        for r in incremental_dedup_bloom(
+            docs, seen, m_bits=64, k=2
+        ).collect()
+    }
+    assert got == want
+    assert got_fp == want
+
+
+def test_bloom_bitset_has_no_false_negatives(spark):
+    """Every fingerprint inserted into the bitset must probe positive
+    (the Bloom guarantee the exactness argument rests on), and a
+    disjoint fingerprint set probes almost entirely negative at the
+    default sizing — the pre-filter genuinely prunes the join."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.operators.dedup import (
+        bloom_bitset,
+        fingerprint_docs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seen_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    new_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    m, k = 1 << 20, 5
+    bits = bloom_bitset(fingerprint_docs(seen_docs), m_bits=m, k=k)
+
+    def probes(fps_df):
+        pos = fps_df.select(*[
+            F.pmod(F.xxhash64(F.col("fingerprint"), F.lit(i)), F.lit(m))
+            .alias(f"p{i}")
+            for i in range(k)
+        ]).collect()
+        out = []
+        for r in pos:
+            out.append(all(
+                bits[p >> 3] >> (p & 7) & 1 for p in r
+            ))
+        return out
+
+    assert all(probes(fingerprint_docs(seen_docs)))
+    # distinct new texts: at 2^20 bits / ~170 keys the FP rate is ~0 —
+    # allow a couple of collisions but require real pruning
+    neg = probes(
+        fingerprint_docs(new_docs).join(
+            fingerprint_docs(seen_docs).select("fingerprint"),
+            "fingerprint", "left_anti",
+        )
+    )
+    assert sum(neg) <= 2, f"{sum(neg)}/{len(neg)} false positives"
