@@ -2945,6 +2945,74 @@ FROM per_doc
 """
 
 
+def q_nb_domain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-supervised multinomial Naive Bayes domain classifier
+    trained on the corpus's own `source` labels and applied back to
+    every document (the DCLM/CCNet routing trick). Unseen (term,label)
+    pairs get true Laplace smoothing via a complete vocabulary×labels
+    grid; every log is floored to integer micro-units on the bounded
+    relation so per-doc scores are exact integer sums; the grid join is
+    size-aware broadcast-XOR-shuffle (operators/scale.py). Ties break
+    toward the lexicographically smallest label."""
+    from .operators.text_analysis import nb_domain_scores
+
+    return nb_domain_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_NB_DOMAIN_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, source AS lab,
+         list_filter(
+           string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                        '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+           x -> length(x) > 0) AS tk
+  FROM documents),
+stream AS (SELECT doc_id, lab, unnest(tk) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM stream GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM stream),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM vocab),
+lab AS (
+  SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS d_l
+  FROM toks GROUP BY 1),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM toks),
+tl AS (
+  SELECT lab AS label, CAST(COUNT(*) AS BIGINT) AS t_l
+  FROM stream GROUP BY 1),
+labels AS (
+  SELECT l.label, t_l, nv,
+         CAST(floor(ln(CAST(d_l AS DOUBLE) / CAST(d AS DOUBLE)) * 1e6)
+              AS BIGINT) AS prior_e6
+  FROM lab l JOIN tl USING (label) CROSS JOIN dd CROSS JOIN v),
+ctl AS (
+  SELECT term, lab AS label, CAST(COUNT(*) AS BIGINT) AS ctl
+  FROM stream GROUP BY 1, 2),
+grid AS (
+  SELECT vocab.term, labels.label, labels.prior_e6,
+         CAST(floor(ln(CAST(coalesce(ctl.ctl, 0) + 1 AS DOUBLE)
+                       / CAST(labels.t_l + labels.nv AS DOUBLE)) * 1e6)
+              AS BIGINT) AS w_e6
+  FROM vocab CROSS JOIN labels
+  LEFT JOIN ctl ON ctl.term = vocab.term AND ctl.label = labels.label),
+per_label AS (
+  SELECT tf.doc_id, g.label,
+         CAST(g.prior_e6 + SUM(tf.tf * g.w_e6) AS BIGINT) AS score_e6
+  FROM tf JOIN grid g USING (term)
+  GROUP BY 1, 2, g.prior_e6),
+ranked AS (
+  SELECT doc_id, label, score_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score_e6 DESC, label) AS rn,
+         LEAD(score_e6) OVER (
+           PARTITION BY doc_id ORDER BY score_e6 DESC, label) AS nxt
+  FROM per_label)
+SELECT doc_id, label AS pred_label, score_e6,
+       CAST(score_e6 - coalesce(nxt, score_e6) AS BIGINT) AS margin_e6
+FROM ranked WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -3012,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "bigram_lm_score": q_bigram_lm_score,
         "incremental_dedup_bloom": q_incremental_dedup_bloom,
+        "nb_domain_score": q_nb_domain_score,
     }
 
 
@@ -3082,6 +3151,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
         # bloom variant: same exact-output contract, same oracle
         "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
+        "nb_domain_score": SQL_NB_DOMAIN_SCORE,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

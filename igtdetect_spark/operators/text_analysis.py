@@ -580,3 +580,132 @@ def bigram_lm_scores(
               F.lit("middle"))
         .otherwise(F.lit("tail")).alias("ppl_bucket"),
     )
+
+
+def nb_domain_scores(
+    docs: DataFrame,
+    label_col: str = "source",
+    corpus_bound_bytes: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weakly-supervised domain classification, DCLM/CCNet-style: train
+    a multinomial Naive Bayes classifier on the corpus's OWN labels
+    (default ``source``) and score every document — the standard trick
+    for routing a mixed crawl into domain shards or flagging documents
+    whose text disagrees with their provenance label.
+
+    Model: argmax_l [ ln(D_l/D) + Σ_t tf(t)·ln p(t|l) ] with Laplace
+    p(t|l) = (c(t,l)+1)/(T_l+V) over the GLOBAL vocabulary V, so unseen
+    (term, label) pairs get the c=0 smoothing mass rather than being
+    dropped — the grid relation is built vocabulary × labels complete.
+
+    Float discipline (dsir convention): every log — per-(term,label)
+    weight AND per-label prior — is floored to integer micro-units ONCE
+    on the bounded relation; per-document scores are then integer sums
+    of ``tf · w_e6``, order-independent and exact cross-engine.  The
+    argmax tie-breaks toward the lexicographically smallest label.
+
+    Scale shape: the token stream is first reduced to per-doc term
+    FREQUENCIES (one aggregate, map-side combine) so the grid join
+    multiplies doc-DISTINCT terms — not raw tokens — by L labels; the
+    grid is vocabulary-sized × L, so that join is size-aware
+    broadcast-XOR-shuffle (``operators/scale.py``).  The label relation
+    (priors, per-label token totals) is bounded by the label count and
+    genuinely broadcastable.  The final argmax window partitions by
+    doc_id over exactly L rows per doc — no skew possible.
+
+    Output: (doc_id, pred_label, score_e6, margin_e6) — margin is the
+    gap to the runner-up label (0 when only one label exists).  Docs
+    with zero tokens have nothing to score and are not emitted.
+    """
+    from pyspark.sql import Window
+
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    if corpus_bound_bytes is None:
+        corpus_bound_bytes = plan_size_bytes(docs)
+    tk = F.filter(
+        _tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+        lambda w: F.length(w) > 0,
+    )
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("_lab"),
+        tk.alias("_tk"),
+    )
+    stream = tokenized.select(
+        "doc_id", "_lab", F.explode("_tk").alias("term")
+    )
+    tf = stream.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = stream.groupBy("term").agg(F.lit(1).alias("_one"))
+    vrel = vocab.agg(F.count(F.lit(1)).alias("V"))
+    labels = (
+        tokenized.groupBy(F.col("_lab").alias("label"))
+        .agg(F.count(F.lit(1)).alias("D_l"))
+        .crossJoin(
+            F.broadcast(
+                tokenized.agg(F.count(F.lit(1)).alias("D"))
+            )
+        )
+        .join(
+            F.broadcast(
+                stream.groupBy(F.col("_lab").alias("label")).agg(
+                    F.count(F.lit(1)).alias("T_l")
+                )
+            ),
+            "label",
+        )
+        .crossJoin(F.broadcast(vrel))
+        .select(
+            "label", "T_l", "V",
+            F.expr(
+                "CAST(floor(ln(CAST(D_l AS DOUBLE)"
+                " / CAST(D AS DOUBLE)) * 1e6) AS BIGINT)"
+            ).alias("prior_e6"),
+        )
+    )
+    ctl = stream.groupBy(
+        "term", F.col("_lab").alias("label")
+    ).agg(F.count(F.lit(1)).alias("ctl"))
+    grid = (
+        vocab.select("term")
+        .crossJoin(F.broadcast(labels))
+        .join(ctl, ["term", "label"], "left")
+        .select(
+            "term", "label", "prior_e6",
+            F.expr(
+                "CAST(floor(ln(CAST(coalesce(ctl, 0) + 1 AS DOUBLE)"
+                " / CAST(T_l + V AS DOUBLE)) * 1e6) AS BIGINT)"
+            ).alias("w_e6"),
+        )
+    )
+    per_label = (
+        tf.join(maybe_broadcast(grid, bound_bytes=corpus_bound_bytes),
+                "term")
+        .groupBy("doc_id", "label", "prior_e6")
+        .agg(F.sum(F.expr("tf * w_e6")).alias("_tok_e6"))
+        .select(
+            "doc_id", "label",
+            (F.col("prior_e6") + F.col("_tok_e6")).cast("long")
+            .alias("_score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score_e6").desc(), F.col("label")
+    )
+    ranked = per_label.select(
+        "doc_id", "label", "_score_e6",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("_score_e6").over(w).alias("_next"),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "doc_id",
+        F.col("label").alias("pred_label"),
+        F.col("_score_e6").alias("score_e6"),
+        (F.col("_score_e6") - F.coalesce(F.col("_next"),
+                                         F.col("_score_e6")))
+        .cast("long").alias("margin_e6"),
+    )

@@ -15,6 +15,7 @@ TABLES = [
 # fast queries with full SQL mirrors
 CHECKED = [
     "budget_select", "bigram_lm_score", "incremental_dedup_bloom",
+    "nb_domain_score",
     "igt_segment_lines", "span_islands_events", "deterministic_mode",
     "confusion_pivot", "topk_parts", "label_normalize", "tpch_q1",
     "dedup_exact", "fingerprints", "token_stats", "quality_scores",
@@ -141,7 +142,7 @@ HOSTILE_CHECKED = [
     "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
     "sequence_pack", "temperature_mixture", "cleaning_funnel",
     "incremental_dedup", "budget_select", "bigram_lm_score",
-    "incremental_dedup_bloom",
+    "incremental_dedup_bloom", "nb_domain_score",
 ]
 
 

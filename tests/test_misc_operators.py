@@ -1376,3 +1376,129 @@ class TestBigramLmScores:
             assert "CartesianProduct" not in plan, plan
             assert "ArrowEvalPython" not in plan, plan
             assert "BatchEvalPython" not in plan, plan
+
+
+class TestNbDomainScores:
+    """Multinomial NB domain classifier vs an exact Python model."""
+
+    @staticmethod
+    def _model(rows):
+        import math
+        import re
+        from collections import Counter
+
+        tok = {
+            i: (
+                lab,
+                [
+                    w
+                    for w in re.sub(
+                        r"[ \t\n\r\f\x0b]+", " ", (t or "").lower()
+                    ).strip().split(" ")
+                    if w
+                ],
+            )
+            for i, t, lab in rows
+        }
+        d = len(tok)
+        d_l = Counter(lab for lab, _ in tok.values())
+        t_l = Counter()
+        ctl = Counter()
+        vocab = set()
+        for lab, tk in tok.values():
+            t_l[lab] += len(tk)
+            vocab.update(tk)
+            for w in tk:
+                ctl[(w, lab)] += 1
+        v = len(vocab)
+        prior = {
+            lab: math.floor(math.log(n / d) * 1e6)
+            for lab, n in d_l.items()
+        }
+        w_e6 = {
+            (w, lab): math.floor(
+                math.log((ctl[(w, lab)] + 1) / (t_l[lab] + v)) * 1e6
+            )
+            for w in vocab
+            for lab in d_l
+        }
+        out = {}
+        for i, (lab, tk) in tok.items():
+            if not tk:
+                continue
+            scores = sorted(
+                (
+                    (prior[c] + sum(w_e6[(w, c)] for w in tk), c)
+                    for c in d_l
+                ),
+                key=lambda sc: (-sc[0], sc[1]),
+            )
+            best, pred = scores[0]
+            margin = best - scores[1][0] if len(scores) > 1 else 0
+            out[i] = (pred, best, margin)
+        return out
+
+    def test_matches_python_model(self, spark):
+        from igtdetect_spark.operators.text_analysis import (
+            nb_domain_scores,
+        )
+
+        rows = [
+            (0, "spark shuffle partition join", "eng"),
+            (1, "spark join agg window", "eng"),
+            (2, "recipe butter flour sugar", "food"),
+            (3, "butter sugar oven bake", "food"),
+            (4, "spark butter", "eng"),            # mixed evidence
+            (5, None, "eng"),                      # NULL → no row
+            (6, "", "food"),                       # empty → no row
+            (7, "zzz qqq unseen words", "food"),   # all-smoothed doc
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        got = {
+            r["doc_id"]: (r["pred_label"], r["score_e6"], r["margin_e6"])
+            for r in nb_domain_scores(df).collect()
+        }
+        assert got == self._model(rows)
+        # the classifier actually routes: characteristic vocab wins
+        assert got[1][0] == "eng" and got[3][0] == "food"
+
+    def test_single_label_margin_is_zero(self, spark):
+        from igtdetect_spark.operators.text_analysis import (
+            nb_domain_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b c", "only"), (1, "c d", "only")],
+            "doc_id long, text string, source string",
+        )
+        rows = nb_domain_scores(df).collect()
+        assert {r["pred_label"] for r in rows} == {"only"}
+        assert all(r["margin_e6"] == 0 for r in rows)
+
+    def test_grid_join_is_broadcast_xor_shuffle(self, spark):
+        from igtdetect_spark.operators.text_analysis import (
+            nb_domain_scores,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan_small = str(
+            nb_domain_scores(docs)._jdf.queryExecution().executedPlan()
+        )
+        assert "BroadcastHashJoin" in plan_small, plan_small
+        spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+        try:
+            plan_big = str(
+                nb_domain_scores(docs)
+                ._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.broadcastBoundBytes")
+        assert "ShuffledHashJoin" in plan_big, plan_big
+        for plan in (plan_small, plan_big):
+            assert "CartesianProduct" not in plan, plan
+            assert "ArrowEvalPython" not in plan, plan
+            assert "BatchEvalPython" not in plan, plan
