@@ -3013,6 +3013,77 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) on fixed seeded centroids: cluster
+    the embeddings, then inside each cluster drop the closer-to-centroid
+    member of every pair above the cosine threshold (keep-the-outlier).
+    Fixed quantizer → the ENTIRE verdict (assignment, pair gate,
+    dominance, survivor flags) is deterministic and gets a full DuckDB
+    oracle; the k-means-trained quantizer is the same code path via
+    ``kmeans_centroids`` (pytest-covered)."""
+    from .operators.similarity import seeded_centroids, semdedup
+
+    return semdedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_lists=8, centroids=seeded_centroids(8, 64),
+    )
+
+
+def _sql_semdedup(threshold: float = 0.35, n_lists: int = 8,
+                  dim: int = 64, seed: int = 7) -> str:
+    from .operators.similarity import seeded_centroids
+
+    C = seeded_centroids(n_lists, dim, seed)
+    values = ", ".join(
+        "(" + str(cid) + ", ["
+        + ", ".join(repr(float(x)) for x in c) + "])"
+        for cid, c in enumerate(C)
+    )
+    d2 = (f"list_sum(list_transform(generate_series(1, {dim}), "
+          f"i -> (v[i] - c[i]) * (v[i] - c[i])))")
+    thr_e6 = int(threshold * 1e6)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents(cid, c) AS (VALUES {values}),
+d AS (
+  SELECT e.vec_id, e.v, cents.cid, {d2} AS d2
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cid AS cluster_id,
+         CAST(floor(d2 * 1e6) AS BIGINT) AS d2_e6 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM d
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, a.d2_e6 AS d2_a,
+         b.vec_id AS id_b, b.d2_e6 AS d2_b,
+         CAST(floor(
+           list_sum(list_transform(generate_series(1, len(a.v)),
+               i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, y -> y * y)))
+            * sqrt(list_sum(list_transform(b.v, y -> y * y)))) * 1e6
+         ) AS BIGINT) AS sim_e6
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+),
+removed AS (
+  SELECT CASE WHEN d2_a > d2_b THEN id_b
+              WHEN d2_b > d2_a THEN id_a
+              ELSE greatest(id_a, id_b) END AS vec_id,
+         MAX(sim_e6) AS dup_sim_e6
+  FROM pairs WHERE sim_e6 >= {thr_e6} GROUP BY 1
+)
+SELECT a.vec_id, CAST(a.cluster_id AS INT) AS cluster_id,
+       r.dup_sim_e6 IS NULL AS kept, r.dup_sim_e6
+FROM assigned a LEFT JOIN removed r USING (vec_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -3081,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "nb_domain_score": q_nb_domain_score,
+        "semdedup": q_semdedup,
     }
 
 
@@ -3152,6 +3224,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom variant: same exact-output contract, same oracle
         "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
         "nb_domain_score": SQL_NB_DOMAIN_SCORE,
+        "semdedup": _sql_semdedup(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

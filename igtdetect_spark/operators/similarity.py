@@ -418,3 +418,109 @@ def embedding_stats(embeddings: DataFrame, id_col: str = "vec_id",
             F.floor(F.avg("_n") * 1e6).cast("long").alias("avg_norm_e6"),
         )
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_lists: int = 8,
+    centroids: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication in embedding
+    space — cluster with a coarse quantizer, then inside each cluster
+    remove all but one of every pair whose cosine similarity clears the
+    threshold, keeping the member FARTHEST from its centroid (the
+    paper's "keep the outlier" rule: the extreme point preserves more of
+    the cluster's diversity than the prototypical one).
+
+    Determinism discipline: the dominance comparison uses the centroid
+    distance floored to integer micro-units (``d2_e6``) with vec_id as
+    the tie-break, and the similarity gate uses ``floor(cos·1e6)`` —
+    both cross-engine exact, so the whole verdict (not just the pair
+    list) gets a DuckDB oracle when ``centroids`` is a fixed seeded
+    quantizer. With a trained quantizer (``kmeans_centroids``) the same
+    code path runs unchanged; only the centroid VALUES stop being
+    SQL-expressible.
+
+    Scale shape: assignment is a narrow map over a broadcast
+    array-of-centroids literal (codegen constant in ``n_lists`` — same
+    transform+array_position argmin as ``ivf_ann``).  The pairwise step
+    self-joins ON the cluster id, so pair volume is Σ_c n_c² ≈ n·(n/k),
+    NOT n²: at 10⁹ vectors one sizes k ~ 10⁵ (the paper uses k ≈ n/√n
+    territory) and each cluster's pairs fit one task; a skewed mega-
+    cluster shows up as one hot partition and is cured by raising
+    ``n_lists`` — the quantizer IS the salt.  The loser aggregate and
+    the final verdict join both reuse the cluster/vec_id partitioning.
+
+    Output: one row per vector — (vec_id, cluster_id, kept,
+    dup_sim_e6) where ``dup_sim_e6`` is the strongest similarity to a
+    dominating neighbor (NULL for kept vectors).
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(
+            embeddings, k=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    )
+    v = F.col(vec_col).cast("array<double>")
+    cents = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in C
+    ])
+    d2s = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # argmin-first-on-ties — identical to ivf_ann's assignment so the
+    # two operators share one notion of "the cluster of x".
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_v"),
+        (F.array_position(d2s, F.array_min(d2s)) - 1)
+        .cast("int").alias("cluster_id"),
+        F.floor(F.array_min(d2s) * 1e6).cast("long").alias("_d2_e6"),
+    )
+
+    thr_e6 = int(threshold * 1e6)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = _dot(F.col("a._v"), F.col("b._v")) / (
+        _norm(F.col("a._v")) * _norm(F.col("b._v"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a._d2_e6").alias("d2_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("b._d2_e6").alias("d2_b"),
+            F.floor(sim * 1e6).cast("long").alias("sim_e6"),
+        )
+        .filter(F.col("sim_e6") >= F.lit(thr_e6))
+    )
+    # Exactly one loser per qualifying pair: the member CLOSER to the
+    # centroid (smaller d2_e6); on a distance tie the larger vec_id.
+    loser = F.when(F.col("d2_a") > F.col("d2_b"), F.col("id_b")).when(
+        F.col("d2_b") > F.col("d2_a"), F.col("id_a")
+    ).otherwise(F.greatest("id_a", "id_b"))
+    removed = (
+        pairs.select(loser.alias("vec_id"), "sim_e6")
+        .groupBy("vec_id")
+        .agg(F.max("sim_e6").alias("dup_sim_e6"))
+    )
+    return assigned.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.col("dup_sim_e6").isNull().alias("kept"),
+        "dup_sim_e6",
+    )

@@ -166,3 +166,135 @@ def test_banded_neardup_candidate_volume_is_subquadratic(spark):
     assert stats["max_bucket"] < n / 20
     # candidate volume across ALL 8 bands under 2% of the quadratic
     assert stats["cand_pairs"] < 0.02 * all_pairs
+
+
+class TestSemDedup:
+    """SemDeDup: cluster, gate pairs on cosine, keep the outlier."""
+
+    def test_matches_python_model(self, spark):
+        import math
+
+        import numpy as np
+
+        from igtdetect_spark.operators.similarity import (
+            seeded_centroids, semdedup,
+        )
+
+        dim, n = 8, 40
+        rng = np.random.RandomState(11)
+        X = rng.standard_normal((n, dim))
+        # plant near-duplicates: copies with small jitter
+        for a, b in [(0, 1), (2, 3), (10, 20)]:
+            X[b] = X[a] + 0.01 * rng.standard_normal(dim)
+        C = seeded_centroids(4, dim, seed=5)
+        thr = 0.9
+
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        d2_e6 = [math.floor(d2[i, cl[i]] * 1e6) for i in range(n)]
+        removed = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if cl[i] != cl[j]:
+                    continue
+                sim = math.floor(
+                    float(X[i] @ X[j])
+                    / (np.linalg.norm(X[i]) * np.linalg.norm(X[j]))
+                    * 1e6
+                )
+                if sim < thr * 1e6:
+                    continue
+                if d2_e6[i] > d2_e6[j]:
+                    lose = j
+                elif d2_e6[j] > d2_e6[i]:
+                    lose = i
+                else:
+                    lose = max(i, j)
+                removed[lose] = max(removed.get(lose, -10**9), sim)
+        want = {
+            i: (int(cl[i]), i not in removed, removed.get(i))
+            for i in range(n)
+        }
+
+        vecs = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r["vec_id"]: (r["cluster_id"], r["kept"], r["dup_sim_e6"])
+            for r in semdedup(
+                vecs, threshold=thr, centroids=C
+            ).collect()
+        }
+        assert got == want
+        # the planted dups actually triggered removals
+        assert sum(1 for _, k, _ in got.values() if not k) >= 3
+
+    def test_keeps_the_outlier(self, spark):
+        import numpy as np
+
+        from igtdetect_spark.operators.similarity import semdedup
+
+        # one centroid at origin: v_far is the same direction as v_near
+        # but farther out — cosine 1.0, so one of them must go, and the
+        # paper's rule keeps the FARTHER one regardless of id order.
+        C = np.zeros((1, 4))
+        vecs = spark.createDataFrame(
+            [(0, [2.0, 0.0, 0.0, 0.0]),   # far  → kept
+             (1, [1.0, 0.0, 0.0, 0.0]),   # near → removed
+             (2, [0.0, 3.0, 0.0, 0.0]),   # far  → kept (id AFTER its dup)
+             (3, [0.0, 0.0, 0.0, 0.0])],  # zero-ish, unrelated
+            "vec_id long, embedding array<float>",
+        )
+        vecs = vecs.filter("vec_id != 3").union(
+            spark.createDataFrame(
+                [(3, [0.0, 1.5, 0.0, 0.0])],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        got = {
+            r["vec_id"]: r["kept"]
+            for r in semdedup(vecs, threshold=0.99,
+                              centroids=C).collect()
+        }
+        assert got == {0: True, 1: False, 2: True, 3: False}
+
+    def test_trained_quantizer_same_path(self, spark):
+        import numpy as np
+
+        from igtdetect_spark.operators.similarity import (
+            kmeans_centroids, semdedup,
+        )
+
+        rng = np.random.RandomState(2)
+        X = rng.standard_normal((60, 8))
+        X[1] = X[0] + 0.001
+        vecs = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(60)],
+            "vec_id long, embedding array<float>",
+        )
+        C = kmeans_centroids(vecs, k=3, iters=3)
+        rows = semdedup(vecs, threshold=0.98, centroids=C).collect()
+        assert len(rows) == 60
+        assert {r["cluster_id"] for r in rows} <= {0, 1, 2}
+        got = {r["vec_id"]: r["kept"] for r in rows}
+        assert got[0] != got[1]  # the planted dup pair lost one member
+
+    def test_plan_shape(self, spark):
+        from igtdetect_spark.operators.similarity import (
+            seeded_centroids, semdedup,
+        )
+
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        plan = str(
+            semdedup(df, threshold=0.35,
+                     centroids=seeded_centroids(8, 64))
+            ._jdf.queryExecution().executedPlan()
+        )
+        # pair join must be an equi-join on cluster_id, never cartesian
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
