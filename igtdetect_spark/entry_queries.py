@@ -3084,6 +3084,95 @@ FROM assigned a LEFT JOIN removed r USING (vec_id)
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + freshest-crawl dedup (CC-Net/RefinedWeb
+    curation step) over a deterministic synthetic page-URL table derived
+    from md5(doc_id) nibbles identically on both engines — scheme/www/
+    default-port/tracking-param/param-order/fragment/trailing-slash
+    variants all collapse; the survivor is the latest fetch (smallest
+    doc_id on a timestamp tie)."""
+    from .operators.webpages import synthetic_page_urls, url_dedup
+
+    return url_dedup(synthetic_page_urls(_t(spark, sf_dir, "documents")))
+
+
+SQL_URL_DEDUP = r"""
+WITH n AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+g AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS n1,
+         strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS n2,
+         strpos('0123456789abcdef', substring(h, 3, 1)) - 1 AS n3,
+         strpos('0123456789abcdef', substring(h, 4, 1)) - 1 AS n4,
+         ((strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(h, 6, 1)) - 1) % 40
+           AS pid,
+         strpos('0123456789abcdef', substring(h, 7, 1)) - 1 AS n7,
+         strpos('0123456789abcdef', substring(h, 8, 1)) - 1 AS n8,
+         strpos('0123456789abcdef', substring(h, 9, 1)) - 1 AS n9
+  FROM n
+),
+u AS (
+  SELECT doc_id,
+         CASE WHEN n3 % 2 = 0 THEN 'http' ELSE 'https' END || '://'
+         || CASE WHEN n2 % 2 = 0 THEN 'www.' ELSE '' END
+         || 'site' || CAST(n1 % 4 AS VARCHAR) || '.example.org'
+         || CASE WHEN n4 % 4 = 0 THEN
+              (CASE WHEN n3 % 2 = 0 THEN ':80' ELSE ':443' END)
+            ELSE '' END
+         || '/a/' || CAST(pid AS VARCHAR)
+         || CASE WHEN n7 % 2 = 0 THEN '/' ELSE '' END
+         || CASE WHEN n8 % 4 = 0
+              THEN '?id=' || CAST(pid AS VARCHAR) || '&utm_source=rss'
+            WHEN n8 % 4 = 1
+              THEN '?utm_campaign=x&id=' || CAST(pid AS VARCHAR)
+            WHEN n8 % 4 = 2 THEN '?id=' || CAST(pid AS VARCHAR)
+            ELSE '' END
+         || CASE WHEN n9 % 2 = 0 THEN '#frag' ELSE '' END AS url,
+         CAST(1735689600 + (doc_id * 7919) % 8640000 AS BIGINT)
+           AS fetch_ts_sec
+  FROM g
+),
+c AS (
+  SELECT doc_id, fetch_ts_sec,
+         regexp_replace(regexp_replace(u4, '\?.*$', ''), '/$', '')
+         || CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(list_sort(params), '&')
+              ELSE '' END AS canonical_url
+  FROM (
+    SELECT doc_id, fetch_ts_sec, u4,
+           list_filter(
+             string_split(regexp_extract(u4, '\?(.*)$', 1), '&'),
+             p -> length(p) > 0 AND NOT regexp_matches(
+               p, '^(utm_[a-z]+|fbclid|gclid)=')) AS params
+    FROM (
+      SELECT doc_id, fetch_ts_sec,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(url, '#.*$', ''),
+                   '^http://', 'https://'),
+                 '^https://www\.', 'https://'),
+               '^(https://[^/?#:]+):(443|80)([/?].*)?$', '\1\3') AS u4
+      FROM u
+    )
+  )
+),
+r AS (
+  SELECT canonical_url, doc_id, fetch_ts_sec,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY fetch_ts_sec DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY canonical_url) AS n_variants
+  FROM c
+)
+SELECT canonical_url, CAST(n_variants AS BIGINT) AS n_variants,
+       doc_id AS kept_doc_id, fetch_ts_sec AS latest_ts_sec
+FROM r WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -3153,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_bloom": q_incremental_dedup_bloom,
         "nb_domain_score": q_nb_domain_score,
         "semdedup": q_semdedup,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -3225,6 +3315,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
         "nb_domain_score": SQL_NB_DOMAIN_SCORE,
         "semdedup": _sql_semdedup(),
+        "url_dedup": SQL_URL_DEDUP,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -25,7 +25,7 @@ CHECKED = [
     "ann_ivf", "substring_dup_spans", "contamination_screen",
     "substring_dedup_clean", "mixture_resample", "curation_funnel",
     "unigram_familiarity", "mixture_resample_recipe", "repetition_ratios",
-    "substring_dup_spans_i64", "semdedup",
+    "substring_dup_spans_i64", "semdedup", "url_dedup",
 ]
 
 
