@@ -105,7 +105,7 @@ def main():
         "c4_clean", "line_dedup", "pii_redact", "dsir_weights",
         "sequence_pack", "temperature_mixture", "incremental_dedup",
         "budget_select", "bigram_lm_score", "incremental_dedup_bloom",
-        "nb_domain_score", "semdedup", "url_dedup",
+        "nb_domain_score", "semdedup", "url_dedup", "hll_cardinality",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

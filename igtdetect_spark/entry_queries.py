@@ -3173,6 +3173,75 @@ FROM r WHERE rn = 1
 """
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-exact HyperLogLog distinct-count sketch (explicit
+    register relation, portable 48-bit md5-prefix hash) vs the exact
+    count: distinct orderkeys per returnflag at p=8 (m=256, ~6.5% σ).
+    Both SFs sit in the raw-estimate regime (≫ 2.5m distinct), so the
+    estimate is pure integer math + one identical double division —
+    the ESTIMATE itself is oracle-hashed, not just the registers."""
+    from .operators.sketches import hll_cardinality
+
+    return hll_cardinality(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_orderkey").cast("string"),
+        ["l_returnflag"],
+        p=8,
+    )
+
+
+def _sql_hll_cardinality(p: int = 8) -> str:
+    from .operators.sketches import HASH_BITS, _alpha
+
+    m = 1 << p
+    bits = HASH_BITS - p
+    num = repr(_alpha(m) * m * m * float(1 << HASH_BITS))
+    h48 = _SQL_HEX12.format(
+        H="substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)"
+    )
+    return f"""
+WITH h AS (
+  SELECT l_returnflag, {h48} AS h48 FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, h48 % {m} AS bucket,
+         MAX(CASE WHEN h48 // {m} = 0 THEN {bits + 1}
+                  ELSE {bits + 1} - length(bin(h48 // {m})) END) AS rho
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS present,
+         SUM(CAST(1 AS BIGINT) << ({HASH_BITS} - rho)) AS s_present
+  FROM r GROUP BY 1
+),
+e AS (
+  SELECT l_returnflag, {m} - present AS zeros,
+         CAST(floor({num} / CAST(s_present
+           + CAST({m} - present AS BIGINT)
+             * (CAST(1 AS BIGINT) << {HASH_BITS}) AS DOUBLE))
+         AS BIGINT) AS e_raw
+  FROM agg
+),
+fin AS (
+  SELECT l_returnflag,
+         CASE WHEN zeros > 0 AND e_raw * 2 <= 5 * {m}
+              THEN CAST(floor({m} * ln({m} / CAST(zeros AS DOUBLE)))
+                   AS BIGINT)
+              ELSE e_raw END AS hll_est
+  FROM e
+),
+x AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT f.l_returnflag, hll_est, exact_distinct,
+       CAST(floor(abs(hll_est - exact_distinct) * 1000000
+                  / exact_distinct) AS BIGINT) AS err_ppm
+FROM fin f JOIN x USING (l_returnflag)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -3243,6 +3312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_domain_score": q_nb_domain_score,
         "semdedup": q_semdedup,
         "url_dedup": q_url_dedup,
+        "hll_cardinality": q_hll_cardinality,
     }
 
 
@@ -3316,6 +3386,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_domain_score": SQL_NB_DOMAIN_SCORE,
         "semdedup": _sql_semdedup(),
         "url_dedup": SQL_URL_DEDUP,
+        "hll_cardinality": _sql_hll_cardinality(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }
