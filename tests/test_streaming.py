@@ -537,3 +537,84 @@ def test_stateless_cleaning_gates_run_under_streaming(spark, tmp_path_factory):
         q.awaitTermination(300)
         got = sorted(map(tuple, spark.read.parquet(out).collect()))
         assert got == expect, tag
+
+
+def test_streaming_hll_matches_batch_and_replay_is_idempotent(
+    spark, tmp_path_factory
+):
+    """Streaming HLL register store: (a) the merged streamed sketch is
+    bit-identical to the single-pass batch estimate over the same
+    corpus; (b) replaying a micro-batch (crash between write and
+    checkpoint commit) leaves the merged sketch unchanged — the
+    union+max algebra, not batch bookkeeping, is what makes the store
+    replay-safe."""
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from igtdetect_spark.streaming.hll import (
+        read_hll_store,
+        start_hll_stream,
+        write_hll_batch,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = F.col("text").cast("string")
+    groups = ["lang"]
+
+    want = sorted(
+        tuple(r)
+        for r in hll_estimate(
+            hll_registers(docs, key, groups, p=8), groups, p=8
+        ).collect()
+    )
+
+    src = str(tmp_path_factory.mktemp("hll_src"))
+    rows = docs.select("doc_id", "lang", "text")
+    for i in range(4):
+        rows.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/f{i}")
+
+    store = str(tmp_path_factory.mktemp("hll_store"))
+    ckpt = str(tmp_path_factory.mktemp("hll_ckpt"))
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_hll_stream(
+        stream, F.col("text").cast("string"), groups, store, ckpt,
+        p=8, available_now=True,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in read_hll_store(
+        spark, store, groups, p=8).collect())
+    assert got == want
+
+    # replay batch 2's file through the batch writer (what foreachBatch
+    # would do on a post-crash replay) — merged sketch unchanged
+    replay = spark.read.parquet(f"{src}/f2")
+    write_hll_batch(
+        hll_registers(
+            replay, F.col("text").cast("string"), groups, p=8
+        ),
+        store,
+        batch_id=2,
+    )
+    again = sorted(tuple(r) for r in read_hll_store(
+        spark, store, groups, p=8).collect())
+    assert again == want
+
+    # state bound: every batch partition holds ≤ m rows per group
+    per_batch = (
+        spark.read.parquet(store)
+        .groupBy("batch_id", *groups)
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_batch <= 256
