@@ -3173,6 +3173,64 @@ FROM r WHERE rn = 1
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction over boilerplate-wrapped HTML pages (the
+    north-rule stage: density-based HTML boilerplate strip with
+    byte-identical extracted text per url). The synthetic page builder
+    wraps each document's escaped text in nav/promo/footer link farms
+    plus a constant second paragraph, deterministically on both engines,
+    so the expected extract is provable: boilerplate blocks fail the
+    link-fraction/stopword/mass gates by construction, and the document
+    block survives iff it has ≥ 25 stripped chars and ≥ 1 English
+    function word (453/47 split at sf0.01 — both branches graded).
+    Plan: ONE projection + ONE Arrow-batched map, zero exchanges."""
+    from .operators.webpages import main_content_pages, synthetic_html_pages
+
+    return main_content_pages(
+        synthetic_html_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_html_extract() -> str:
+    from .operators.webpages import ARTICLE_TRAILER
+    from .segmentation import _EN_STOP_SMALL
+
+    sw = ", ".join(f"'{w}'" for w in sorted(_EN_STOP_SMALL))
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         replace(replace(replace(coalesce(text, ''), chr(10), ' '),
+                 chr(2), ' '), chr(3), ' ') AS norm
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         'https://site'
+           || CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                   % 4 AS VARCHAR)
+           || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         rtrim(norm, ' ' || chr(9) || chr(11) || chr(12) || chr(13))
+           AS vis
+  FROM base
+),
+k AS (
+  SELECT doc_id, url, vis,
+         length(trim(vis, ' ' || chr(9) || chr(11) || chr(12)
+                          || chr(13))) >= 25
+         AND len(list_filter(regexp_extract_all(vis, '[A-Za-z'']+'),
+                 t -> list_contains([{sw}], lower(t)))) >= 1 AS keep1
+  FROM v
+)
+SELECT doc_id, url,
+       CASE WHEN keep1
+            THEN vis || chr(10) || chr(10) || '{ARTICLE_TRAILER}'
+            ELSE '{ARTICLE_TRAILER}' END AS main_text,
+       CAST(CASE WHEN keep1 THEN 2 ELSE 1 END AS BIGINT) AS kept_blocks
+FROM k
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-exact HyperLogLog distinct-count sketch (explicit
     register relation, portable 48-bit md5-prefix hash) vs the exact
@@ -3313,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "url_dedup": q_url_dedup,
         "hll_cardinality": q_hll_cardinality,
+        "html_extract": q_html_extract,
     }
 
 
@@ -3387,6 +3446,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _sql_semdedup(),
         "url_dedup": SQL_URL_DEDUP,
         "hll_cardinality": _sql_hll_cardinality(),
+        "html_extract": _sql_html_extract(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -28,8 +28,11 @@ the unavoidable one exchange of any global group-by-URL.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Query parameters dropped during canonicalization: tracking junk that
 #: never changes the resource (Google Analytics ``utm_*``, Facebook's
@@ -169,4 +172,141 @@ def url_dedup(
         "n_variants",
         (-F.col("_best.neg")).cast("long").alias("kept_doc_id"),
         F.col("_best.ts").alias("latest_ts_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic boilerplate-wrapped HTML pages + main-content extraction
+# (the north-rule stage: HTML boilerplate strip, byte-identical text/url)
+# ---------------------------------------------------------------------------
+
+#: Navigation variants (2-4 links) chosen per page by an md5 nibble.
+#: Every variant is a pure link farm: link_frac = 1.0, zero stopword
+#: hits, < 25 visible chars — dropped by ALL THREE density gates, so the
+#: oracle never needs to model them.
+_NAV_VARIANTS = (
+    '<nav><a href="/">Home</a><a href="/news">News</a></nav>',
+    '<nav><a href="/">Home</a><a href="/news">News</a>'
+    '<a href="/tags">Tags</a></nav>',
+    '<nav><a href="/">Home</a><a href="/news">News</a>'
+    '<a href="/tags">Tags</a><a href="/rss">RSS</a></nav>',
+)
+_AD_BLOCK = (
+    '<div class="promo"><a href="/buy">Buy now</a>'
+    '<a href="/win">Win big</a></div>'
+)
+#: Footer: 12 of 24 non-space chars are anchor text (link_frac 0.5 >
+#: 0.4) and no stopwords — dropped by two independent gates.
+_FOOTER = (
+    '<footer><a href="/contact">Contact</a>'
+    '<a href="/legal">Legal</a>SiteCorp 2026</footer>'
+)
+#: Constant second article paragraph: ≥ 25 chars, stopword-bearing, no
+#: anchors, no ``&<>`` — ALWAYS kept, so every page extracts ≥ 1 block
+#: and the kernel's multi-block join ("\n\n") is exercised whenever the
+#: document block survives too.
+ARTICLE_TRAILER = (
+    "This second paragraph is part of the article and survives the "
+    "extraction filter."
+)
+
+
+def synthetic_html_pages(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The ``input_hint`` CC page table ``(doc_id, url, warc_ts, html,
+    text, lang)`` derived deterministically from ``documents``: each
+    page's ``html`` wraps the document's text in boilerplate — a
+    pure-link nav (md5-nibble-chosen variant), a link-farm promo block,
+    the document text as the first ``<p>``, :data:`ARTICLE_TRAILER` as
+    the second, and a link-heavy footer.
+
+    The document text is HTML-escaped (``& < >``) so the strip →
+    unescape round-trip is the identity, and separator control bytes
+    (``\\n \\x02 \\x03``) are folded to spaces so the document is
+    exactly ONE block in the page (real pages go through the kernels
+    unsanitized — hostile inputs are pytest-covered on the kernel
+    directly; this builder's job is a *provable* expected value on both
+    engines). Zero shuffles: one projection over the scan.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    esc = F.coalesce(F.col(text_col), F.lit(""))
+    for bad, good in (
+        ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+        ("\n", " "), ("\x02", " "), ("\x03", " "),
+    ):
+        esc = F.replace(esc, F.lit(bad), F.lit(good))
+    nav = F.elt(
+        _nib(h, 10) % 3 + 1, *[F.lit(v) for v in _NAV_VARIANTS]
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc</title><style>.m{}</style>"
+              "</head><body>"),
+        nav,
+        F.lit(_AD_BLOCK),
+        F.lit("<article><p>"), esc, F.lit("</p><p>"),
+        F.lit(ARTICLE_TRAILER), F.lit("</p></article>"),
+        F.lit(_FOOTER),
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.lit("https://site"), (_nib(h, 1) % 4).cast("string"),
+            F.lit(".example.org/p/"), F.col(id_col).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + (F.col(id_col) * 7919) % 8640000
+        ).alias("warc_ts"),
+        F.encode(page, "utf-8").alias("html"),
+        F.col(text_col).alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+_MAIN_CONTENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("main_text", T.StringType()),
+        T.StructField("kept_blocks", T.LongType()),
+    ]
+)
+
+
+def main_content_pages(pages: DataFrame) -> DataFrame:
+    """Density-based main-content extraction over the ``html`` column
+    (north rule: boilerplate strip with byte-identical extracted text
+    per url): per-block link-character fraction / text mass / function-
+    word gates, computed by the production kernel
+    (:func:`igtdetect_spark.segmentation.main_content_text`).
+
+    Scale shape: a pure per-row map — ZERO shuffles, fuses into the
+    scan, and only ``(doc_id, url, html)`` cross the Arrow boundary
+    (column pruning keeps ``text``/``lang`` out of Python). Cost is
+    linear in page bytes; mega-pages are bounded by the Arrow batch
+    size, so there is no skew axis beyond page length itself. At 10¹²
+    pages this is embarrassingly parallel.
+
+    Output: (doc_id, url, main_text, kept_blocks) where ``kept_blocks``
+    counts surviving blocks (0 when nothing passes the gates).
+    """
+    from ..segmentation import main_content_text
+
+    def gen(batches):
+        for pdf in batches:
+            texts = [main_content_text(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "url": pdf["url"],
+                    "main_text": texts,
+                    "kept_blocks": [
+                        (t.count("\n\n") + 1) if t else 0 for t in texts
+                    ],
+                }
+            )
+
+    return pages.select("doc_id", "url", "html").mapInPandas(
+        gen, schema=_MAIN_CONTENT_SCHEMA
     )
