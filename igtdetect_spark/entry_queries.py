@@ -3231,6 +3231,63 @@ FROM k
 """
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain HTML boilerplate strip (the north-rule's non-density
+    extraction mode) over the same synthetic page table as
+    ``html_extract``: ALL visible text survives — nav/promo/footer link
+    text included — with block-tag paragraph structure, entity
+    unescape, and per-line rstrip, byte-identical per url. The oracle
+    reconstructs the full expected text (template visible blocks are
+    compile-time constants; the document block is provable as in
+    ``html_extract``). Plan: one Arrow-batched map, zero exchanges."""
+    from .operators.webpages import strip_html_pages, synthetic_html_pages
+
+    return strip_html_pages(
+        synthetic_html_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_html_strip() -> str:
+    from .operators.webpages import ARTICLE_TRAILER
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         replace(replace(replace(coalesce(text, ''), chr(10), ' '),
+                 chr(2), ' '), chr(3), ' ') AS norm
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         'https://site'
+           || CAST((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                   % 4 AS VARCHAR)
+           || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 3
+           WHEN 0 THEN 'HomeNews'
+           WHEN 1 THEN 'HomeNewsTags'
+           ELSE 'HomeNewsTagsRSS' END AS nav,
+         rtrim(norm, ' ' || chr(9) || chr(11) || chr(12) || chr(13))
+           AS vis
+  FROM base
+),
+j AS (
+  SELECT doc_id, url,
+         array_to_string(
+           list_filter(
+             [nav, 'Buy nowWin big', vis, '{ARTICLE_TRAILER}',
+              'ContactLegalSiteCorp 2026'],
+             b -> b <> ''),
+           chr(10) || chr(10)) AS text_full
+  FROM v
+)
+SELECT doc_id, url, text_full,
+       CAST(length(text_full) AS BIGINT) AS n_chars
+FROM j
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-exact HyperLogLog distinct-count sketch (explicit
     register relation, portable 48-bit md5-prefix hash) vs the exact
@@ -3372,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "hll_cardinality": q_hll_cardinality,
         "html_extract": q_html_extract,
+        "html_strip": q_html_strip,
     }
 
 
@@ -3447,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "hll_cardinality": _sql_hll_cardinality(),
         "html_extract": _sql_html_extract(),
+        "html_strip": _sql_html_strip(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -310,3 +310,43 @@ def main_content_pages(pages: DataFrame) -> DataFrame:
     return pages.select("doc_id", "url", "html").mapInPandas(
         gen, schema=_MAIN_CONTENT_SCHEMA
     )
+
+
+_STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text_full", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def strip_html_pages(pages: DataFrame) -> DataFrame:
+    """Plain HTML → text boilerplate strip (the non-density mode of the
+    north-rule extraction stage): script/style/head/comment removal,
+    block-tag paragraph structure, entity unescape — ALL visible text
+    kept, byte-identically (:func:`igtdetect_spark.segmentation.strip_html`).
+
+    Same scale shape as :func:`main_content_pages`: a zero-exchange
+    Arrow-batched per-row map over ``(doc_id, url, html)`` only.
+
+    Output: (doc_id, url, text_full, n_chars).
+    """
+    from ..segmentation import strip_html
+
+    def gen(batches):
+        for pdf in batches:
+            texts = [strip_html(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "url": pdf["url"],
+                    "text_full": texts,
+                    "n_chars": [len(t) for t in texts],
+                }
+            )
+
+    return pages.select("doc_id", "url", "html").mapInPandas(
+        gen, schema=_STRIP_SCHEMA
+    )

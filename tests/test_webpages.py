@@ -251,3 +251,70 @@ class TestHtmlExtract:
         read = plan.split("ReadSchema")[-1]
         assert "lang" not in read, read
         assert "n_chars" not in read, read
+
+
+class TestHtmlStrip:
+    """Plain boilerplate strip: ALL visible text, byte-identical."""
+
+    def test_strip_matches_python_model_byte_identical(self, spark):
+        import hashlib
+
+        from igtdetect_spark.operators.webpages import (
+            ARTICLE_TRAILER,
+            strip_html_pages,
+            synthetic_html_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = strip_html_pages(synthetic_html_pages(docs)).collect()
+        src = {
+            r["doc_id"]: r["text"]
+            for r in docs.select("doc_id", "text").collect()
+        }
+        nav_variants = ("HomeNews", "HomeNewsTags", "HomeNewsTagsRSS")
+        ws = " \t\n\r\x0b\x0c"
+        for r in out:
+            h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+            vis = (
+                (src[r["doc_id"]] or "")
+                .replace("\n", " ")
+                .replace("\x02", " ")
+                .replace("\x03", " ")
+                .rstrip(ws)
+            )
+            blocks = [nav_variants[int(h[9], 16) % 3], "Buy nowWin big"]
+            if vis:
+                blocks.append(vis)
+            blocks += [ARTICLE_TRAILER, "ContactLegalSiteCorp 2026"]
+            exp = "\n\n".join(blocks)
+            assert r["text_full"] == exp, r["doc_id"]
+            assert r["n_chars"] == len(exp), r["doc_id"]
+
+    def test_strip_supersets_extract(self, spark):
+        """Density extraction is a block-subsequence of the plain strip:
+        every extracted block appears verbatim in the stripped text, and
+        the boilerplate distinguishes the two modes."""
+        from igtdetect_spark.operators.webpages import (
+            main_content_pages,
+            strip_html_pages,
+            synthetic_html_pages,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(50)
+        )
+        pages = synthetic_html_pages(docs)
+        stripped = {
+            r["doc_id"]: r["text_full"]
+            for r in strip_html_pages(pages).collect()
+        }
+        for r in main_content_pages(pages).collect():
+            full = stripped[r["doc_id"]]
+            for block in r["main_text"].split("\n\n"):
+                assert block in full.split("\n\n"), r["doc_id"]
+            assert "HomeNews" in full
+            assert "HomeNews" not in r["main_text"]
+            assert len(full) > len(r["main_text"])
