@@ -3288,6 +3288,50 @@ FROM j
 """
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph construction (the CC web-graph step): href extraction
+    from the html column as a pure native flat map (decode +
+    regexp_extract_all + explode — NO Python), then per-target
+    in-degree / distinct-source aggregate and internal-vs-dangling
+    resolution against the crawl's own url set. The synthetic page
+    table gives each page 1-3 md5-nibble-ragged outlinks with provable
+    targets, so the whole graph is SQL-reconstructable."""
+    from .operators.webpages import link_graph, synthetic_linked_pages
+
+    return link_graph(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_link_graph(targets_mod: int = 256) -> str:
+    return rf"""
+WITH links AS (
+  SELECT d.doc_id AS src_id, j.j,
+         (d.doc_id * 31 + j.j * 97) % {targets_mod} AS tgt
+  FROM documents d,
+       (SELECT unnest([1, 2, 3]) AS j) j
+  WHERE j.j <= 1 + (strpos('0123456789abcdef',
+        substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) % 3
+),
+agg AS (
+  SELECT CASE WHEN j = 3
+           THEN 'https://ext' || CAST(tgt AS VARCHAR) || '.example.net/'
+           ELSE 'https://site'
+             || CAST((strpos('0123456789abcdef',
+                  substring(md5(CAST(tgt AS VARCHAR)), 1, 1)) - 1) % 4
+                  AS VARCHAR)
+             || '.example.org/p/' || CAST(tgt AS VARCHAR) END AS dst_url,
+         tgt, j = 3 AS ext,
+         CAST(count(*) AS BIGINT) AS in_degree,
+         CAST(count(DISTINCT src_id) AS BIGINT) AS n_src
+  FROM links GROUP BY 1, 2, 3
+)
+SELECT dst_url, in_degree, n_src,
+       NOT ext AND tgt IN (SELECT doc_id FROM documents) AS is_internal
+FROM agg
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-exact HyperLogLog distinct-count sketch (explicit
     register relation, portable 48-bit md5-prefix hash) vs the exact
@@ -3430,6 +3474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "html_extract": q_html_extract,
         "html_strip": q_html_strip,
+        "link_graph": q_link_graph,
     }
 
 
@@ -3506,6 +3551,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_cardinality": _sql_hll_cardinality(),
         "html_extract": _sql_html_extract(),
         "html_strip": _sql_html_strip(),
+        "link_graph": _sql_link_graph(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

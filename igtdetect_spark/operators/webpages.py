@@ -350,3 +350,111 @@ def strip_html_pages(pages: DataFrame) -> DataFrame:
     return pages.select("doc_id", "url", "html").mapInPandas(
         gen, schema=_STRIP_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph construction (CC web-graph step: href extraction, in-degree)
+# ---------------------------------------------------------------------------
+
+
+def _page_url(id_expr) -> "F.Column":
+    """The synthetic url for a doc-id EXPRESSION (md5-nibble site shard,
+    same scheme as :func:`synthetic_html_pages`)."""
+    return F.concat(
+        F.lit("https://site"),
+        (_nib(F.md5(id_expr.cast("string")), 1) % 4).cast("string"),
+        F.lit(".example.org/p/"),
+        id_expr.cast("string"),
+    )
+
+
+def synthetic_linked_pages(
+    docs: DataFrame, id_col: str = "doc_id", targets_mod: int = 256
+) -> DataFrame:
+    """(doc_id, url, html): pages whose HTML carries 1-3 deterministic
+    outlinks — target ids ``(doc_id·31 + j·97) mod targets_mod`` — so
+    the link graph is provable on both engines. Links 1-2 are
+    in-crawl pages; link 3 (when present) points at an EXTERNAL host,
+    so dangling targets exist at every corpus size (like the real
+    web). Link count varies by an md5 nibble so the extractor must
+    handle ragged link lists. Body text is constant: this table grades
+    link extraction; page TEXT extraction is ``html_extract``'s job."""
+    h = F.md5(F.col(id_col).cast("string"))
+    k = 1 + _nib(h, 2) % 3
+
+    def link(j: int) -> "F.Column":
+        tgt = (F.col(id_col) * 31 + j * 97) % targets_mod
+        dst = (
+            F.concat(F.lit("https://ext"), tgt.cast("string"),
+                     F.lit(".example.net/"))
+            if j == 3
+            else _page_url(tgt)
+        )
+        return F.when(
+            F.lit(j) <= k,
+            F.concat(
+                F.lit('<li><a href="'), dst,
+                F.lit('">link</a></li>'),
+            ),
+        ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>A short constant paragraph.</p><ul>"),
+        link(1), link(2), link(3),
+        F.lit("</ul></body></html>"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _page_url(F.col(id_col)).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url) edge list: decode the html column and pull
+    every ``href`` attribute — pure native expressions (decode +
+    regexp_extract_all + explode), whole-stage codegen, NO Python and
+    NO shuffle. The per-row fan-out is the page's link count, so at
+    10¹² pages this is a flat map fused into the scan."""
+    return pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit(r'href="([^"]+)"'), F.lit(1),
+            )
+        ).alias("dst_url"),
+    )
+
+
+def link_graph(pages: DataFrame) -> DataFrame:
+    """In-degree view of the crawl's link graph: per target URL, total
+    incoming edges, distinct linking pages, and whether the target is
+    inside the crawl (dangling links are the web's norm — a left-semi
+    style resolution against the crawl's own url set).
+
+    Scale shape: extraction is a fused flat map; the in-degree is ONE
+    hash aggregate on dst_url (map-side combinable); the resolution is
+    an equi-join on url between the AGGREGATED edge relation and the
+    page-url relation — both sides hash-exchange once on the same key.
+    In-degree skew (a viral page) only concentrates an aggregate cell,
+    not a join row explosion.
+
+    Output: (dst_url, in_degree, n_src, is_internal).
+    """
+    edges = extract_links(pages)
+    agg = edges.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.count_distinct(F.col("src_url")).alias("n_src"),
+    )
+    urls = pages.select(F.col("url").alias("dst_url")).distinct()
+    return (
+        agg.join(urls.withColumn("is_internal", F.lit(True)),
+                 "dst_url", "left")
+        .select(
+            "dst_url",
+            F.col("in_degree").cast("long").alias("in_degree"),
+            F.col("n_src").cast("long").alias("n_src"),
+            F.coalesce(F.col("is_internal"), F.lit(False))
+            .alias("is_internal"),
+        )
+    )

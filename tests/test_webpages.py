@@ -318,3 +318,71 @@ class TestHtmlStrip:
             assert "HomeNews" in full
             assert "HomeNews" not in r["main_text"]
             assert len(full) > len(r["main_text"])
+
+
+class TestLinkGraph:
+    """Native href extraction + in-degree over synthetic linked pages."""
+
+    def _graph(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            link_graph,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        return docs, synthetic_linked_pages(docs), link_graph
+
+    def test_edges_match_hand_model_and_conserve(self, spark):
+        import hashlib
+
+        from igtdetect_spark.operators.webpages import extract_links
+
+        docs, pages, link_graph = self._graph(spark)
+        def page_url(i):
+            site = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 4
+            return f"https://site{site}.example.org/p/{i}"
+
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        exp_edges = set()
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            k = 1 + int(h[1], 16) % 3
+            for j in range(1, k + 1):
+                t = (i * 31 + j * 97) % 256
+                dst = (
+                    f"https://ext{t}.example.net/" if j == 3
+                    else page_url(t)
+                )
+                exp_edges.add((page_url(i), dst))
+        got = extract_links(pages).collect()
+        assert len(got) == len(exp_edges)
+        assert {
+            (r["src_url"], r["dst_url"]) for r in got
+        } == exp_edges
+        out = link_graph(pages).collect()
+        assert sum(r["in_degree"] for r in out) == len(exp_edges)
+        # the synthetic web has both internal pages and dangling targets
+        assert any(r["is_internal"] for r in out)
+        assert any(not r["is_internal"] for r in out)
+        # n_src <= in_degree (multi-edges from one page collapse)
+        assert all(r["n_src"] <= r["in_degree"] for r in out)
+
+    def test_url_shard_matches_page_builder(self, spark):
+        """Internal dst urls are EXACTLY the urls the page table itself
+        carries — the md5 site-shard expression agrees everywhere."""
+        docs, pages, link_graph = self._graph(spark)
+        page_urls = {r["url"] for r in pages.select("url").collect()}
+        for r in link_graph(pages).collect():
+            assert (r["dst_url"] in page_urls) == r["is_internal"]
+
+    def test_plan_is_native_no_python_no_cartesian(self, spark):
+        docs, pages, link_graph = self._graph(spark)
+        plan = str(
+            link_graph(pages)._jdf.queryExecution().executedPlan()
+        )
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "MapInPandas" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
