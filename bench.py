@@ -106,7 +106,7 @@ def main():
         "sequence_pack", "temperature_mixture", "incremental_dedup",
         "budget_select", "bigram_lm_score", "incremental_dedup_bloom",
         "nb_domain_score", "semdedup", "url_dedup", "hll_cardinality",
-        "html_extract", "html_strip", "link_graph",
+        "html_extract", "html_strip", "link_graph", "blocklist_filter",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -3332,6 +3332,36 @@ FROM agg
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style bad-words blocklist page gate with evidence columns
+    (occurrence count + sorted distinct matched words). Zero-shuffle
+    native projection; the blocklist is a constant array in the plan."""
+    from .operators.text_analysis import blocklist_filter
+
+    return blocklist_filter(_t(spark, sf_dir, "documents"))
+
+
+def _sql_blocklist_filter() -> str:
+    from .operators.text_analysis import BLOCKLIST
+
+    bl = ", ".join(f"'{w}'" for w in BLOCKLIST)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+           '[ \t\n\r\f\x0b]+', ' ', 'g')), ' ') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(tk, t -> list_contains([{bl}], t)))
+            AS BIGINT) AS n_bad,
+       list_sort(list_distinct(
+         list_filter(tk, t -> list_contains([{bl}], t)))) AS bad_words,
+       len(list_filter(tk, t -> list_contains([{bl}], t))) = 0 AS kept
+FROM toks
+"""
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-exact HyperLogLog distinct-count sketch (explicit
     register relation, portable 48-bit md5-prefix hash) vs the exact
@@ -3475,6 +3505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "html_strip": q_html_strip,
         "link_graph": q_link_graph,
+        "blocklist_filter": q_blocklist_filter,
     }
 
 
@@ -3552,6 +3583,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _sql_html_extract(),
         "html_strip": _sql_html_strip(),
         "link_graph": _sql_link_graph(),
+        "blocklist_filter": _sql_blocklist_filter(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

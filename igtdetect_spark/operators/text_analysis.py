@@ -709,3 +709,52 @@ def nb_domain_scores(
                                          F.col("_score_e6")))
         .cast("long").alias("margin_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bad-words blocklist gate (C4 §2.2 "dirty words" page filter)
+# ---------------------------------------------------------------------------
+
+#: Deterministic stand-in for the C4 blocklist (the real list is an
+#: external resource; the gate's mechanics are identical for any list).
+#: "dup" hits ~5% of the driver corpus so both branches are graded;
+#: the other two never occur (the common case for a real blocklist).
+BLOCKLIST = ("dup", "lorem", "spam")
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style bad-words page gate: a page is dropped when ANY token
+    (lowercased, explicit-whitespace split — the Java∩RE2 class) is on
+    the blocklist. Emits the evidence, not just the verdict: occurrence
+    count and the sorted distinct matched words.
+
+    Scale shape: zero shuffles — one narrow projection, whole-stage
+    codegen (the blocklist is a constant array literal in the plan, no
+    join at all; this is the degenerate-but-correct form of the
+    size-aware lexicon join for lists that fit in the plan). The token
+    array is materialized as a named column once, NOT re-evaluated
+    inside the higher-order filter (the per-element lambda trap —
+    BENCH/PLANS.md round 5).
+
+    Output: (doc_id, n_bad, bad_words, kept).
+    """
+    bl = F.array(*[F.lit(w) for w in blocklist])
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size(
+            F.filter(F.col("_toks"), lambda t: t.isin(*blocklist))
+        ).cast("long").alias("n_bad"),
+        F.array_sort(
+            F.array_intersect(F.col("_toks"), bl)
+        ).alias("bad_words"),
+    ).withColumn("kept", F.col("n_bad") == 0)

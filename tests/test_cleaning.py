@@ -473,3 +473,56 @@ def test_bloom_bitset_has_no_false_negatives(spark):
         )
     )
     assert sum(neg) <= 2, f"{sum(neg)}/{len(neg)} false positives"
+
+
+class TestBlocklistFilter:
+    """C4-style bad-words gate (operators/text_analysis.blocklist_filter)."""
+
+    def test_planted_fixture(self, spark):
+        from igtdetect_spark.operators.text_analysis import (
+            blocklist_filter,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "clean text with the usual words"),
+                (2, "a dup appears here and DUP again"),  # case-folded
+                (3, None),
+                (4, ""),
+                (5, "spam lorem spam"),
+                (6, "dupx is not dup-as-a-token? dup"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in blocklist_filter(docs).collect()
+        }
+        assert out[1]["kept"] and out[1]["n_bad"] == 0
+        assert out[1]["bad_words"] == []
+        assert not out[2]["kept"] and out[2]["n_bad"] == 2
+        assert out[2]["bad_words"] == ["dup"]
+        assert out[3]["kept"] and out[4]["kept"]  # null/empty pass
+        assert out[5]["n_bad"] == 3
+        assert out[5]["bad_words"] == ["lorem", "spam"]
+        # whitespace-split tokens: "dupx" and "dup-as-a-token?" are NOT
+        # blocklist hits; only the bare final token is
+        assert out[6]["n_bad"] == 1
+
+    def test_plan_zero_shuffle_no_python(self, spark):
+        from igtdetect_spark.operators.text_analysis import (
+            blocklist_filter,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            blocklist_filter(docs)._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        # the token array is a named column: tokenizer appears ONCE
+        assert plan.count("regexp_replace") <= 2, plan
