@@ -3332,6 +3332,114 @@ FROM agg
 """
 
 
+#: DuckDB fragment: the synthetic page url for integer column/expr ``{x}``
+#: (md5-nibble site shard — mirror of ``webpages._page_url``).
+_SQL_PAGE_URL = (
+    "'https://site' || CAST((strpos('0123456789abcdef', "
+    "substring(md5(CAST({x} AS VARCHAR)), 1, 1)) - 1) % 4 AS VARCHAR) "
+    "|| '.example.org/p/' || CAST({x} AS VARCHAR)"
+)
+
+#: DuckDB fragment: outlink slots of ``documents d`` (j, tgt), 1-3 per
+#: page by md5 nibble 2 — mirror of ``webpages.synthetic_linked_pages``.
+_SQL_LINK_SLOTS = """
+  SELECT d.doc_id AS src_id, j.j,
+         (d.doc_id * 31 + j.j * 97) % 256 AS tgt
+  FROM documents d,
+       (SELECT unnest([1, 2, 3]) AS j) j
+  WHERE j.j <= 1 + (strpos('0123456789abcdef',
+        substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) % 3
+"""
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming-anchor-text profile per link target (the classic
+    web-search enrichment signal): href+anchor pairs pulled by two
+    congruent regexp_extract_all calls zipped positionally — a pure
+    native flat map — then one hash aggregate per dst_url."""
+    from .operators.webpages import anchor_text_profile, synthetic_linked_pages
+
+    return anchor_text_profile(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_anchor_text() -> str:
+    from .operators.webpages import ANCHOR_WORDS
+
+    words = ", ".join(f"'{w}'" for w in ANCHOR_WORDS)
+    url = _SQL_PAGE_URL.format(x="tgt")
+    return f"""
+WITH links AS ({_SQL_LINK_SLOTS}),
+anch AS (
+  SELECT CASE WHEN j = 3
+           THEN 'https://ext' || CAST(tgt AS VARCHAR) || '.example.net/'
+           ELSE {url} END AS dst_url,
+         ([{words}])[(src_id + j) % {len(ANCHOR_WORDS)} + 1]
+           || ' ' || CAST(tgt AS VARCHAR) AS anchor
+  FROM links
+)
+SELECT dst_url,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       list_sort(list_distinct(list(anchor))) AS anchors,
+       CAST(max(length(anchor)) AS BIGINT) AS max_anchor_len
+FROM anch
+GROUP BY dst_url
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 power iterations, damping 0.85 in ppm,
+    ranks in BIGINT micro-units) over the crawl's internal link graph —
+    url→id resolution once, per-iteration shuffle join on src + hash
+    agg on dst; no floating point, so the unrolled SQL oracle matches
+    bit-for-bit."""
+    from .operators.webpages import pagerank, synthetic_linked_pages
+
+    return pagerank(synthetic_linked_pages(_t(spark, sf_dir, "documents")))
+
+
+def _sql_pagerank(iterations: int = 3, damping_ppm: int = 850_000) -> str:
+    teleport = 1_000_000 - damping_ppm
+    parts = [
+        f"WITH links AS ({_SQL_LINK_SLOTS}),",
+        """edges AS (
+  SELECT src_id, tgt AS dst_id FROM links
+  WHERE j <= 2 AND tgt IN (SELECT doc_id FROM documents)
+),
+deg AS (
+  SELECT src_id, CAST(count(*) AS BIGINT) AS out_deg
+  FROM edges GROUP BY src_id
+),
+r0 AS (
+  SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank_e6
+  FROM documents
+),""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.dst_id,
+         sum((r.rank_e6 * {damping_ppm}) // (1000000 * g.out_deg)) AS s
+  FROM edges e
+  JOIN deg g ON g.src_id = e.src_id
+  JOIN r{i - 1} r ON r.id = e.src_id
+  GROUP BY e.dst_id
+),
+r{i} AS (
+  SELECT d.doc_id AS id,
+         CAST({teleport} + coalesce(c.s, 0) AS BIGINT) AS rank_e6
+  FROM documents d LEFT JOIN c{i} c ON c.dst_id = d.doc_id
+),""")
+    url = _SQL_PAGE_URL.format(x="r.id")
+    parts.append(f"""final AS (
+  SELECT {url} AS url, r.rank_e6,
+         CAST(coalesce(g.out_deg, 0) AS BIGINT) AS out_deg
+  FROM r{iterations} r LEFT JOIN deg g ON g.src_id = r.id
+)
+SELECT url, rank_e6, out_deg FROM final""")
+    return "\n".join(parts)
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style bad-words blocklist page gate with evidence columns
     (occurrence count + sorted distinct matched words). Zero-shuffle
@@ -3506,6 +3614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q_html_strip,
         "link_graph": q_link_graph,
         "blocklist_filter": q_blocklist_filter,
+        "anchor_text": q_anchor_text,
+        "pagerank": q_pagerank,
     }
 
 
@@ -3584,6 +3694,8 @@ def oracle_sql() -> dict[str, str]:
         "html_strip": _sql_html_strip(),
         "link_graph": _sql_link_graph(),
         "blocklist_filter": _sql_blocklist_filter(),
+        "anchor_text": _sql_anchor_text(),
+        "pagerank": _sql_pagerank(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

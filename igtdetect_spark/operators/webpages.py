@@ -368,6 +368,12 @@ def _page_url(id_expr) -> "F.Column":
     )
 
 
+#: Anchor-word vocabulary for the synthetic link farm: word ``(doc_id +
+#: j) mod 5`` + the target id, so per-target anchor aggregation sees
+#: several distinct anchors (the real-web norm) yet stays provable.
+ANCHOR_WORDS = ("click", "read", "more", "info", "here")
+
+
 def synthetic_linked_pages(
     docs: DataFrame, id_col: str = "doc_id", targets_mod: int = 256
 ) -> DataFrame:
@@ -377,8 +383,10 @@ def synthetic_linked_pages(
     in-crawl pages; link 3 (when present) points at an EXTERNAL host,
     so dangling targets exist at every corpus size (like the real
     web). Link count varies by an md5 nibble so the extractor must
-    handle ragged link lists. Body text is constant: this table grades
-    link extraction; page TEXT extraction is ``html_extract``'s job."""
+    handle ragged link lists; anchor text varies by (source, slot)
+    (:data:`ANCHOR_WORDS`). Body text is constant: this table grades
+    link/anchor extraction; page TEXT extraction is ``html_extract``'s
+    job."""
     h = F.md5(F.col(id_col).cast("string"))
     k = 1 + _nib(h, 2) % 3
 
@@ -390,11 +398,16 @@ def synthetic_linked_pages(
             if j == 3
             else _page_url(tgt)
         )
+        word = F.element_at(
+            F.array(*[F.lit(w) for w in ANCHOR_WORDS]),
+            ((F.col(id_col) + j) % len(ANCHOR_WORDS) + 1).cast("int"),
+        )
         return F.when(
             F.lit(j) <= k,
             F.concat(
-                F.lit('<li><a href="'), dst,
-                F.lit('">link</a></li>'),
+                F.lit('<li><a href="'), dst, F.lit('">'),
+                word, F.lit(" "), tgt.cast("string"),
+                F.lit("</a></li>"),
             ),
         ).otherwise(F.lit(""))
     html = F.concat(
@@ -458,3 +471,138 @@ def link_graph(pages: DataFrame) -> DataFrame:
             .alias("is_internal"),
         )
     )
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) triples: pull every ``<a
+    href="...">text</a>`` pair from the html column with TWO parallel
+    ``regexp_extract_all`` calls (group 1 = href, group 2 = visible
+    anchor text) zipped positionally — the groups come from the same
+    pattern over the same string, so the arrays are congruent by
+    construction. Pure native expressions (decode + regex + zip +
+    explode): whole-stage codegen, NO Python, NO shuffle; at 10¹²
+    pages this is a flat map fused into the scan, exactly like
+    :func:`extract_links`.
+    """
+    pat = F.lit(r'<a href="([^"]+)">([^<]*)</a>')
+    html = F.decode(F.col("html"), "UTF-8")
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.arrays_zip(
+                F.regexp_extract_all(html, pat, F.lit(1)).alias("dst_url"),
+                F.regexp_extract_all(html, pat, F.lit(2)).alias("anchor"),
+            ).alias("_links"),
+        )
+        .select("src_url", F.explode("_links").alias("_l"))
+        .select("src_url", F.col("_l.dst_url").alias("dst_url"),
+                F.col("_l.anchor").alias("anchor"))
+    )
+
+
+def anchor_text_profile(pages: DataFrame) -> DataFrame:
+    """Per-target incoming-anchor-text profile — the classic web-search
+    signal (anchor text describes the TARGET page better than the page
+    itself; Brin & Page 1998 §2.2, and a standard web-scale corpus
+    enrichment step). Per ``dst_url``: total incoming anchors, distinct
+    sorted anchor texts, and the length of the longest anchor.
+
+    Scale shape: extraction is a fused flat map; then ONE hash
+    aggregate on ``dst_url`` (``collect_set`` is map-side combinable;
+    its size is bounded by the target's distinct-anchor vocabulary,
+    which the pipeline would cap in production — noted, not needed for
+    the bounded synthetic vocabulary).
+
+    Output: (dst_url, n_anchors, anchors, max_anchor_len).
+    """
+    return (
+        extract_anchors(pages)
+        .groupBy("dst_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+            F.array_sort(F.collect_set("anchor")).alias("anchors"),
+            F.max(F.length("anchor")).cast("long")
+            .alias("max_anchor_len"),
+        )
+    )
+
+
+def pagerank(
+    pages: DataFrame, iterations: int = 3, damping_ppm: int = 850_000
+) -> DataFrame:
+    """Integer-exact PageRank power iteration over the crawl's INTERNAL
+    link graph (edges whose target is itself a crawled page — the
+    dangling/external mass leaks, the standard simplification).
+
+    Cross-engine exactness: ranks live in integer micro-units (e6).
+    ``r₀ = 1_000_000``; each iteration every node sends
+    ``(r·d) div (10⁶·out_deg)`` micro-units along each out-edge
+    (``div`` = integral division, identical in Spark and DuckDB for the
+    non-negative values here) and every node restarts from
+    ``10⁶ - d`` teleport micro-units. No floating point anywhere, so
+    the oracle can unroll the same iterations in SQL and hash-match
+    bit-for-bit — floats would diverge across engines in summation
+    order alone.
+
+    Scale shape: urls are resolved to integer node ids ONCE (two
+    equi-joins of the edge flat-map against the page table), and the
+    (src, dst, out_deg) relation is computed once and persisted; each
+    iteration is then one shuffle join on ``src_id`` (edges re-use
+    their partitioning; AQE handles the rank side) plus one hash
+    aggregate on ``dst_id``. Rank state is one BIGINT per node —
+    ~8 B·|V|, trivially partitionable. For deep iteration chains the
+    caller should checkpoint the rank relation every ~10 rounds to cut
+    lineage (same pattern as ``connected_components``); at 3 rounds it
+    is unnecessary.
+
+    Output: (url, rank_e6, out_deg) — out_deg 0 for pure sinks.
+    """
+    ids = pages.select(F.col("url"), F.col("doc_id").alias("_nid"))
+    raw = extract_links(pages)
+    edges = (
+        raw.join(ids.select(F.col("url").alias("src_url"),
+                            F.col("_nid").alias("src_id")), "src_url")
+        .join(ids.select(F.col("url").alias("dst_url"),
+                         F.col("_nid").alias("dst_id")), "dst_url")
+        .select("src_id", "dst_id")
+    )
+    deg = edges.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    er = edges.join(deg, "src_id").persist()
+    nodes = ids.select(F.col("_nid").alias("id"))
+    teleport = 1_000_000 - damping_ppm
+    ranks = nodes.select("id", F.lit(1_000_000).cast("long").alias("rank_e6"))
+    for _ in range(iterations):
+        contrib = (
+            er.join(ranks, er.src_id == ranks.id)
+            .select(
+                F.col("dst_id"),
+                F.expr(
+                    f"(rank_e6 * {damping_ppm}L) div (1000000L * out_deg)"
+                ).alias("_c"),
+            )
+            .groupBy("dst_id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.id == contrib.dst_id, "left")
+            .select(
+                "id",
+                (F.lit(teleport) + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long").alias("rank_e6"),
+            )
+        )
+    out = (
+        ranks.join(ids, ranks.id == ids._nid)
+        .join(deg, ranks.id == deg.src_id, "left")
+        .select(
+            "url", "rank_e6",
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long")
+            .alias("out_deg"),
+        )
+    )
+    from .dedup import attach_plan_cache
+
+    attach_plan_cache(out, er)
+    return out

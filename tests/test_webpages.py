@@ -386,3 +386,130 @@ class TestLinkGraph:
         assert "ArrowEvalPython" not in plan, plan
         assert "MapInPandas" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestAnchorText:
+    """Anchor-text extraction + per-target profile."""
+
+    def _hand_model(self, ids):
+        import hashlib
+
+        from igtdetect_spark.operators.webpages import ANCHOR_WORDS
+
+        def page_url(i):
+            s = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 4
+            return f"https://site{s}.example.org/p/{i}"
+
+        anchors, edges = {}, []
+        idset = set(ids)
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            k = 1 + int(h[1], 16) % 3
+            for j in range(1, k + 1):
+                t = (i * 31 + j * 97) % 256
+                dst = (f"https://ext{t}.example.net/" if j == 3
+                       else page_url(t))
+                anchors.setdefault(dst, []).append(
+                    f"{ANCHOR_WORDS[(i + j) % 5]} {t}")
+                if j < 3 and t in idset:
+                    edges.append((i, t))
+        return anchors, edges
+
+    def test_profile_matches_hand_model(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            anchor_text_profile,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        exp, _ = self._hand_model(ids)
+        got = {
+            r["dst_url"]: r
+            for r in anchor_text_profile(
+                synthetic_linked_pages(docs)
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for d, v in exp.items():
+            assert got[d]["n_anchors"] == len(v)
+            assert got[d]["anchors"] == sorted(set(v))
+            assert got[d]["max_anchor_len"] == max(len(a) for a in v)
+
+    def test_plan_native_single_exchange(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            anchor_text_profile,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            anchor_text_profile(synthetic_linked_pages(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "MapInPandas" not in plan, plan
+        # the per-target aggregate is the only shuffle
+        assert plan.count("Exchange") <= 2, plan  # incl. AQE read
+
+
+class TestPagerank:
+    """Integer-exact PageRank over the internal link graph."""
+
+    def test_matches_integer_hand_model(self, spark):
+        from collections import defaultdict
+
+        from igtdetect_spark.operators.webpages import (
+            pagerank,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        _, edges = TestAnchorText()._hand_model(ids)
+        outdeg = defaultdict(int)
+        for s, _d in edges:
+            outdeg[s] += 1
+        rank = {i: 1_000_000 for i in ids}
+        for _ in range(3):
+            new = {i: 150_000 for i in ids}
+            for s, d in edges:
+                new[d] += (rank[s] * 850_000) // (1_000_000 * outdeg[s])
+            rank = new
+        out = pagerank(synthetic_linked_pages(docs))
+        got = {r["url"]: r for r in out.collect()}
+        assert len(got) == len(ids)
+        for u, r in got.items():
+            i = int(u.rsplit("/", 1)[1])
+            assert r["rank_e6"] == rank[i], u
+            assert r["out_deg"] == outdeg.get(i, 0), u
+        # rank mass: every node ≥ teleport; somebody accumulated more
+        assert min(r["rank_e6"] for r in got.values()) >= 150_000
+        assert max(r["rank_e6"] for r in got.values()) > 1_000_000
+        from igtdetect_spark.operators.dedup import release_plan_caches
+
+        assert release_plan_caches(out) == 1  # persisted edge relation
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            pagerank,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = pagerank(synthetic_linked_pages(docs))
+        plan = str(out._jdf.queryExecution().executedPlan())
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        release_plan_caches(out)
