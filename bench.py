@@ -107,7 +107,7 @@ def main():
         "budget_select", "bigram_lm_score", "incremental_dedup_bloom",
         "nb_domain_score", "semdedup", "url_dedup", "hll_cardinality",
         "html_extract", "html_strip", "link_graph", "blocklist_filter",
-        "anchor_text", "pagerank",
+        "anchor_text", "pagerank", "crawl_cadence", "page_metadata",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

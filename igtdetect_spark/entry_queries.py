@@ -3096,7 +3096,10 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(synthetic_page_urls(_t(spark, sf_dir, "documents")))
 
 
-SQL_URL_DEDUP = r"""
+#: Shared DuckDB prefix: synthetic page-URL table (mirror of
+#: ``webpages.synthetic_page_urls``) canonicalized into
+#: ``c(doc_id, fetch_ts_sec, canonical_url)``.
+_SQL_CANON_PAGES = r"""
 WITH n AS (
   SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
 ),
@@ -3159,7 +3162,10 @@ c AS (
       FROM u
     )
   )
-),
+)
+"""
+
+SQL_URL_DEDUP = _SQL_CANON_PAGES + r""",
 r AS (
   SELECT canonical_url, doc_id, fetch_ts_sec,
          row_number() OVER (PARTITION BY canonical_url
@@ -3349,6 +3355,101 @@ _SQL_LINK_SLOTS = """
        (SELECT unnest([1, 2, 3]) AS j) j
   WHERE j.j <= 1 + (strpos('0123456789abcdef',
         substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) % 3
+"""
+
+
+def q_crawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl-cadence profile per canonical URL (crawl-scheduling /
+    freshness signal): fetch count, first/last fetch time, integral
+    mean refetch gap — one map-side-combinable aggregate over the
+    canonicalized synthetic page-URL table."""
+    from .operators.webpages import crawl_cadence, synthetic_page_urls
+
+    return crawl_cadence(
+        synthetic_page_urls(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_crawl_cadence() -> str:
+    return _SQL_CANON_PAGES + """
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       min(fetch_ts_sec) AS first_ts_sec,
+       max(fetch_ts_sec) AS last_ts_sec,
+       CASE WHEN count(*) > 1
+         THEN CAST((max(fetch_ts_sec) - min(fetch_ts_sec))
+                   // (count(*) - 1) AS BIGINT)
+       END AS mean_gap_sec
+FROM c
+GROUP BY canonical_url
+"""
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (title / robots meta / rel=canonical)
+    over deterministic synthetic pages — the DOM-heuristic curation
+    step: noindex pages leave the corpus, nofollow prunes the link
+    graph, canonical targets drive URL folding. Pure native regexp
+    projection, zero shuffles; absent tags are NULL."""
+    from .operators.webpages import page_metadata, synthetic_meta_pages
+
+    return page_metadata(synthetic_meta_pages(_t(spark, sf_dir, "documents")))
+
+
+def _sql_page_metadata() -> str:
+    url_self = _SQL_PAGE_URL.format(x="d.doc_id")
+    url_tgt = _SQL_PAGE_URL.format(x="((d.doc_id * 7 + 13) % 256)")
+    return f"""
+WITH pg AS (
+  SELECT {url_self} AS url,
+         '<html><head><title>Doc ' || CAST(d.doc_id AS VARCHAR)
+         || '</title>'
+         || CASE
+              WHEN (strpos('0123456789abcdef', substring(
+                md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) % 4 = 0
+              THEN '<meta name="robots" content="index,follow">'
+              WHEN (strpos('0123456789abcdef', substring(
+                md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) % 4 = 1
+              THEN '<meta name="robots" content="noindex,follow">'
+              WHEN (strpos('0123456789abcdef', substring(
+                md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) % 4 = 2
+              THEN '<meta name="robots" content="noindex,nofollow">'
+              ELSE '' END
+         || CASE
+              WHEN (strpos('0123456789abcdef', substring(
+                md5(CAST(d.doc_id AS VARCHAR)), 5, 1)) - 1) % 3 = 0
+              THEN '<link rel="canonical" href="' || {url_self} || '">'
+              WHEN (strpos('0123456789abcdef', substring(
+                md5(CAST(d.doc_id AS VARCHAR)), 5, 1)) - 1) % 3 = 1
+              THEN '<link rel="canonical" href="' || {url_tgt} || '">'
+              ELSE '' END
+         || '</head><body><p>Body of ' || CAST(d.doc_id AS VARCHAR)
+         || '.</p></body></html>' AS html
+  FROM documents d
+),
+x AS (
+  SELECT url,
+         nullif(regexp_extract(html, '<title>([^<]*)</title>', 1), '')
+           AS title,
+         nullif(regexp_extract(html,
+           '<meta name="robots" content="([^"]+)">', 1), '')
+           AS directive,
+         nullif(regexp_extract(html,
+           '<link rel="canonical" href="([^"]+)">', 1), '')
+           AS canonical_href
+  FROM pg
+)
+SELECT url, title, directive,
+       list_contains(string_split(coalesce(directive, ''), ','),
+                     'noindex') AS noindex,
+       list_contains(string_split(coalesce(directive, ''), ','),
+                     'nofollow') AS nofollow,
+       canonical_href,
+       CASE WHEN canonical_href IS NOT NULL
+         THEN canonical_href = url END AS self_canonical,
+       NOT list_contains(string_split(coalesce(directive, ''), ','),
+                         'noindex') AS kept
+FROM x
 """
 
 
@@ -3616,6 +3717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_filter": q_blocklist_filter,
         "anchor_text": q_anchor_text,
         "pagerank": q_pagerank,
+        "crawl_cadence": q_crawl_cadence,
+        "page_metadata": q_page_metadata,
     }
 
 
@@ -3696,6 +3799,8 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": _sql_blocklist_filter(),
         "anchor_text": _sql_anchor_text(),
         "pagerank": _sql_pagerank(),
+        "crawl_cadence": _sql_crawl_cadence(),
+        "page_metadata": _sql_page_metadata(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -606,3 +606,134 @@ def pagerank(
 
     attach_plan_cache(out, er)
     return out
+
+
+def crawl_cadence(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "fetch_ts_sec",
+) -> DataFrame:
+    """Recrawl-cadence profile per canonical URL — the crawl-scheduling
+    signal (how often a resource is refetched drives politeness budgets
+    and freshness ranking). Per canonical URL: fetch count, first/last
+    fetch time, and the mean refetch gap in whole seconds —
+    ``(last - first) div (n - 1)``, integral division so the value is
+    engine-exact; NULL for single-fetch URLs.
+
+    Scale shape: canonicalization fuses into the scan; then ONE
+    map-side-combinable hash aggregate (count/min/max) — same
+    single-exchange shape as :func:`url_dedup`, no window, no join.
+
+    Output: (canonical_url, n_fetches, first_ts_sec, last_ts_sec,
+    mean_gap_sec).
+    """
+    canon = pages.select(
+        F.col(ts_col).cast("long").alias("_ts"),
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+    )
+    agg = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.min("_ts").alias("first_ts_sec"),
+        F.max("_ts").alias("last_ts_sec"),
+    )
+    return agg.select(
+        "canonical_url", "n_fetches", "first_ts_sec", "last_ts_sec",
+        F.when(
+            F.col("n_fetches") > 1,
+            F.expr("(last_ts_sec - first_ts_sec) div (n_fetches - 1)"),
+        ).cast("long").alias("mean_gap_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page metadata extraction (title / robots meta / rel=canonical)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_meta_pages(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, url, html): pages with a deterministic ``<head>`` —
+    title always present; a robots meta directive on 3/4 of pages
+    (``index,follow`` / ``noindex,follow`` / ``noindex,nofollow`` by
+    md5 nibble 4); a ``rel=canonical`` link on 2/3 (self or a pointer
+    at page ``(id·7+13) mod 256`` by nibble 5) — so every extraction
+    branch has firing and non-firing population."""
+    h = F.md5(F.col(id_col).cast("string"))
+    meta = (
+        F.when(_nib(h, 4) % 4 == 0,
+               F.lit('<meta name="robots" content="index,follow">'))
+        .when(_nib(h, 4) % 4 == 1,
+              F.lit('<meta name="robots" content="noindex,follow">'))
+        .when(_nib(h, 4) % 4 == 2,
+              F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    canon_tgt = _page_url((F.col(id_col) * 7 + 13) % 256)
+    canon = (
+        F.when(_nib(h, 5) % 3 == 0,
+               F.concat(F.lit('<link rel="canonical" href="'),
+                        _page_url(F.col(id_col)), F.lit('">')))
+        .when(_nib(h, 5) % 3 == 1,
+              F.concat(F.lit('<link rel="canonical" href="'),
+                       canon_tgt, F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col(id_col).cast("string"),
+        F.lit("</title>"), meta, canon,
+        F.lit("</head><body><p>Body of "),
+        F.col(id_col).cast("string"),
+        F.lit(".</p></body></html>"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _page_url(F.col(id_col)).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def page_metadata(pages: DataFrame) -> DataFrame:
+    """Head-metadata extraction — the DOM-heuristic curation step every
+    CC pipeline runs before indexing: ``<title>``, the robots meta
+    directive (noindex/nofollow verdicts — noindex pages are dropped
+    from training corpora; nofollow prunes the link graph), and the
+    ``rel=canonical`` target with a self-vs-cross verdict.
+
+    Pure native regexp projection over the decoded html — ZERO
+    shuffles, whole-stage codegen, fuses into the scan at 10¹² pages.
+    Absent tags surface as NULL (``nullif`` on the empty regex match),
+    never as a fabricated empty value.
+
+    Output: (url, title, directive, noindex, nofollow, canonical_href,
+    self_canonical, kept).
+    """
+    html = F.decode(F.col("html"), "UTF-8")
+    title = F.nullif(
+        F.regexp_extract(html, r"<title>([^<]*)</title>", 1), F.lit("")
+    )
+    directive = F.nullif(
+        F.regexp_extract(
+            html, r'<meta name="robots" content="([^"]+)">', 1
+        ),
+        F.lit(""),
+    )
+    href = F.nullif(
+        F.regexp_extract(
+            html, r'<link rel="canonical" href="([^"]+)">', 1
+        ),
+        F.lit(""),
+    )
+    flags = F.split(F.coalesce(directive, F.lit("")), ",")
+    return pages.select(
+        "url",
+        title.alias("title"),
+        directive.alias("directive"),
+        F.array_contains(flags, "noindex").alias("noindex"),
+        F.array_contains(flags, "nofollow").alias("nofollow"),
+        href.alias("canonical_href"),
+        F.when(href.isNotNull(), href == F.col("url"))
+        .alias("self_canonical"),
+    ).withColumn("kept", ~F.col("noindex"))

@@ -513,3 +513,126 @@ class TestPagerank:
         assert "ArrowEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         release_plan_caches(out)
+
+
+class TestCrawlCadence:
+    """Recrawl-gap profile per canonical URL."""
+
+    def test_matches_url_dedup_grouping_and_gaps(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            crawl_cadence,
+            synthetic_page_urls,
+            url_dedup,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pages = synthetic_page_urls(docs)
+        got = {r["canonical_url"]: r for r in crawl_cadence(pages).collect()}
+        dd = {r["canonical_url"]: r for r in url_dedup(pages).collect()}
+        assert set(got) == set(dd)
+        for u, r in got.items():
+            assert r["n_fetches"] == dd[u]["n_variants"]
+            assert r["last_ts_sec"] == dd[u]["latest_ts_sec"]
+            if r["n_fetches"] == 1:
+                assert r["mean_gap_sec"] is None
+                assert r["first_ts_sec"] == r["last_ts_sec"]
+            else:
+                span = r["last_ts_sec"] - r["first_ts_sec"]
+                assert r["mean_gap_sec"] == span // (r["n_fetches"] - 1)
+
+    def test_single_exchange_plan(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            crawl_cadence,
+            synthetic_page_urls,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            crawl_cadence(synthetic_page_urls(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert plan.count("Exchange") <= 2, plan  # agg (+ AQE read)
+        assert "Window" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+class TestPageMetadata:
+    """Title / robots-meta / rel=canonical extraction."""
+
+    def test_hand_model(self, spark):
+        import hashlib
+
+        from igtdetect_spark.operators.webpages import (
+            page_metadata,
+            synthetic_meta_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+
+        def page_url(i):
+            s = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 4
+            return f"https://site{s}.example.org/p/{i}"
+
+        got = {
+            r["url"]: r
+            for r in page_metadata(synthetic_meta_pages(docs)).collect()
+        }
+        assert len(got) == len(ids)
+        seen = {"dir": set(), "canon": set()}
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            r = got[page_url(i)]
+            assert r["title"] == f"Doc {i}"
+            m = int(h[3], 16) % 4
+            exp_dir = [
+                "index,follow", "noindex,follow", "noindex,nofollow",
+                None,
+            ][m]
+            assert r["directive"] == exp_dir, (i, m)
+            assert r["noindex"] == (m in (1, 2))
+            assert r["nofollow"] == (m == 2)
+            assert r["kept"] == (m not in (1, 2))
+            c = int(h[4], 16) % 3
+            if c == 0:
+                assert r["canonical_href"] == page_url(i)
+                assert r["self_canonical"] is True
+            elif c == 1:
+                assert r["canonical_href"] == page_url((i * 7 + 13) % 256)
+                # cross-canonical unless the formula maps i to itself
+                assert r["self_canonical"] == (
+                    (i * 7 + 13) % 256 == i
+                )
+            else:
+                assert r["canonical_href"] is None
+                assert r["self_canonical"] is None
+            seen["dir"].add(m)
+            seen["canon"].add(c)
+        # every branch fired at this corpus size
+        assert seen["dir"] == {0, 1, 2, 3}
+        assert seen["canon"] == {0, 1, 2}
+
+    def test_zero_shuffle_native_plan(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            page_metadata,
+            synthetic_meta_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            page_metadata(synthetic_meta_pages(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "MapInPandas" not in plan, plan
