@@ -3358,6 +3358,63 @@ _SQL_LINK_SLOTS = """
 """
 
 
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 response-record container split (the first step of
+    every CC pipeline): synthesize one deterministic record per
+    document, then recover every header + the exact payload with
+    native byte arithmetic — Content-Length integrity and payload md5
+    both graded. Zero shuffles end to end."""
+    from .sources.warc import parse_warc, synthetic_warc_records
+
+    return parse_warc(synthetic_warc_records(_t(spark, sf_dir, "documents")))
+
+
+def _sql_warc_parse() -> str:
+    url = _SQL_PAGE_URL.format(x="d.doc_id")
+    return f"""
+WITH rec AS (
+  SELECT 'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || {url} || chr(13) || chr(10)
+      || 'WARC-Date: '
+      || strftime(make_timestamp(
+           (1735689600 + (d.doc_id * 7919) % 8640000) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+      || 'WARC-Record-ID: <urn:md5:'
+      || md5(CAST(d.doc_id AS VARCHAR)) || '>' || chr(13) || chr(10)
+      || 'Content-Type: application/http; msgtype=response'
+      || chr(13) || chr(10)
+      || 'Content-Length: '
+      || CAST(octet_length(encode(coalesce(d.text, ''))) AS VARCHAR)
+      || chr(13) || chr(10)
+      || chr(13) || chr(10) || coalesce(d.text, '') AS s
+  FROM documents d
+),
+cutp AS (
+  SELECT s, strpos(s, chr(13) || chr(10) || chr(13) || chr(10)) AS cut
+  FROM rec
+),
+sp AS (
+  SELECT substring(s, 1, cut - 1) AS head,
+         substring(s, cut + 4) AS payload
+  FROM cutp
+)
+SELECT regexp_extract(head, 'WARC-Target-URI: ([^\r]+)', 1) AS url,
+       regexp_extract(head, 'WARC-Type: ([^\r]+)', 1) AS warc_type,
+       CAST(epoch(strptime(
+         regexp_extract(head, 'WARC-Date: ([^\r]+)', 1),
+         '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS warc_date_ts,
+       CAST(regexp_extract(head, 'Content-Length: ([^\r]+)', 1)
+            AS BIGINT) AS content_length,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_octets,
+       md5(payload) AS payload_md5,
+       octet_length(encode(payload)) = CAST(
+         regexp_extract(head, 'Content-Length: ([^\r]+)', 1) AS BIGINT)
+         AS length_ok
+FROM sp
+"""
+
+
 def q_crawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl-cadence profile per canonical URL (crawl-scheduling /
     freshness signal): fetch count, first/last fetch time, integral
@@ -3719,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "crawl_cadence": q_crawl_cadence,
         "page_metadata": q_page_metadata,
+        "warc_parse": q_warc_parse,
     }
 
 
@@ -3801,6 +3859,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "crawl_cadence": _sql_crawl_cadence(),
         "page_metadata": _sql_page_metadata(),
+        "warc_parse": _sql_warc_parse(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1,0 +1,117 @@
+"""WARC response-record synthesis + native parsing for Common-Crawl
+style corpora.
+
+Common Crawl ships pages as WARC/1.0 records (ISO 28500): a header
+block of ``Name: value`` lines terminated by a blank line, then exactly
+``Content-Length`` octets of payload. The first real step of every CC
+pipeline is splitting that container back into (url, fetch time,
+payload) — this module grades that step end-to-end:
+
+* :func:`synthetic_warc_records` renders one deterministic response
+  record per driver document (headers + the document text as payload),
+  entirely with native column expressions, and stores it as the
+  ``binary`` record column the input_hint prescribes for raw page
+  bytes;
+* :func:`parse_warc` recovers every header and the exact payload with
+  native ``instr``/``substr``/``regexp_extract`` — ZERO shuffles, no
+  Python, whole-stage codegen — and proves payload integrity two ways:
+  ``octet_length(payload) == Content-Length`` and the payload md5.
+
+The DuckDB oracle rebuilds the record string independently and
+re-parses it with the same string functions, so the graded comparison
+is a genuine double-parse, not a shared code path.
+
+Scale shape: both directions are per-row maps that fuse into the scan;
+at 10¹² records the only cost is the regex/byte arithmetic itself.
+Real WARC files concatenate gzip members per record — that outer
+framing is an IO concern for a custom DataSource; the record-splitting
+semantics graded here are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Header terminator and block terminator, per ISO 28500.
+CRLF = "\r\n"
+
+
+def _warc_date(ts_sec) -> "F.Column":
+    """ISO-8601 Zulu render of an epoch-seconds column (the session is
+    pinned to UTC, so ``date_format`` is timezone-stable)."""
+    return F.date_format(
+        F.timestamp_seconds(ts_sec), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+
+
+def synthetic_warc_records(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, record): one WARC/1.0 response record per document —
+    Target-URI from the shared synthetic url scheme, Date from the
+    deterministic fetch clock, Record-ID from md5(doc_id), and the
+    document's text as the payload with a correct octet
+    Content-Length. NULL text renders as an empty payload (length 0),
+    so the parser's integrity check still holds."""
+    from ..operators.webpages import _page_url
+
+    payload = F.coalesce(F.col(text_col), F.lit(""))
+    header = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: response" + CRLF),
+        F.lit("WARC-Target-URI: "), _page_url(F.col(id_col)), F.lit(CRLF),
+        F.lit("WARC-Date: "),
+        _warc_date(F.lit(1735689600) + (F.col(id_col) * 7919) % 8640000),
+        F.lit(CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.col(id_col).cast("string")), F.lit(">" + CRLF),
+        F.lit("Content-Type: application/http; msgtype=response" + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"), F.lit(CRLF),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.concat(header, F.lit(CRLF), payload), "utf-8")
+        .alias("record"),
+    )
+
+
+def parse_warc(records: DataFrame) -> DataFrame:
+    """Split WARC records back into typed columns + payload integrity
+    evidence.
+
+    The header/payload boundary is the FIRST blank line (``instr`` +
+    ``substr`` — a payload may legally contain blank lines itself, so
+    no split-from-the-right); headers are pulled from the header block
+    only. Output:
+
+    (url, warc_type, warc_date_ts, content_length, payload_octets,
+    length_ok, payload_md5)
+
+    ``warc_date_ts`` is the parsed epoch (BIGINT, engine-exact);
+    ``length_ok`` proves the declared Content-Length matches the
+    recovered payload byte-for-byte, and ``payload_md5`` pins the
+    payload bytes themselves.
+    """
+    s = F.decode(F.col("record"), "UTF-8")
+    cut = F.instr(s, CRLF + CRLF)
+    head = F.substring(s, F.lit(1), cut - 1)
+    payload = F.substr(s, cut + 4)
+
+    def hdr(name: str) -> "F.Column":
+        return F.regexp_extract(head, rf"{name}: ([^\r]+)", 1)
+
+    out = records.select(
+        hdr("WARC-Target-URI").alias("url"),
+        hdr("WARC-Type").alias("warc_type"),
+        F.unix_timestamp(
+            hdr("WARC-Date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        ).cast("long").alias("warc_date_ts"),
+        hdr("Content-Length").cast("long").alias("content_length"),
+        F.octet_length(payload).cast("long").alias("payload_octets"),
+        F.md5(F.encode(payload, "utf-8")).alias("payload_md5"),
+    )
+    return out.withColumn(
+        "length_ok", F.col("payload_octets") == F.col("content_length")
+    )
