@@ -3358,6 +3358,56 @@ _SQL_LINK_SLOTS = """
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt disallow application over the synthetic crawl: rules
+    pre-grouped to one array row per host, size-aware host join, then
+    a higher-order prefix filter per page — match count + greatest
+    matched prefix as evidence, no per-rule row fan-out."""
+    from .operators.webpages import (
+        robots_filter,
+        robots_rules_df,
+        synthetic_linked_pages,
+    )
+
+    return robots_filter(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents")),
+        robots_rules_df(spark),
+    )
+
+
+def _sql_robots_filter() -> str:
+    from .operators.webpages import ROBOTS_RULES
+
+    vals = ", ".join(f"('{h}', '{d}')" for h, d in ROBOTS_RULES)
+    url = _SQL_PAGE_URL.format(x="d.doc_id")
+    return f"""
+WITH rules(host, disallow) AS (VALUES {vals}),
+per_host AS (
+  SELECT host, list(disallow) AS rs FROM rules GROUP BY host
+),
+pg AS (
+  SELECT {url} AS url FROM documents d
+),
+base AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+  FROM pg
+),
+j AS (
+  SELECT b.url, b.host,
+         list_filter(coalesce(p.rs, []),
+                     r -> starts_with(b.path, r)) AS hits
+  FROM base b LEFT JOIN per_host p ON p.host = b.host
+)
+SELECT url, host,
+       CAST(len(hits) AS BIGINT) AS n_rules_matched,
+       list_aggregate(hits, 'max') AS matched_rule,
+       len(hits) = 0 AS allowed
+FROM j
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/1.0 response-record container split (the first step of
     every CC pipeline): synthesize one deterministic record per
@@ -3777,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cadence": q_crawl_cadence,
         "page_metadata": q_page_metadata,
         "warc_parse": q_warc_parse,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -3860,6 +3911,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_cadence": _sql_crawl_cadence(),
         "page_metadata": _sql_page_metadata(),
         "warc_parse": _sql_warc_parse(),
+        "robots_filter": _sql_robots_filter(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

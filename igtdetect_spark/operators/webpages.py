@@ -737,3 +737,82 @@ def page_metadata(pages: DataFrame) -> DataFrame:
         F.when(href.isNotNull(), href == F.col("url"))
         .alias("self_canonical"),
     ).withColumn("kept", ~F.col("noindex"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt disallow application
+# ---------------------------------------------------------------------------
+
+#: Deterministic per-host disallow rules (synthetic robots.txt corpus):
+#: prefix semantics per the robots exclusion protocol — "/p/1" blocks
+#: /p/1, /p/10, /p/199…; "/" blocks the whole host; site2 publishes no
+#: rules. Every branch (no-rule host, non-matching rule, multi-rule
+#: host, block-all) is populated at any corpus size.
+ROBOTS_RULES = (
+    ("site0.example.org", "/p/1"),
+    ("site1.example.org", "/p/2"),
+    ("site1.example.org", "/p/33"),
+    ("site3.example.org", "/"),
+)
+
+
+def robots_rules_df(spark) -> DataFrame:
+    """The synthetic disallow rules as a (host, disallow) DataFrame.
+
+    Built as a SQL ``VALUES`` LocalRelation (not ``createDataFrame``,
+    which in PySpark yields an ExistingRDD scan whose Catalyst size
+    stat is the conservative maximum) so :func:`robots_filter`'s
+    size-aware join sees the relation's REAL byte size and can take
+    the broadcast branch — exactly what a parquet-backed rules table
+    would provide via file metadata."""
+    vals = ", ".join(f"('{h}', '{d}')" for h, d in ROBOTS_RULES)
+    return spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(host, disallow)"
+    )
+
+
+def robots_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Apply robots.txt disallow rules to a page table: a URL is
+    blocked when its path starts with ANY of its host's disallow
+    prefixes (the protocol's prefix-match semantics, disallow-only).
+    Emits the evidence: match count and the lexicographically greatest
+    matched prefix (deterministic on both engines).
+
+    Scale shape: rules are pre-grouped into ONE array row per host
+    (the relation is #hosts-sized — vocabulary class, so the join uses
+    the size-aware broadcast-XOR-shuffle helper, same policy as the
+    term-statistics queries), then a single equi-join on host and a
+    higher-order filter over the per-host prefix array — no per-rule
+    row fan-out, no second shuffle, and ``path`` is materialized as a
+    named column before the lambda (the per-element re-evaluation
+    trap). Hosts with no rules pass through the left join with an
+    empty array.
+
+    Output: (url, host, n_rules_matched, matched_rule, allowed).
+    """
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    per_host = rules.groupBy("host").agg(
+        F.collect_list("disallow").alias("_rules")
+    )
+    # Sound upper bound on the per-host aggregate: the SOURCE rule
+    # relation's plan size (grouping never grows the bytes).
+    small = maybe_broadcast(per_host, bound_bytes=plan_size_bytes(rules))
+    base = pages.select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1).alias("_path"),
+    )
+    joined = base.join(small, "host", "left").withColumn(
+        "_hits",
+        F.filter(
+            F.coalesce(F.col("_rules"), F.array().cast("array<string>")),
+            lambda r: F.col("_path").startswith(r),
+        ),
+    )
+    return joined.select(
+        "url", "host",
+        F.size("_hits").cast("long").alias("n_rules_matched"),
+        F.array_max("_hits").alias("matched_rule"),
+        (F.size("_hits") == 0).alias("allowed"),
+    )

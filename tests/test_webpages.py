@@ -636,3 +636,97 @@ class TestPageMetadata:
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "MapInPandas" not in plan, plan
+
+
+class TestRobotsFilter:
+    """robots.txt disallow application (prefix semantics)."""
+
+    def _result(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            robots_filter,
+            robots_rules_df,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        return robots_filter(
+            synthetic_linked_pages(docs), robots_rules_df(spark)
+        )
+
+    def test_hand_model(self, spark):
+        import hashlib
+
+        from igtdetect_spark.operators.webpages import ROBOTS_RULES
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        got = {r["url"]: r for r in self._result(spark).collect()}
+        assert len(got) == len(ids)
+        branches = set()
+        for i in ids:
+            s = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 4
+            host = f"site{s}.example.org"
+            path = f"/p/{i}"
+            hits = sorted(
+                d for h, d in ROBOTS_RULES
+                if h == host and path.startswith(d)
+            )
+            r = got[f"https://{host}{path}"]
+            assert r["host"] == host
+            assert r["n_rules_matched"] == len(hits), (i, hits)
+            assert r["matched_rule"] == (hits[-1] if hits else None)
+            assert r["allowed"] == (not hits)
+            branches.add((s, bool(hits)))
+        # every host shard appears, and both allow/block outcomes fire
+        # on the rule-bearing shards (site3 is block-all; site2 ruleless)
+        assert {s for s, _ in branches} == {0, 1, 2, 3}
+        assert (3, True) in branches and (2, False) in branches
+        assert (0, True) in branches and (0, False) in branches
+
+    def test_prefix_not_exact_match(self, spark):
+        """'/p/1' must block /p/1, /p/10, /p/199 — protocol prefix
+        semantics, not path equality."""
+        from igtdetect_spark.operators.webpages import robots_filter
+
+        pages = spark.createDataFrame(
+            [("https://h.example/p/1",), ("https://h.example/p/10",),
+             ("https://h.example/p/2",), ("https://h.example/q",)],
+            "url string",
+        )
+        rules = spark.createDataFrame(
+            [("h.example", "/p/1")], "host string, disallow string"
+        )
+        got = {
+            r["url"]: r["allowed"]
+            for r in robots_filter(pages, rules).collect()
+        }
+        assert got == {
+            "https://h.example/p/1": False,
+            "https://h.example/p/10": False,
+            "https://h.example/p/2": True,
+            "https://h.example/q": True,
+        }
+
+    def test_plan_broadcast_xor_shuffle(self, spark):
+        plan = str(
+            self._result(spark)._jdf.queryExecution().executedPlan()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        # shuffle branch: force the bound to 0 — must drop the
+        # broadcast entirely, never cartesian
+        spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+        try:
+            plan0 = str(
+                self._result(spark)._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.broadcastBoundBytes")
+        assert "BroadcastHashJoin" not in plan0, plan0
+        assert "ShuffledHashJoin" in plan0, plan0
+        assert "CartesianProduct" not in plan0, plan0
