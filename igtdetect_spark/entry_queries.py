@@ -3465,6 +3465,202 @@ FROM sp
 """
 
 
+def _sql_warc_http_layers() -> str:
+    """Shared CTE chain ``hb → page → hmsg → rec2`` rebuilding the full
+    WARC ⊃ HTTP ⊃ HTML layering byte-identically in DuckDB (mirror of
+    ``synthetic_warc_http_records``), ending in ``rec2(doc_id, s)``."""
+    from .operators.webpages import (
+        ARTICLE_TRAILER,
+        _AD_BLOCK,
+        _FOOTER,
+        _NAV_VARIANTS,
+    )
+    from .sources.warc import HTTP_ERROR_PAGE
+
+    url = _SQL_PAGE_URL.format(x="hb.doc_id")
+    nav = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(_NAV_VARIANTS)
+    )
+    return f"""
+hb AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         replace(replace(replace(replace(replace(replace(
+           coalesce(text, ''), '&', '&amp;'), '<', '&lt;'),
+           '>', '&gt;'), chr(10), ' '), chr(2), ' '), chr(3), ' ') AS esc
+  FROM documents
+),
+page AS (
+  SELECT doc_id, h, {url} AS url,
+         '<html><head><title>Doc</title><style>.m' || '{{}}'
+      || '</style></head><body>'
+      || CASE (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) % 3
+           {nav} END
+      || '{_AD_BLOCK}'
+      || '<article><p>' || esc || '</p><p>' || '{ARTICLE_TRAILER}'
+      || '</p></article>' || '{_FOOTER}' || '</body></html>' AS pg
+  FROM hb
+),
+hmsg AS (
+  SELECT doc_id, url,
+         CASE WHEN m <= 5 THEN pg
+              WHEN m = 6 THEN '{HTTP_ERROR_PAGE}'
+              ELSE '' END AS body,
+         CASE WHEN m <= 5 THEN '200 OK'
+              WHEN m = 6 THEN '404 Not Found'
+              ELSE '301 Moved Permanently' END AS statline,
+         CASE WHEN (strpos('0123456789abcdef', substring(h, 8, 1)) - 1)
+                   % 2 = 0
+              THEN '; charset=utf-8' ELSE '' END AS cs,
+         CASE WHEN m = 7
+              THEN 'Location: https://www.example.org/moved/'
+                   || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+              ELSE '' END AS loc
+  FROM (SELECT *,
+          (strpos('0123456789abcdef', substring(h, 7, 1)) - 1) % 8 AS m
+        FROM page)
+),
+hm2 AS (
+  SELECT doc_id, url,
+         'HTTP/1.1 ' || statline || chr(13) || chr(10)
+      || 'Content-Type: text/html' || cs || chr(13) || chr(10)
+      || loc
+      || 'Content-Length: '
+      || CAST(octet_length(encode(body)) AS VARCHAR)
+      || chr(13) || chr(10) || chr(13) || chr(10) || body AS msg
+  FROM hmsg
+),
+rec2 AS (
+  SELECT doc_id,
+         'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Date: '
+      || strftime(make_timestamp(
+           (1735689600 + (doc_id * 7919) % 8640000) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+      || 'WARC-Record-ID: <urn:md5:'
+      || md5(CAST(doc_id AS VARCHAR)) || '>' || chr(13) || chr(10)
+      || 'Content-Type: application/http; msgtype=response'
+      || chr(13) || chr(10)
+      || 'Content-Length: '
+      || CAST(octet_length(encode(msg)) AS VARCHAR)
+      || chr(13) || chr(10) || chr(13) || chr(10) || msg AS s
+  FROM hm2
+)"""
+
+
+def q_http_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 2 of the CC container split: recover the HTTP/1.1 response
+    (status, reason, Content-Type + charset param, optional Location,
+    body integrity) from inside each WARC record — the real layering a
+    crawl archive stores. Both cuts are first-blank-line byte
+    arithmetic (the WARC payload itself contains an HTTP blank line,
+    so the parser's FIRST-boundary rule is load-bearing here). Zero
+    shuffles end to end."""
+    from .sources.warc import parse_http, parse_warc, synthetic_warc_http_records
+
+    docs = _t(spark, sf_dir, "documents")
+    w = parse_warc(synthetic_warc_http_records(docs), with_payload=True)
+    parsed = parse_http(w.select("url", F.col("payload").alias("http")))
+    return parsed.select(
+        "url", "status", "reason", "content_type", "charset",
+        "location", "content_length", "body_octets", "length_ok",
+        "body_md5",
+    )
+
+
+def _sql_http_parse() -> str:
+    return rf"""
+WITH {_sql_warc_http_layers()},
+c1 AS (
+  SELECT s, strpos(s, chr(13) || chr(10) || chr(13) || chr(10)) AS cut
+  FROM rec2
+),
+w AS (
+  SELECT substring(s, 1, cut - 1) AS whead,
+         substring(s, cut + 4) AS payload
+  FROM c1
+),
+c2 AS (
+  SELECT whead, payload,
+         strpos(payload, chr(13) || chr(10) || chr(13) || chr(10)) AS cut
+  FROM w
+),
+hp AS (
+  SELECT whead,
+         substring(payload, 1, cut - 1) AS head,
+         substring(payload, cut + 4) AS body
+  FROM c2
+)
+SELECT regexp_extract(whead, 'WARC-Target-URI: ([^\r]+)', 1) AS url,
+       CAST(regexp_extract(head, '^HTTP/1\.[01] (\d{{3}})', 1)
+            AS INTEGER) AS status,
+       regexp_extract(head, '^HTTP/1\.[01] \d{{3}} ([^\r]+)', 1)
+         AS reason,
+       nullif(regexp_extract(head, 'Content-Type: ([^;\r]+)', 1), '')
+         AS content_type,
+       nullif(regexp_extract(head, 'charset=([^\r;]+)', 1), '')
+         AS charset,
+       nullif(regexp_extract(head, 'Location: ([^\r]+)', 1), '')
+         AS location,
+       CAST(regexp_extract(head, 'Content-Length: (\d+)', 1) AS BIGINT)
+         AS content_length,
+       CAST(octet_length(encode(body)) AS BIGINT) AS body_octets,
+       octet_length(encode(body)) = CAST(
+         regexp_extract(head, 'Content-Length: (\d+)', 1) AS BIGINT)
+         AS length_ok,
+       md5(body) AS body_md5
+FROM hp
+"""
+
+
+def q_extraction_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule pipeline end to end over RAW ARCHIVE BYTES:
+    WARC record split → HTTP response split → status-200 text/html
+    gate → density-based main-content extraction (the production Arrow
+    kernel), emitting the per-url extracted text byte-identically.
+
+    Scale shape: every stage is a per-row map fused into one
+    zero-exchange pipeline (the two container cuts and the gate are
+    whole-stage codegen; only (doc_id, url, html) cross the Arrow
+    boundary). At 10¹² records the plan is embarrassingly parallel —
+    partitioning by url-hash happens at the scan, and the gate prunes
+    ~25% of pages before the (dominant) Python kernel pays anything.
+
+    Codegen note: fusing the SYNTHETIC builder (html→http→warc concat)
+    with the parser in one stage overflows the JVM's 64 KB codegen
+    method limit, so Spark logs an ERROR and falls back to interpreted
+    evaluation for that stage — correct, and harness-only: in
+    production the records come off disk and the parse-side expressions
+    alone compile (pinned by TestHttpStage's plan test)."""
+    from .operators.webpages import main_content_pages
+    from .sources.warc import parse_http, parse_warc, synthetic_warc_http_records
+
+    docs = _t(spark, sf_dir, "documents")
+    w = parse_warc(synthetic_warc_http_records(docs), with_payload=True)
+    h = parse_http(w.select("url", F.col("payload").alias("http")))
+    ok = h.filter(
+        (F.col("status") == 200) & (F.col("content_type") == "text/html")
+    )
+    pages = ok.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "url",
+        F.encode("body", "utf-8").alias("html"),
+    )
+    return main_content_pages(pages)
+
+
+def _sql_extraction_funnel() -> str:
+    return f"""
+WITH ex AS ({_sql_html_extract()})
+SELECT ex.* FROM ex
+WHERE (strpos('0123456789abcdef',
+              substring(md5(CAST(ex.doc_id AS VARCHAR)), 7, 1)) - 1)
+      % 8 <= 5
+"""
+
+
 def q_crawl_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl-cadence profile per canonical URL (crawl-scheduling /
     freshness signal): fetch count, first/last fetch time, integral
@@ -3827,6 +4023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_cadence": q_crawl_cadence,
         "page_metadata": q_page_metadata,
         "warc_parse": q_warc_parse,
+        "http_parse": q_http_parse,
+        "extraction_funnel": q_extraction_funnel,
         "robots_filter": q_robots_filter,
     }
 
@@ -3911,6 +4109,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_cadence": _sql_crawl_cadence(),
         "page_metadata": _sql_page_metadata(),
         "warc_parse": _sql_warc_parse(),
+        "http_parse": _sql_http_parse(),
+        "extraction_funnel": _sql_extraction_funnel(),
         "robots_filter": _sql_robots_filter(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.

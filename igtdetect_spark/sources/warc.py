@@ -77,7 +77,7 @@ def synthetic_warc_records(
     )
 
 
-def parse_warc(records: DataFrame) -> DataFrame:
+def parse_warc(records: DataFrame, with_payload: bool = False) -> DataFrame:
     """Split WARC records back into typed columns + payload integrity
     evidence.
 
@@ -92,7 +92,9 @@ def parse_warc(records: DataFrame) -> DataFrame:
     ``warc_date_ts`` is the parsed epoch (BIGINT, engine-exact);
     ``length_ok`` proves the declared Content-Length matches the
     recovered payload byte-for-byte, and ``payload_md5`` pins the
-    payload bytes themselves.
+    payload bytes themselves. ``with_payload=True`` additionally keeps
+    the recovered ``payload`` string so downstream stages (HTTP split,
+    content extraction) can chain without re-cutting the record.
     """
     s = F.decode(F.col("record"), "UTF-8")
     cut = F.instr(s, CRLF + CRLF)
@@ -111,7 +113,130 @@ def parse_warc(records: DataFrame) -> DataFrame:
         hdr("Content-Length").cast("long").alias("content_length"),
         F.octet_length(payload).cast("long").alias("payload_octets"),
         F.md5(F.encode(payload, "utf-8")).alias("payload_md5"),
+        *([payload.alias("payload")] if with_payload else []),
     )
     return out.withColumn(
         "length_ok", F.col("payload_octets") == F.col("content_length")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: the HTTP response message inside the WARC payload
+# ---------------------------------------------------------------------------
+
+#: Deterministic 404 body: a real (tiny) html page so the funnel's
+#: content gate sees an actual document, not an empty string.
+HTTP_ERROR_PAGE = "<html><body><p>Not Found</p></body></html>"
+
+
+def synthetic_http_responses(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, http): one full HTTP/1.1 response message STRING per
+    document — what a real WARC response record's payload is.
+
+    Status by md5 nibble 7 (%8): 0-5 → 200 with the boilerplate-wrapped
+    page html as body, 6 → 404 with :data:`HTTP_ERROR_PAGE`, 7 → 301
+    with an empty body and a ``Location`` header. The Content-Type
+    charset parameter is present/absent by nibble 8 (%2), so the
+    charset extractor's NULL branch fires at every corpus size.
+    Content-Length is the body's octet length (multi-byte text keeps
+    the integrity check honest). Zero shuffles — one projection."""
+    from ..operators.webpages import _nib, synthetic_html_pages
+
+    pages = synthetic_html_pages(docs, id_col=id_col)
+    h = F.md5(F.col("doc_id").cast("string"))
+    m = _nib(h, 7) % 8
+    status = (
+        F.when(m <= 5, F.lit("200 OK"))
+        .when(m == 6, F.lit("404 Not Found"))
+        .otherwise(F.lit("301 Moved Permanently"))
+    )
+    body = (
+        F.when(m <= 5, F.decode(F.col("html"), "UTF-8"))
+        .when(m == 6, F.lit(HTTP_ERROR_PAGE))
+        .otherwise(F.lit(""))
+    )
+    charset = F.when(
+        _nib(h, 8) % 2 == 0, F.lit("; charset=utf-8")
+    ).otherwise(F.lit(""))
+    location = F.when(
+        m == 7,
+        F.concat(
+            F.lit("Location: https://www.example.org/moved/"),
+            F.col("doc_id").cast("string"), F.lit(CRLF),
+        ),
+    ).otherwise(F.lit(""))
+    msg = F.concat(
+        F.lit("HTTP/1.1 "), status, F.lit(CRLF),
+        F.lit("Content-Type: text/html"), charset, F.lit(CRLF),
+        location,
+        F.lit("Content-Length: "),
+        F.octet_length(F.encode(body, "utf-8")).cast("string"),
+        F.lit(CRLF), F.lit(CRLF), body,
+    )
+    return pages.select(F.col("doc_id"), msg.alias("http"))
+
+
+def synthetic_warc_http_records(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, record): WARC response records whose payload is a full
+    HTTP response message — the real CC layering (WARC ⊃ HTTP ⊃ HTML).
+    Composes :func:`synthetic_http_responses` through
+    :func:`synthetic_warc_records`, which already takes any payload
+    column."""
+    return synthetic_warc_records(
+        synthetic_http_responses(docs, id_col=id_col),
+        id_col="doc_id", text_col="http",
+    )
+
+
+def parse_http(responses: DataFrame, msg_col: str = "http") -> DataFrame:
+    """Split HTTP/1.1 response messages into typed columns + body
+    integrity evidence, preserving every other input column.
+
+    Same byte arithmetic as :func:`parse_warc`: the header/body
+    boundary is the FIRST blank line (a body may contain blank lines —
+    or an entire embedded ``HTTP/1.1 …`` message — and must come back
+    byte-identical); headers are matched in the header block only, so
+    a header-shaped body line can never shadow a real header. Output
+    adds (status, reason, content_type, charset, location,
+    content_length, body_octets, length_ok, body_md5, body).
+
+    ``charset``/``location`` are NULL when absent (the protocol's
+    optional fields). ZERO shuffles, whole-stage codegen except the
+    md5."""
+    s = F.col(msg_col)
+    cut = F.instr(s, CRLF + CRLF)
+    head = F.substring(s, F.lit(1), cut - 1)
+    body = F.substr(s, cut + 4)
+
+    def hdr(name: str) -> "F.Column":
+        return F.regexp_extract(head, rf"{name}: ([^\r]+)", 1)
+
+    keep = [c for c in responses.columns if c != msg_col]
+    out = responses.select(
+        *keep,
+        F.regexp_extract(head, r"^HTTP/1\.[01] (\d{3})", 1)
+        .cast("int").alias("status"),
+        F.regexp_extract(head, r"^HTTP/1\.[01] \d{3} ([^\r]+)", 1)
+        .alias("reason"),
+        F.nullif(
+            F.regexp_extract(head, r"Content-Type: ([^;\r]+)", 1),
+            F.lit(""),
+        ).alias("content_type"),
+        F.nullif(
+            F.regexp_extract(head, r"charset=([^\r;]+)", 1), F.lit("")
+        ).alias("charset"),
+        F.nullif(hdr("Location"), F.lit("")).alias("location"),
+        F.regexp_extract(head, r"Content-Length: (\d+)", 1)
+        .cast("long").alias("content_length"),
+        F.octet_length(F.encode(body, "utf-8")).cast("long")
+        .alias("body_octets"),
+        F.md5(F.encode(body, "utf-8")).alias("body_md5"),
+        body.alias("body"),
+    )
+    return out.withColumn(
+        "length_ok", F.col("body_octets") == F.col("content_length")
     )

@@ -77,3 +77,157 @@ class TestWarcRoundTrip:
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "MapInPandas" not in plan, plan
+
+
+class TestHttpStage:
+    """HTTP response split inside the WARC payload (stage 2)."""
+
+    def test_status_mix_and_round_trip_on_driver_corpus(self, spark):
+        import hashlib
+
+        from igtdetect_spark.sources.warc import (
+            HTTP_ERROR_PAGE,
+            parse_http,
+            parse_warc,
+            synthetic_warc_http_records,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        w = parse_warc(synthetic_warc_http_records(docs),
+                       with_payload=True)
+        got = parse_http(
+            w.select("url", F.col("payload").alias("http"))
+        ).collect()
+        assert len(got) == docs.count()
+        statuses = set()
+        for r in got:
+            i = int(r["url"].rsplit("/", 1)[1])
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            m = int(h[6], 16) % 8
+            exp_status = 200 if m <= 5 else (404 if m == 6 else 301)
+            assert r["status"] == exp_status, (i, m)
+            assert r["length_ok"] is True
+            assert r["content_type"] == "text/html"
+            exp_cs = "utf-8" if int(h[7], 16) % 2 == 0 else None
+            assert r["charset"] == exp_cs
+            if exp_status == 301:
+                assert r["location"] == (
+                    f"https://www.example.org/moved/{i}"
+                )
+                assert r["body_octets"] == 0
+            else:
+                assert r["location"] is None
+            if exp_status == 404:
+                assert r["body"] == HTTP_ERROR_PAGE
+            if exp_status == 200:
+                assert r["body"].startswith("<html><head><title>Doc")
+                assert r["body_md5"] == hashlib.md5(
+                    r["body"].encode()
+                ).hexdigest()
+            statuses.add(exp_status)
+        # every branch fires at sf0.001
+        assert statuses == {200, 301, 404}
+
+    def test_hostile_bodies(self, spark):
+        """Bodies containing blank lines, an embedded HTTP message, or
+        header-shaped lines come back byte-identical and never shadow
+        the real headers."""
+        from igtdetect_spark.sources.warc import parse_http
+
+        cases = {
+            1: "line one\r\n\r\nline after blank",
+            2: "HTTP/1.1 500 Broken\r\nContent-Type: text/evil\r\n\r\nx",
+            3: "Location: https://evil.example/\r\nContent-Length: 9",
+            4: "",
+            5: "naïve café — 多字节",
+        }
+
+        def msg(body, extra=""):
+            b = body.encode("utf-8")
+            return (
+                f"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                f"charset=utf-8\r\n{extra}Content-Length: {len(b)}"
+                f"\r\n\r\n{body}"
+            )
+
+        df = spark.createDataFrame(
+            [(k, msg(v)) for k, v in cases.items()],
+            "id long, http string",
+        )
+        got = {r["id"]: r for r in parse_http(df).collect()}
+        for k, body in cases.items():
+            r = got[k]
+            assert r["status"] == 200 and r["reason"] == "OK", k
+            assert r["body"] == body, k
+            assert r["length_ok"] is True, k
+            assert r["content_type"] == "text/html"
+            assert r["charset"] == "utf-8"
+            # header-shaped BODY lines must not populate headers
+            assert r["location"] is None, k
+
+    def test_zero_shuffle_native_plan(self, spark):
+        from igtdetect_spark.sources.warc import (
+            parse_http,
+            parse_warc,
+            synthetic_warc_http_records,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        w = parse_warc(synthetic_warc_http_records(docs),
+                       with_payload=True)
+        plan = str(
+            parse_http(w.select("url", F.col("payload").alias("http")))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "MapInPandas" not in plan, plan
+
+
+class TestExtractionFunnel:
+    """WARC → HTTP → gate → main-content, end to end on raw bytes."""
+
+    def test_equals_html_extract_on_surviving_docs(self, spark):
+        """The funnel's per-url extract must be byte-identical to the
+        direct html_extract path for every status-200 page, and the
+        non-200 pages must be exactly the gated-out set."""
+        import hashlib
+
+        from igtdetect_spark.entry_queries import (
+            q_extraction_funnel,
+            q_html_extract,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        funnel = {r["doc_id"]: r for r in
+                  q_extraction_funnel(spark, sf).collect()}
+        direct = {r["doc_id"]: r for r in
+                  q_html_extract(spark, sf).collect()}
+        survivors = {
+            i for i in direct
+            if int(hashlib.md5(str(i).encode()).hexdigest()[6], 16) % 8 <= 5
+        }
+        assert set(funnel) == survivors
+        assert 0 < len(survivors) < len(direct)
+        for i in survivors:
+            assert funnel[i]["main_text"] == direct[i]["main_text"], i
+            assert funnel[i]["kept_blocks"] == direct[i]["kept_blocks"]
+            assert funnel[i]["url"] == direct[i]["url"]
+
+    def test_single_python_stage_zero_exchange(self, spark):
+        from igtdetect_spark.entry_queries import q_extraction_funnel
+
+        plan = str(
+            q_extraction_funnel(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan, plan
+        assert plan.count("MapInPandas") == 1, plan
+        assert "BatchEvalPython" not in plan, plan
