@@ -108,7 +108,7 @@ def main():
         "nb_domain_score", "semdedup", "url_dedup", "hll_cardinality",
         "html_extract", "html_strip", "link_graph", "blocklist_filter",
         "anchor_text", "pagerank", "crawl_cadence", "page_metadata",
-        "warc_parse",
+        "warc_parse", "robots_filter", "http_parse", "extraction_funnel",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -3943,6 +3943,91 @@ FROM fin f JOIN x USING (l_returnflag)
 """
 
 
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph rollup of the crawl's link graph (the web-graph form
+    ranking/spam pipelines consume): link count + distinct linking
+    pages per (src_host, dst_host), same-host flag. Edge flat-map fused
+    into the scan; ONE hash aggregate whose key space is host pairs."""
+    from .operators.webpages import host_graph, synthetic_linked_pages
+
+    return host_graph(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_host_graph() -> str:
+    def nib1(x: str) -> str:
+        return (
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5(CAST({x} AS VARCHAR)), 1, 1)) - 1) % 4"
+        )
+
+    return f"""
+WITH links AS ({_SQL_LINK_SLOTS}),
+e AS (
+  SELECT 'site' || CAST({nib1('src_id')} AS VARCHAR) || '.example.org'
+           AS src_host,
+         CASE WHEN j = 3
+           THEN 'ext' || CAST(tgt AS VARCHAR) || '.example.net'
+           ELSE 'site' || CAST({nib1('tgt')} AS VARCHAR)
+                || '.example.org' END AS dst_host,
+         src_id
+  FROM links
+)
+SELECT src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_id) AS BIGINT) AS n_src_pages,
+       src_host = dst_host AS internal
+FROM e GROUP BY src_host, dst_host
+"""
+
+
+def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-change detection across recrawls: canonicalize the
+    synthetic fetch table, fingerprint each fetch (md5 over canonical
+    slot + a 3-way deterministic content version), then lag-compare
+    within each canonical URL's time-ordered fetch history — the
+    freshness signal a crawl scheduler feeds on. One shuffle (the
+    window partition)."""
+    from .operators.webpages import (
+        canonical_url,
+        recrawl_delta,
+        synthetic_page_urls,
+    )
+
+    p = synthetic_page_urls(_t(spark, sf_dir, "documents"))
+    f = p.select(
+        canonical_url(F.col("url")).alias("canonical_url"),
+        "fetch_ts_sec",
+        F.md5(
+            F.concat(
+                canonical_url(F.col("url")), F.lit("#v"),
+                ((F.col("doc_id") * 7919) % 3).cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+    return recrawl_delta(f)
+
+
+def _sql_recrawl_delta() -> str:
+    return _SQL_CANON_PAGES + """
+, f AS (
+  SELECT canonical_url, fetch_ts_sec,
+         md5(canonical_url || '#v'
+             || CAST((doc_id * 7919) % 3 AS VARCHAR)) AS fingerprint
+  FROM c
+)
+SELECT canonical_url, fetch_ts_sec, fingerprint,
+       coalesce(fingerprint <> lag(fingerprint) OVER
+         (PARTITION BY canonical_url ORDER BY fetch_ts_sec), false)
+         AS changed,
+       CAST(row_number() OVER
+         (PARTITION BY canonical_url ORDER BY fetch_ts_sec) AS BIGINT)
+         AS fetch_seq
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -4025,6 +4110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": q_warc_parse,
         "http_parse": q_http_parse,
         "extraction_funnel": q_extraction_funnel,
+        "host_graph": q_host_graph,
+        "recrawl_delta": q_recrawl_delta,
         "robots_filter": q_robots_filter,
     }
 
@@ -4111,6 +4198,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_parse": _sql_warc_parse(),
         "http_parse": _sql_http_parse(),
         "extraction_funnel": _sql_extraction_funnel(),
+        "host_graph": _sql_host_graph(),
+        "recrawl_delta": _sql_recrawl_delta(),
         "robots_filter": _sql_robots_filter(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.

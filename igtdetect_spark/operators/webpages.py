@@ -816,3 +816,74 @@ def robots_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
         F.array_max("_hits").alias("matched_rule"),
         (F.size("_hits") == 0).alias("allowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# host-graph rollup
+# ---------------------------------------------------------------------------
+
+
+def host_graph(pages: DataFrame) -> DataFrame:
+    """Collapse the page-level link graph to the HOST graph (the web-
+    graph form ranking/spam pipelines actually operate on): one row per
+    (src_host, dst_host) with total link count, distinct linking pages,
+    and the same-host flag.
+
+    Scale shape: the edge flat-map fuses into the scan (no Python, no
+    shuffle); the rollup is one hash aggregate whose key space is
+    #host-pairs — tiny relative to edges — with the distinct-page count
+    riding the SAME exchange (partial distinct on (hosts, src_url)
+    before the merge). Host-level in-link skew (everybody links
+    google.com) concentrates a few CELLS of the output, never a join
+    fan-out, and partial aggregation caps what any one reducer sees.
+    """
+    def host(c) -> "F.Column":
+        return F.regexp_extract(c, r"^https?://([^/:]+)", 1)
+
+    edges = extract_links(pages)
+    e = edges.select(
+        host(F.col("src_url")).alias("src_host"),
+        host(F.col("dst_url")).alias("dst_host"),
+        "src_url",
+    )
+    return (
+        e.groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("src_url").cast("long").alias("n_src_pages"),
+        )
+        .withColumn("internal", F.col("src_host") == F.col("dst_host"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# recrawl content-change detection
+# ---------------------------------------------------------------------------
+
+
+def recrawl_delta(fetches: DataFrame) -> DataFrame:
+    """Content-change detection across recrawls (the freshness signal
+    crawl schedulers feed on): order each canonical URL's fetches by
+    time and flag every fetch whose content fingerprint differs from
+    the previous one. First fetch of a URL is ``changed = false`` (no
+    baseline), matching the scheduler convention.
+
+    Input: (canonical_url, fetch_ts_sec, fingerprint). Output adds
+    (changed, fetch_seq).
+
+    Scale shape: ONE shuffle — the window partitions by canonical_url;
+    per-key state is the recrawl count (bounded by crawl policy, no
+    skew axis beyond hot URLs, which AQE's skew handling splits since
+    lag/row_number need only per-key sorted runs)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canonical_url").orderBy("fetch_ts_sec")
+    prev = F.lag("fingerprint").over(w)
+    return fetches.select(
+        "canonical_url",
+        "fetch_ts_sec",
+        "fingerprint",
+        (prev.isNotNull() & (F.col("fingerprint") != prev))
+        .alias("changed"),
+        F.row_number().over(w).cast("long").alias("fetch_seq"),
+    )

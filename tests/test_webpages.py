@@ -730,3 +730,129 @@ class TestRobotsFilter:
         assert "BroadcastHashJoin" not in plan0, plan0
         assert "ShuffledHashJoin" in plan0, plan0
         assert "CartesianProduct" not in plan0, plan0
+
+
+class TestHostGraph:
+    """Host-level rollup of the link graph."""
+
+    def test_hand_model(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from igtdetect_spark.operators.webpages import (
+            host_graph,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+
+        def site(i):
+            return (
+                "site"
+                + str(int(hashlib.md5(str(i).encode()).hexdigest()[0],
+                          16) % 4)
+                + ".example.org"
+            )
+
+        links, pages = defaultdict(int), defaultdict(set)
+        for i in ids:
+            k = 1 + int(hashlib.md5(str(i).encode()).hexdigest()[1],
+                        16) % 3
+            # NB: link count uses nibble 2 (index 1 of the hexdigest)
+            for j in (1, 2, 3):
+                if j > k:
+                    continue
+                tgt = (i * 31 + j * 97) % 256
+                dst = (f"ext{tgt}.example.net" if j == 3 else site(tgt))
+                links[(site(i), dst)] += 1
+                pages[(site(i), dst)].add(i)
+        got = {
+            (r["src_host"], r["dst_host"]): r
+            for r in host_graph(synthetic_linked_pages(docs)).collect()
+        }
+        assert set(got) == set(links)
+        for key, n in links.items():
+            assert got[key]["n_links"] == n, key
+            assert got[key]["n_src_pages"] == len(pages[key]), key
+            assert got[key]["internal"] == (key[0] == key[1])
+        # both internal and external host pairs exist
+        vals = {r["internal"] for r in got.values()}
+        assert vals == {True, False}
+
+    def test_plan_shape(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            host_graph,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            host_graph(synthetic_linked_pages(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        # distinct-count rollup: at most the two aggregate exchanges,
+        # never a join or Python
+        assert plan.count("Exchange") <= 2, plan
+        assert "Join" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+
+class TestRecrawlDelta:
+    """Lag-based content-change detection per canonical URL."""
+
+    def test_hand_model(self, spark):
+        from collections import defaultdict
+
+        from igtdetect_spark.entry_queries import q_recrawl_delta
+        from igtdetect_spark.operators.webpages import (
+            canonical_url,
+            synthetic_page_urls,
+        )
+        from pyspark.sql import functions as F
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        raw = synthetic_page_urls(docs).select(
+            "doc_id", "fetch_ts_sec",
+            canonical_url(F.col("url")).alias("canon"),
+        ).collect()
+        hist = defaultdict(list)
+        for r in raw:
+            v = (r["doc_id"] * 7919) % 3
+            hist[r["canon"]].append((r["fetch_ts_sec"], v))
+        exp = {}
+        for canon, fetches in hist.items():
+            fetches.sort()
+            prev = None
+            for seq, (ts, v) in enumerate(fetches, 1):
+                exp[(canon, ts)] = (
+                    prev is not None and v != prev, seq
+                )
+                prev = v
+        got = q_recrawl_delta(spark, sf).collect()
+        assert len(got) == len(raw)
+        for r in got:
+            changed, seq = exp[(r["canonical_url"], r["fetch_ts_sec"])]
+            assert r["changed"] == changed, r
+            assert r["fetch_seq"] == seq, r
+        # multi-fetch histories with BOTH outcomes exist at this size
+        assert any(c for c, _ in exp.values())
+        assert any(s > 1 and not c for c, s in exp.values())
+
+    def test_single_exchange_plan(self, spark):
+        from igtdetect_spark.entry_queries import q_recrawl_delta
+
+        plan = str(
+            q_recrawl_delta(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "Window" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
