@@ -4028,6 +4028,74 @@ FROM f
 """
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode over raw page bytes: BOM → declared
+    ``charset=`` (alias-normalized) → utf-8 default, decoded through
+    the matching JVM charset — all native expressions, zero shuffles.
+    The synthetic corpus populates every branch (utf-8 with/without
+    meta, BOM, latin1-aliased and canonical ISO-8859-1, windows-1252
+    with cp1252-only bytes) so a blind utf-8 decode provably fails."""
+    from .operators.encoding import decode_html, synthetic_encoded_pages
+
+    pages = synthetic_encoded_pages(_t(spark, sf_dir, "documents"))
+    return decode_html(pages).select(
+        "doc_id", "declared", "charset", "bom", "utf8_fallback",
+        "text_decoded",
+        F.length("text_decoded").cast("long").alias("n_chars"),
+    )
+
+
+def _sql_charset_decode() -> str:
+    """Direct expected-value oracle: DuckDB cannot hold latin-1 BYTES
+    in a VARCHAR, so instead of rebuilding + re-decoding the binary it
+    states the decoded RESULT each branch must produce (DuckDB string
+    literals are already UTF-8). The byte-level decode behavior itself
+    is pinned against Python codecs in tests/test_encoding.py."""
+    from .operators.encoding import LATIN1_BODY, WIN1252_BODY
+
+    return f"""
+WITH b AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         (strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 11, 1)) - 1)
+         % 8 AS m
+  FROM documents
+),
+o AS (
+  SELECT doc_id, m,
+         CASE WHEN m <= 2 THEN 'utf-8'
+              WHEN m = 5 THEN 'latin1'
+              WHEN m = 6 THEN 'iso-8859-1'
+              WHEN m = 7 THEN 'windows-1252' END AS declared,
+         CASE WHEN m <= 4 THEN 'utf-8'
+              WHEN m = 7 THEN 'windows-1252'
+              ELSE 'iso-8859-1' END AS charset,
+         m = 4 AS bom,
+         CASE
+           WHEN m <= 2 THEN '<html><head><meta charset="utf-8">'
+             || '</head><body><p>' || t || '</p></body></html>'
+           WHEN m <= 4 THEN '<html><head></head><body><p>' || t
+             || '</p></body></html>'
+           WHEN m <= 6 THEN '<html><head><meta charset="'
+             || CASE WHEN m = 5 THEN 'latin1' ELSE 'iso-8859-1' END
+             || '"></head><body><p>{LATIN1_BODY[0]}'
+             || CAST(doc_id AS VARCHAR)
+             || '{LATIN1_BODY[1]}</p></body></html>'
+           ELSE '<html><head><meta charset="windows-1252">'
+             || '</head><body><p>{WIN1252_BODY[0]}'
+             || CAST(doc_id AS VARCHAR)
+             || '{WIN1252_BODY[1]}</p></body></html>'
+         END AS text_decoded
+  FROM b
+)
+SELECT doc_id, declared, charset, bom,
+       false AS utf8_fallback,  -- parquet text is valid utf-8 by spec
+       text_decoded,
+       CAST(length(text_decoded) AS BIGINT) AS n_chars
+FROM o
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -4112,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_funnel": q_extraction_funnel,
         "host_graph": q_host_graph,
         "recrawl_delta": q_recrawl_delta,
+        "charset_decode": q_charset_decode,
         "robots_filter": q_robots_filter,
     }
 
@@ -4200,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
         "extraction_funnel": _sql_extraction_funnel(),
         "host_graph": _sql_host_graph(),
         "recrawl_delta": _sql_recrawl_delta(),
+        "charset_decode": _sql_charset_decode(),
         "robots_filter": _sql_robots_filter(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.

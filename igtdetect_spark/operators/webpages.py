@@ -475,28 +475,32 @@ def link_graph(pages: DataFrame) -> DataFrame:
 
 def extract_anchors(pages: DataFrame) -> DataFrame:
     """(src_url, dst_url, anchor) triples: pull every ``<a
-    href="...">text</a>`` pair from the html column with TWO parallel
-    ``regexp_extract_all`` calls (group 1 = href, group 2 = visible
-    anchor text) zipped positionally — the groups come from the same
-    pattern over the same string, so the arrays are congruent by
-    construction. Pure native expressions (decode + regex + zip +
-    explode): whole-stage codegen, NO Python, NO shuffle; at 10¹²
-    pages this is a flat map fused into the scan, exactly like
+    href="...">text</a>`` pair from the html column.
+
+    ONE ``regexp_extract_all`` pass over the page bytes (full matches,
+    group 0), exploded, then two per-MATCH ``regexp_extract`` calls
+    recover href and anchor — the page-sized string is scanned once,
+    and the second-pass regexes run over tens-of-bytes match strings.
+    (The previous two-congruent-``extract_all`` form scanned the whole
+    page twice and measurably GC-bound the 2-core scaling leg.) Pure
+    native expressions: whole-stage codegen, NO Python, NO shuffle; at
+    10¹² pages this is a flat map fused into the scan, exactly like
     :func:`extract_links`.
     """
-    pat = F.lit(r'<a href="([^"]+)">([^<]*)</a>')
+    pat = r'<a href="([^"]+)">([^<]*)</a>'
     html = F.decode(F.col("html"), "UTF-8")
     return (
         pages.select(
             F.col("url").alias("src_url"),
-            F.arrays_zip(
-                F.regexp_extract_all(html, pat, F.lit(1)).alias("dst_url"),
-                F.regexp_extract_all(html, pat, F.lit(2)).alias("anchor"),
-            ).alias("_links"),
+            F.explode(
+                F.regexp_extract_all(html, F.lit(pat), F.lit(0))
+            ).alias("_m"),
         )
-        .select("src_url", F.explode("_links").alias("_l"))
-        .select("src_url", F.col("_l.dst_url").alias("dst_url"),
-                F.col("_l.anchor").alias("anchor"))
+        .select(
+            "src_url",
+            F.regexp_extract("_m", pat, 1).alias("dst_url"),
+            F.regexp_extract("_m", pat, 2).alias("anchor"),
+        )
     )
 
 
