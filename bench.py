@@ -109,7 +109,7 @@ def main():
         "html_extract", "html_strip", "link_graph", "blocklist_filter",
         "anchor_text", "pagerank", "crawl_cadence", "page_metadata",
         "warc_parse", "robots_filter", "http_parse", "extraction_funnel",
-        "host_graph", "recrawl_delta", "charset_decode",
+        "host_graph", "recrawl_delta", "charset_decode", "host_quality_gate",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -4096,6 +4096,55 @@ FROM o
 """
 
 
+def q_host_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level filtering (FineWeb/UT1 style): score every page
+    (alnum-fraction ppm, integer-exact), aggregate per host over a
+    256-host synthetic shard, gate each page by its host's verdict
+    (≥2 pages AND integral mean ≥ 500000 ppm). One aggregate + one
+    size-aware join back on host."""
+    from .operators.webpages import host_quality_gate, synthetic_host_pages
+
+    return host_quality_gate(
+        synthetic_host_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_host_quality_gate() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id,
+         'h' || CAST(
+           (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 12, 1)) - 1)
+           * 16
+           + strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 13, 1)) - 1
+           AS VARCHAR) || '.example.org' AS host,
+         text
+  FROM documents
+),
+s AS (
+  SELECT 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         host,
+         CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+              ELSE CAST(floor(1000000
+                     * length(regexp_replace(text, '[^A-Za-z0-9]', '',
+                                             'g'))
+                     / length(text)) AS BIGINT) END AS score_ppm
+  FROM p
+),
+v AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS host_pages,
+         CAST(sum(score_ppm) // count(*) AS BIGINT) AS host_avg_ppm
+  FROM s GROUP BY host
+)
+SELECT s.url, s.host, s.score_ppm, v.host_pages, v.host_avg_ppm,
+       v.host_pages >= 2 AND v.host_avg_ppm >= 500000 AS kept
+FROM s JOIN v USING (host)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -4181,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,
         "recrawl_delta": q_recrawl_delta,
         "charset_decode": q_charset_decode,
+        "host_quality_gate": q_host_quality_gate,
         "robots_filter": q_robots_filter,
     }
 
@@ -4270,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": _sql_host_graph(),
         "recrawl_delta": _sql_recrawl_delta(),
         "charset_decode": _sql_charset_decode(),
+        "host_quality_gate": _sql_host_quality_gate(),
         "robots_filter": _sql_robots_filter(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.

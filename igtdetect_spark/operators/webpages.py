@@ -891,3 +891,86 @@ def recrawl_delta(fetches: DataFrame) -> DataFrame:
         .alias("changed"),
         F.row_number().over(w).cast("long").alias("fetch_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# host-level quality gating (domain filtering)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_host_pages(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, url, host, text): pages spread over 256 synthetic hosts
+    (md5 nibbles 12-13) so host-level statistics have real variance at
+    any corpus size — the 4-host table the other builders share is too
+    coarse to ever fail a per-host gate."""
+    h = F.md5(F.col(id_col).cast("string"))
+    hid = (_nib(h, 12) * 16 + _nib(h, 13)).cast("string")
+    host = F.concat(F.lit("h"), hid, F.lit(".example.org"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"),
+            F.col(id_col).cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+        F.col(text_col).alias("text"),
+    )
+
+
+def host_quality_gate(
+    pages: DataFrame,
+    min_pages: int = 2,
+    min_avg_score_ppm: int = 500_000,
+) -> DataFrame:
+    """Domain-level filtering (the FineWeb/UT1 curation step): score
+    each page, aggregate per HOST, and gate every page by its host's
+    verdict — spam farms get dropped wholesale, not page by page.
+
+    Page score: alphanumeric-character fraction in integer ppm
+    (floored — engine-exact, no doubles). Host verdict: at least
+    ``min_pages`` pages AND integral mean score ≥
+    ``min_avg_score_ppm``.
+
+    Scale shape: one hash aggregate on host (map-side combinable
+    sums), then the verdict relation joins back on host through the
+    size-aware broadcast-XOR-shuffle helper — the host relation is
+    heavy-tailed-web-sized (10⁸ hosts at crawl scale: vocabulary
+    class, NOT unconditionally broadcastable), with the corpus scan's
+    plan size as the sound upper bound. Two exchanges total; page
+    rows never shuffle twice.
+    """
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    score = F.when(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) == 0, F.lit(0)
+    ).otherwise(
+        F.floor(
+            F.lit(1_000_000)
+            * F.length(F.regexp_replace("text", "[^A-Za-z0-9]", ""))
+            / F.length("text")
+        )
+    ).cast("long")
+    scored = pages.select(
+        "url", "host", score.alias("score_ppm")
+    )
+    verdict = scored.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("host_pages"),
+        F.sum("score_ppm").alias("_sum"),
+    ).select(
+        "host",
+        "host_pages",
+        # integral mean (`div`, not double `/`: DuckDB CAST rounds
+        # where Spark truncates — engine-exact only as floor division)
+        F.expr("_sum div host_pages").alias("host_avg_ppm"),
+    ).withColumn(
+        "host_kept",
+        (F.col("host_pages") >= min_pages)
+        & (F.col("host_avg_ppm") >= min_avg_score_ppm),
+    )
+    small = maybe_broadcast(verdict, bound_bytes=plan_size_bytes(pages))
+    return scored.join(small, "host").select(
+        "url", "host", "score_ppm", "host_pages", "host_avg_ppm",
+        F.col("host_kept").alias("kept"),
+    )

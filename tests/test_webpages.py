@@ -856,3 +856,89 @@ class TestRecrawlDelta:
         assert "Window" in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+class TestHostQualityGate:
+    """Domain-level quality gating over 256 synthetic hosts."""
+
+    def test_hand_model(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from igtdetect_spark.operators.webpages import (
+            host_quality_gate,
+            synthetic_host_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = {
+            r["doc_id"]: r["text"] or ""
+            for r in docs.select("doc_id", "text").collect()
+        }
+
+        def score(t):
+            if not t:
+                return 0
+            aln = sum(ch.isascii() and ch.isalnum() for ch in t)
+            import math
+            return math.floor(1_000_000 * aln / len(t))
+
+        hosts = defaultdict(list)
+        for i, t in rows.items():
+            hx = hashlib.md5(str(i).encode()).hexdigest()
+            hid = int(hx[11], 16) * 16 + int(hx[12], 16)
+            hosts[f"h{hid}.example.org"].append((i, score(t)))
+        got = {
+            r["url"]: r
+            for r in host_quality_gate(
+                synthetic_host_pages(docs)
+            ).collect()
+        }
+        assert len(got) == len(rows)
+        outcomes = set()
+        for host, members in hosts.items():
+            n = len(members)
+            avg = sum(s for _, s in members) // n
+            kept = n >= 2 and avg >= 500_000
+            for i, s in members:
+                r = got[f"https://{host}/p/{i}"]
+                assert r["host"] == host
+                assert r["score_ppm"] == s, (i, host)
+                assert r["host_pages"] == n
+                assert r["host_avg_ppm"] == avg
+                assert r["kept"] == kept
+            outcomes.add(kept)
+        # singleton hosts exist at sf0.001 → both verdicts fire
+        assert outcomes == {True, False}
+
+    def test_two_exchange_size_aware_plan(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            host_quality_gate,
+            synthetic_host_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            host_quality_gate(synthetic_host_pages(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert plan.count("Exchange") <= 2, plan
+        assert "BatchEvalPython" not in plan, plan
+        # forced over-bound: must degrade to a shuffle join, no
+        # broadcast, no cartesian
+        spark.conf.set("igtdetect.broadcastBoundBytes", "0")
+        try:
+            plan0 = str(
+                host_quality_gate(synthetic_host_pages(docs))
+                ._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.broadcastBoundBytes")
+        assert "BroadcastHashJoin" not in plan0, plan0
+        assert "ShuffledHashJoin" in plan0, plan0
+        assert "CartesianProduct" not in plan0, plan0
