@@ -110,6 +110,7 @@ def main():
         "anchor_text", "pagerank", "crawl_cadence", "page_metadata",
         "warc_parse", "robots_filter", "http_parse", "extraction_funnel",
         "host_graph", "recrawl_delta", "charset_decode", "host_quality_gate",
+        "cdx_index", "sitemap_parse", "mime_sniff", "fetch_schedule",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

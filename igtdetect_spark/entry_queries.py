@@ -4145,6 +4145,248 @@ FROM s JOIN v USING (host)
 """
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index (the Common-Crawl index build): SURT
+    urlkey + capture ts + original url + content digest/length over the
+    synthetic page-URL table, range-partitioned and sorted on (urlkey,
+    ts) exactly like the real CDX shards. The projection is zero
+    shuffles; the range exchange is the one unavoidable shuffle of a
+    globally sorted index."""
+    from .operators.webpages import cdx_index, synthetic_page_urls
+
+    return cdx_index(
+        synthetic_page_urls(_t(spark, sf_dir, "documents"),
+                            carry=("text",))
+    )
+
+
+def _sql_cdx_index() -> str:
+    # SURT mirror over the shared synthetic raw-URL CTE (`u`; the
+    # canonical CTE `c` rides along unused): the oracle
+    # re-canonicalizes with its own regex/list functions.
+    return _SQL_CANON_PAGES + """,
+low AS (
+  SELECT doc_id, fetch_ts_sec, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '#.*$', ''),
+               '^[a-z][a-z0-9+.-]*://', ''),
+             '^www\\.', ''),
+           '^([^/?:]+):(80|443)([/?].*)?$', '\\1\\3') AS s
+  FROM u
+),
+parts AS (
+  SELECT doc_id, fetch_ts_sec, url,
+         regexp_extract(s, '^([^/?:]+)', 1) AS host,
+         regexp_extract(s, '^[^/?:]+(:[0-9]+)', 1) AS port,
+         regexp_replace(regexp_extract(s, '^[^/?]+([^?]*)', 1),
+                        '/$', '') AS path,
+         list_filter(
+           string_split(regexp_extract(s, '\\?(.*)$', 1), '&'),
+           p -> length(p) > 0) AS params
+  FROM low
+)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+       || port || ')' || path
+       || CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(list_sort(params), '&')
+            ELSE '' END AS urlkey,
+       fetch_ts_sec, url,
+       md5(coalesce(d.text, '')) AS digest,
+       CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS length
+FROM parts JOIN documents d USING (doc_id)
+"""
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML → crawler URL-discovery feed (sitemaps.org): one
+    row per <url> entry with loc / optional lastmod / changefreq /
+    priority (integer ppm). ONE regexp_extract_all pass pulls whole
+    entry blocks (single-scan discipline); per-field regexes run over
+    the tiny match strings. Zero shuffles."""
+    from .operators.webpages import sitemap_entries, synthetic_sitemaps
+
+    return sitemap_entries(
+        synthetic_sitemaps(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_sitemap_parse() -> str:
+    # The oracle REBUILDS each sitemap document and RE-PARSES it with
+    # its own regexes (true double-parse, like page_metadata).
+    nib = ("(strpos('0123456789abcdef', "
+           "substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)")
+    entry = """
+      CASE WHEN {j} <= 1 + ({n10} % 3) THEN
+        '<url><loc>https://site'
+        || CAST((strpos('0123456789abcdef', substring(
+             md5(CAST((doc_id * 17 + {j} * 59) % 512 AS VARCHAR)),
+             1, 1)) - 1) % 4 AS VARCHAR)
+        || '.example.org/p/'
+        || CAST((doc_id * 17 + {j} * 59) % 512 AS VARCHAR) || '</loc>'
+        || CASE WHEN {nj} % 2 = 0
+             THEN '<lastmod>2026-01-'
+                  || lpad(CAST({nj} % 28 + 1 AS VARCHAR), 2, '0')
+                  || '</lastmod>' ELSE '' END
+        || CASE WHEN {nj} % 3 != 0
+             THEN '<changefreq>'
+                  || (CASE {nj} % 3 WHEN 0 THEN 'daily'
+                      WHEN 1 THEN 'weekly' ELSE 'monthly' END)
+                  || '</changefreq>' ELSE '' END
+        || CASE WHEN {nj} % 4 != 0
+             THEN '<priority>0.' || CAST({nj} % 10 AS VARCHAR)
+                  || '</priority>' ELSE '' END
+        || '</url>'
+      ELSE '' END"""
+    entries = " || ".join(
+        entry.format(j=j, n10=nib.format(i=10), nj=nib.format(i=10 + j))
+        for j in (1, 2, 3)
+    )
+    return f"""
+WITH sm AS (
+  SELECT 'https://site'
+         || CAST({nib.format(i=1)} % 4 AS VARCHAR)
+         || '.example.org/sitemap-' || CAST(doc_id AS VARCHAR)
+         || '.xml' AS sitemap_url,
+         '<?xml version="1.0"?><urlset>' || {entries}
+         || '</urlset>' AS xml
+  FROM documents
+),
+e AS (
+  SELECT sitemap_url,
+         unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS b
+  FROM sm
+)
+SELECT sitemap_url,
+       regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+       CASE WHEN regexp_matches(b, '<lastmod>([^<]*)</lastmod>')
+         THEN regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1)
+       END AS lastmod,
+       CASE WHEN regexp_matches(b, '<changefreq>([^<]*)</changefreq>')
+         THEN regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1)
+       END AS changefreq,
+       CASE WHEN regexp_matches(b, '<priority>([^<]*)</priority>')
+         THEN CAST(regexp_extract(
+                regexp_extract(b, '<priority>([^<]*)</priority>', 1),
+                '^0\\.(\\d)$', 1) AS BIGINT) * 100000
+       END AS priority_ppm
+FROM e
+"""
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME routing of raw archive payloads (file(1)/WHATWG
+    mimesniff order: PDF/PNG/GIF/JPEG/gzip/zip magics → HTML tag probe
+    → NUL text-vs-binary heuristic) over a deterministic mixed-media
+    binary column; all decisions on the uppercase hex of a bounded
+    payload head — cross-engine exact, zero shuffles."""
+    from .operators.encoding import mime_sniff, synthetic_payloads
+
+    return mime_sniff(synthetic_payloads(_t(spark, sf_dir, "documents")))
+
+
+def _sql_mime_sniff() -> str:
+    from .operators.encoding import _KIND_MAGIC
+
+    magic_case = " ".join(
+        f"WHEN {i} THEN '{_KIND_MAGIC[k]}00' || hex(body)"
+        for i, k in enumerate(
+            ("pdf", "png", "gif", "jpeg", "gzip", "zip"), start=1
+        )
+    )
+    # payload hex per kind; ASCII kinds (0: html-tagged, 8: bare text)
+    # also keep a STRING view for the tag probe — every byte is
+    # printable ASCII there, so hex() and the string agree by
+    # construction; binary kinds can never start with '<'.
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         (  (strpos('0123456789abcdef', substring(
+               md5(CAST(doc_id AS VARCHAR)), 14, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(
+               md5(CAST(doc_id AS VARCHAR)), 15, 1)) - 1) % 9 AS m,
+         regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS body
+  FROM documents
+),
+h AS (
+  SELECT doc_id, m,
+         CASE m
+           WHEN 0 THEN hex('<!DOCTYPE html><html><body>' || body)
+           {magic_case}
+           WHEN 7 THEN '0000' || hex(body)
+           ELSE hex(body)
+         END AS ph,
+         CASE WHEN m = 0 THEN '<!DOCTYPE html><html><body>' || body
+              WHEN m = 8 THEN body ELSE '' END AS pstr
+  FROM p
+),
+s AS (
+  SELECT doc_id,
+         substring(ph, 1, 2048) AS head,
+         regexp_replace(lower(substring(pstr, 1, 64)), '^\\s+', '')
+           AS probe,
+         substring(ph, 1, 16) AS magic_hex,
+         CAST(length(ph) // 2 AS BIGINT) AS payload_len,
+         regexp_matches(substring(ph, 1, 2048),
+                        '^([0-9A-F]{{2}})*?00') AS has_nul
+  FROM h
+)
+SELECT doc_id,
+       CASE
+         WHEN starts_with(head, '255044462D') THEN 'application/pdf'
+         WHEN starts_with(head, '89504E470D0A1A0A') THEN 'image/png'
+         WHEN starts_with(head, '474946383761') THEN 'image/gif'
+         WHEN starts_with(head, '474946383961') THEN 'image/gif'
+         WHEN starts_with(head, 'FFD8FF') THEN 'image/jpeg'
+         WHEN starts_with(head, '1F8B') THEN 'application/gzip'
+         WHEN starts_with(head, '504B0304') THEN 'application/zip'
+         WHEN starts_with(probe, '<!doctype html')
+              OR starts_with(probe, '<html') THEN 'text/html'
+         WHEN has_nul THEN 'application/octet-stream'
+         ELSE 'text/plain'
+       END AS mime,
+       magic_hex, payload_len, has_nul AS is_binary
+FROM s
+"""
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch scheduling: every frontier URL gets a
+    per-host slot under a per-host crawl delay (1-4 s from the host
+    md5, standing in for robots Crawl-delay); slot i fetches at
+    i·delay seconds. ONE window shuffle on host — a mega-host
+    serializes by the politeness constraint itself, not by the
+    engine."""
+    from .operators.webpages import fetch_schedule, synthetic_page_urls
+
+    return fetch_schedule(
+        synthetic_page_urls(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_fetch_schedule() -> str:
+    return _SQL_CANON_PAGES + """,
+f AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z]+://([^/?:]+)', 1) AS host
+  FROM u
+),
+d AS (
+  SELECT doc_id, url, host,
+         CAST((strpos('0123456789abcdef', substring(md5(host), 1, 1))
+               - 1) % 4 + 1 AS BIGINT) AS delay_sec,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY url, doc_id) - 1 AS BIGINT)
+           AS slot
+  FROM f
+)
+SELECT doc_id, url, host, delay_sec, slot,
+       slot * delay_sec AS scheduled_offset_sec
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -4232,6 +4474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_decode": q_charset_decode,
         "host_quality_gate": q_host_quality_gate,
         "robots_filter": q_robots_filter,
+        "cdx_index": q_cdx_index,
+        "sitemap_parse": q_sitemap_parse,
+        "mime_sniff": q_mime_sniff,
+        "fetch_schedule": q_fetch_schedule,
     }
 
 
@@ -4322,6 +4568,10 @@ def oracle_sql() -> dict[str, str]:
         "charset_decode": _sql_charset_decode(),
         "host_quality_gate": _sql_host_quality_gate(),
         "robots_filter": _sql_robots_filter(),
+        "cdx_index": _sql_cdx_index(),
+        "sitemap_parse": _sql_sitemap_parse(),
+        "mime_sniff": _sql_mime_sniff(),
+        "fetch_schedule": _sql_fetch_schedule(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

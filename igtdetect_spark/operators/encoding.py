@@ -259,3 +259,126 @@ def synthetic_encoded_pages(
         )
     )
     return docs.select(F.col(id_col).alias("doc_id"), html.alias("html"))
+
+# ---------------------------------------------------------------------------
+# MIME sniffing by magic bytes (payload routing for mixed-media archives)
+# ---------------------------------------------------------------------------
+
+#: Magic-byte prefixes → MIME type, matched against the UPPERCASE hex
+#: of the payload head (both engines' ``hex()`` is uppercase). Order
+#: matters only for readability — the prefixes are mutually exclusive.
+MAGIC_PREFIXES = (
+    ("255044462D", "application/pdf"),          # %PDF-
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),              # GIF87a
+    ("474946383961", "image/gif"),              # GIF89a
+    ("FFD8FF", "image/jpeg"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+)
+
+#: Payload-kind cycle for the synthetic builder (md5 nibbles 14-15 % 9).
+#: "bin" is a magic-less NUL-bearing stream — the octet-stream branch.
+_PAYLOAD_KINDS = (
+    "html", "pdf", "png", "gif", "jpeg", "gzip", "zip", "bin", "text"
+)
+_KIND_MAGIC = {
+    "pdf": "255044462D312E34",                   # %PDF-1.4
+    "png": "89504E470D0A1A0A",
+    "gif": "474946383961",
+    "jpeg": "FFD8FFE0",
+    "gzip": "1F8B0800",
+    "zip": "504B030414",
+}
+
+
+def synthetic_payloads(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, payload): a deterministic mixed-media binary column over
+    the driver documents — md5 nibbles 14-15 (%9) pick the payload kind
+    (html / pdf / png / gif / jpeg / gzip / zip / magic-less binary /
+    plain text), the body is the document text reduced to printable
+    ASCII (identically regexable on both engines; binary kinds embed a
+    NUL byte after the magic like real compressed/image streams do).
+    Every sniffing branch — including octet-stream — is populated at
+    any corpus size."""
+    from .webpages import _nib
+
+    h = F.md5(F.col(id_col).cast("string"))
+    m = (_nib(h, 14) * 16 + _nib(h, 15)) % 9
+    body = F.encode(
+        F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")),
+                         r"[^ -~]", ""),
+        "utf-8",
+    )
+    payload = F.when(
+        m == 0,
+        F.concat(F.encode(F.lit("<!DOCTYPE html><html><body>"), "utf-8"),
+                 body),
+    )
+    for i, kind in enumerate(_PAYLOAD_KINDS[1:7], start=1):
+        payload = payload.when(
+            m == i,
+            F.concat(F.unhex(F.lit(_KIND_MAGIC[kind])),
+                     F.unhex(F.lit("00")), body),
+        )
+    payload = payload.when(
+        m == 7, F.concat(F.unhex(F.lit("0000")), body)  # kind 7: "bin"
+    ).otherwise(body)  # kind 8: bare printable text
+    return docs.select(
+        F.col(id_col).alias("doc_id"), payload.alias("payload")
+    )
+
+
+def mime_sniff(
+    df: DataFrame, payload_col: str = "payload", probe_bytes: int = 1024
+) -> DataFrame:
+    """Route raw archive payloads by content, not by the server's
+    (routinely wrong) Content-Type header: magic-byte dispatch over the
+    first bytes — PDF / PNG / GIF / JPEG / gzip / zip — then an HTML
+    tag probe, then the text-vs-binary NUL heuristic (``file(1)`` /
+    WHATWG mimesniff order).
+
+    All decisions run on the UPPERCASE hex of a bounded payload head
+    (cross-engine exact; the NUL scan anchors byte pairs with
+    ``^([0-9A-F]{2})*?00`` so an ``F0 0F`` sequence can never
+    false-positive across a byte boundary) plus a byte-preserving
+    ISO-8859-1 view for the tag probe. Pure native expressions, ZERO
+    shuffles — at 10¹² records this fuses into the archive scan.
+
+    Output: (doc_id, mime, magic_hex, payload_len, is_binary).
+    """
+    payload = F.col(payload_col)
+    head = F.hex(F.substring(payload, 1, probe_bytes))
+    # WHATWG mimesniff skips ALL leading whitespace (tab/newline too);
+    # ltrim() strips only spaces, so trim by regex on both engines
+    tag_probe = F.regexp_replace(
+        F.lower(F.decode(F.substring(payload, 1, 64), "ISO-8859-1")),
+        r"^\s+", "",
+    )
+    has_nul = head.rlike(r"^([0-9A-F]{2})*?00")
+    mime = None
+    for prefix, mt in MAGIC_PREFIXES:
+        cond = head.startswith(F.lit(prefix))
+        mime = (
+            F.when(cond, F.lit(mt))
+            if mime is None
+            else mime.when(cond, F.lit(mt))
+        )
+    mime = (
+        mime.when(
+            tag_probe.startswith(F.lit("<!doctype html"))
+            | tag_probe.startswith(F.lit("<html")),
+            F.lit("text/html"),
+        )
+        .when(has_nul, F.lit("application/octet-stream"))
+        .otherwise(F.lit("text/plain"))
+    )
+    return df.select(
+        "doc_id",
+        mime.alias("mime"),
+        F.hex(F.substring(payload, 1, 8)).alias("magic_hex"),
+        F.octet_length(payload).cast("long").alias("payload_len"),
+        has_nul.alias("is_binary"),
+    )

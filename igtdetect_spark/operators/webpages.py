@@ -46,7 +46,7 @@ def _nib(h, i: int):
 
 
 def synthetic_page_urls(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, id_col: str = "doc_id", carry: tuple = ()
 ) -> DataFrame:
     """(doc_id, url, fetch_ts_sec): a deterministic Common-Crawl-ish
     page-URL table derived from ``md5(doc_id)`` nibbles, engineered so
@@ -99,6 +99,7 @@ def synthetic_page_urls(
         url.alias("url"),
         (F.lit(1735689600) + (F.col(id_col) * 7919) % 8640000)
         .cast("long").alias("fetch_ts_sec"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -973,4 +974,241 @@ def host_quality_gate(
     return scored.join(small, "host").select(
         "url", "host", "score_ppm", "host_pages", "host_avg_ppm",
         F.col("host_kept").alias("kept"),
+    )
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX-style capture index (the Common-Crawl index build)
+# ---------------------------------------------------------------------------
+
+
+def surt_key(url) -> "F.Column":
+    """SURT-style urlkey (Sort-friendly URI Reordering Transform) — the
+    key Common Crawl's CDX index sorts on, so one host's captures (and
+    one registered domain's subdomains) are lexicographically adjacent:
+    ``https://www.Example.org:443/A/b?z=1&a=2#f`` →
+    ``org,example)/a/b?a=2&z=1``.
+
+    Rule set (the ``surt`` library's default canonicalizer, the parts
+    expressible without lookaround so the DuckDB oracle mirrors
+    byte-identically): lowercase; strip fragment; strip scheme; strip
+    ONE leading ``www.``; strip an explicit default port (:80/:443);
+    reverse the host labels comma-joined and close with ``)``; strip a
+    trailing path slash; drop empty query params and SORT the rest.
+
+    Pure native expression chain (regex + array ops in whole-stage
+    codegen), ZERO shuffles — at 10¹² captures this fuses into the
+    scan.
+    """
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"^([^/?:]+):(80|443)([/?].*)?$", "$1$3")
+    host = F.regexp_extract(u, r"^([^/?:]+)", 1)
+    # a surviving NON-default port rides after the reversed labels,
+    # before ')' — the surt library's layout (com,example:8080)/...)
+    port = F.regexp_extract(u, r"^[^/?:]+(:\d+)", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[^/?]+([^?]*)", 1), r"/$", ""
+    )
+    params = F.filter(
+        F.split(F.regexp_extract(u, r"\?(.*)$", 1), "&"),
+        lambda p: F.length(p) > 0,
+    )
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        port,
+        F.lit(")"),
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def cdx_index(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """CDX-style capture index over a page table: one row per fetch
+    with the SURT urlkey, capture timestamp, original URL, content
+    digest and octet length — the lookup structure every CC consumer
+    (wayback, dedup backfills, per-domain slicing) reads.
+
+    Scale shape: the projection (urlkey, digest, length) is a ZERO
+    shuffle narrow map; the index is then RANGE-partitioned on
+    (urlkey, ts) and sorted within partitions — exactly how the real
+    CDX shards are laid out, so a reader can binary-search a shard and
+    one domain's captures land in one (or few) adjacent partitions.
+    The range exchange is the single unavoidable shuffle of any
+    globally sorted index build; Spark samples boundaries, so skewed
+    megadomains split across partitions instead of hot-spotting one.
+
+    Output: (urlkey, fetch_ts_sec, url, digest, length).
+    """
+    idx = pages.select(
+        surt_key(F.col("url")).alias("urlkey"),
+        F.col("fetch_ts_sec").cast("long").alias("fetch_ts_sec"),
+        "url",
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long").alias("length"),
+    )
+    return idx.repartitionByRange(
+        "urlkey", "fetch_ts_sec"
+    ).sortWithinPartitions("urlkey", "fetch_ts_sec")
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing (the crawler's URL-discovery source)
+# ---------------------------------------------------------------------------
+
+#: <changefreq> vocabulary cycled by an md5 nibble.
+CHANGEFREQS = ("daily", "weekly", "monthly")
+
+
+def synthetic_sitemaps(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(sitemap_url, xml): one deterministic sitemaps.org ``<urlset>``
+    document per doc with 1-3 ``<url>`` entries; ``<lastmod>`` /
+    ``<changefreq>`` / ``<priority>`` are each OPTIONAL per entry
+    (independent md5 nibbles), so every parser branch has firing and
+    non-firing population — the real-web raggedness the parser must
+    survive. Entry locs reuse the 4-host page-URL scheme."""
+    h = F.md5(F.col(id_col).cast("string"))
+    k = 1 + _nib(h, 10) % 3
+
+    def entry(j: int) -> "F.Column":
+        tgt = (F.col(id_col) * 17 + j * 59) % 512
+        nib = _nib(h, 10 + j)
+        day = (nib % 28 + 1).cast("string")
+        lastmod = F.when(
+            nib % 2 == 0,
+            F.concat(F.lit("<lastmod>2026-01-"),
+                     F.lpad(day, 2, "0"), F.lit("</lastmod>")),
+        ).otherwise(F.lit(""))
+        freq = F.when(
+            nib % 3 != 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.element_at(
+                    F.array(*[F.lit(c) for c in CHANGEFREQS]),
+                    (nib % len(CHANGEFREQS) + 1).cast("int"),
+                ),
+                F.lit("</changefreq>"),
+            ),
+        ).otherwise(F.lit(""))
+        prio = F.when(
+            nib % 4 != 0,
+            F.concat(F.lit("<priority>0."),
+                     (nib % 10).cast("string"), F.lit("</priority>")),
+        ).otherwise(F.lit(""))
+        return F.when(
+            F.lit(j) <= k,
+            F.concat(
+                F.lit("<url><loc>"), _page_url(tgt), F.lit("</loc>"),
+                lastmod, freq, prio, F.lit("</url>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        entry(1), entry(2), entry(3),
+        F.lit("</urlset>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (_nib(h, 1) % 4).cast("string"),
+            F.lit(".example.org/sitemap-"),
+            F.col(id_col).cast("string"),
+            F.lit(".xml"),
+        ).alias("sitemap_url"),
+        xml.alias("xml"),
+    )
+
+
+def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
+    """Flatten sitemap XML into one row per ``<url>`` entry — the
+    crawler's URL-discovery feed (sitemaps.org protocol): loc, lastmod
+    date, changefreq, and priority in integer ppm (the protocol's 0.0-
+    1.0 decimal ×10⁶ — never a float cross-engine).
+
+    ONE ``regexp_extract_all`` pass over the sitemap bytes pulls whole
+    ``<url>…</url>`` blocks (the single-scan discipline — congruent
+    per-field passes re-scan the document K times); the per-FIELD
+    regexes then run over tens-of-byte match strings. Absent optional
+    tags are NULL. Pure native expressions, zero shuffles: a flat map
+    fused into the scan at any corpus size.
+
+    Output: (sitemap_url, loc, lastmod, changefreq, priority_ppm).
+    """
+    block = r"<url>.*?</url>"
+    ent = (
+        sitemaps.select(
+            "sitemap_url",
+            F.explode(
+                F.regexp_extract_all(F.col("xml"), F.lit(block), F.lit(0))
+            ).alias("_e"),
+        )
+    )
+    def opt(tag: str) -> "F.Column":
+        pat = rf"<{tag}>([^<]*)</{tag}>"
+        v = F.regexp_extract("_e", pat, 1)
+        return F.when(F.col("_e").rlike(pat), v)
+
+    return ent.select(
+        "sitemap_url",
+        F.regexp_extract("_e", r"<loc>([^<]*)</loc>", 1).alias("loc"),
+        opt("lastmod").alias("lastmod"),
+        opt("changefreq").alias("changefreq"),
+        (
+            F.conv(F.regexp_extract(opt("priority"), r"^0\.(\d)$", 1),
+                   10, 10).cast("long") * 100_000
+        ).alias("priority_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# politeness-aware fetch scheduling (the frontier → fetch-slot step)
+# ---------------------------------------------------------------------------
+
+
+def fetch_schedule(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Assign every frontier URL a per-host fetch slot under a per-host
+    crawl delay — the politeness constraint every crawler schedules
+    around (one connection per host, ``Crawl-delay`` seconds apart):
+    slot ``i`` of host ``h`` is fetched at ``i · delay(h)`` seconds
+    into the wave.
+
+    The per-host delay is derived here from the host name's md5 (1-4 s)
+    standing in for a robots.txt ``Crawl-delay`` lookup; the ordering
+    within a host is deterministic (url, then id) so re-planning a
+    crashed wave reproduces the same schedule.
+
+    Scale shape: ONE shuffle — the window partitions by host. A
+    mega-host (10⁷ frontier URLs on one host) serializes into one
+    window partition by construction; that is the POLITENESS
+    constraint itself (its fetches are serial anyway), not an engine
+    defect — the schedule's span is delay·n regardless of where it is
+    computed. Everything else is a narrow map.
+
+    Output: (doc_id, url, host, delay_sec, slot, scheduled_offset_sec).
+    """
+    from pyspark.sql import Window
+
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?:]+)", 1)
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.col(url_col).asc(), F.col("doc_id").asc())
+    )
+    delay = (_nib(F.md5(F.col("host")), 1) % 4 + 1).cast("long")
+    return (
+        pages.select("doc_id", url_col, host.alias("host"))
+        .withColumn("delay_sec", delay)
+        .withColumn(
+            "slot", (F.row_number().over(w) - 1).cast("long")
+        )
+        .withColumn(
+            "scheduled_offset_sec", F.col("slot") * F.col("delay_sec")
+        )
     )

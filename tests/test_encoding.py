@@ -141,3 +141,96 @@ class TestSniffDecode:
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "MapInPandas" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# MIME magic-byte sniffing
+# ---------------------------------------------------------------------------
+
+
+class TestMimeSniff:
+    def _sniff(self, spark, payloads):
+        from igtdetect_spark.operators.encoding import mime_sniff
+
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, payload binary",
+        )
+        rows = mime_sniff(df).collect()
+        return [r["mime"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+
+    def test_magic_dispatch(self, spark):
+        cases = [
+            (b"%PDF-1.7 rest", "application/pdf"),
+            (b"\x89PNG\r\n\x1a\n....", "image/png"),
+            (b"GIF87a..", "image/gif"),
+            (b"GIF89a..", "image/gif"),
+            (b"\xff\xd8\xff\xe1jfif", "image/jpeg"),
+            (b"\x1f\x8b\x08\x00data", "application/gzip"),
+            (b"PK\x03\x04zipdata", "application/zip"),
+            (b"<!DOCTYPE html><html>", "text/html"),
+            (b"  \t<HTML><body>", "text/html"),      # ltrim + case-fold
+            (b"plain old text", "text/plain"),
+            (b"text with \x00 nul", "application/octet-stream"),
+        ]
+        assert self._sniff(spark, [p for p, _ in cases]) == [
+            m for _, m in cases
+        ]
+
+    def test_nul_scan_is_byte_aligned(self, spark):
+        # 0xF0 0x0F hexes to 'F00F' — the '00' substring straddles the
+        # byte boundary and must NOT read as a NUL byte
+        assert self._sniff(spark, [b"x\xf0\x0fy"]) == ["text/plain"]
+        # a real NUL at an odd byte offset still fires
+        assert self._sniff(spark, [b"xyz\x00"]) == [
+            "application/octet-stream"
+        ]
+
+    def test_probe_window_bounds_the_nul_scan(self, spark):
+        # NUL beyond the 1 KiB probe is invisible (documented bound)
+        assert self._sniff(spark, [b"a" * 1024 + b"\x00"]) == ["text/plain"]
+        assert self._sniff(spark, [b"a" * 1023 + b"\x00"]) == [
+            "application/octet-stream"
+        ]
+
+    def test_builder_populates_every_branch(self, spark):
+        from pyspark.sql import functions as F
+
+        from igtdetect_spark.operators.encoding import (
+            mime_sniff,
+            synthetic_payloads,
+        )
+
+        docs = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.lit("some printable text").alias("text"),
+        )
+        got = {
+            r["mime"]
+            for r in mime_sniff(synthetic_payloads(docs))
+            .select("mime").distinct().collect()
+        }
+        assert got == {
+            "text/html", "application/pdf", "image/png", "image/gif",
+            "image/jpeg", "application/gzip", "application/zip",
+            "application/octet-stream", "text/plain",
+        }
+
+    def test_plan_zero_exchange_no_python(self, spark):
+        from pyspark.sql import functions as F
+
+        from igtdetect_spark.operators.encoding import (
+            mime_sniff,
+            synthetic_payloads,
+        )
+
+        docs = spark.range(0, 10).select(
+            F.col("id").alias("doc_id"), F.lit("t").alias("text")
+        )
+        plan = str(
+            mime_sniff(synthetic_payloads(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan

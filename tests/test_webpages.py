@@ -942,3 +942,180 @@ class TestHostQualityGate:
         assert "BroadcastHashJoin" not in plan0, plan0
         assert "ShuffledHashJoin" in plan0, plan0
         assert "CartesianProduct" not in plan0, plan0
+
+
+# ---------------------------------------------------------------------------
+# SURT keys + CDX index
+# ---------------------------------------------------------------------------
+
+
+class TestSurtCdx:
+    def _surt(self, spark, urls):
+        from igtdetect_spark.operators.webpages import surt_key
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r["k"]
+            for r in df.select(surt_key(F.col("url")).alias("k")).collect()
+        ]
+
+    def test_surt_each_rule(self, spark):
+        cases = {
+            # host reversed, scheme dropped, closing paren
+            "https://a.example.org/x": "org,example,a)/x",
+            # lowercase + www + default port + fragment
+            "HTTP://WWW.Example.ORG:80/A/b#Frag": "org,example)/a/b",
+            "https://example.org:443/x": "org,example)/x",
+            # non-default port survives (inside the host token)
+            "https://example.org:8443/x": "org,example:8443)/x",
+            # params sorted, empties dropped; trailing slash stripped
+            "https://example.org/x/?z=1&a=2": "org,example)/x?a=2&z=1",
+            "https://example.org/": "org,example)",
+            # bare host, no path
+            "https://example.org": "org,example)",
+        }
+        assert self._surt(spark, list(cases)) == list(cases.values())
+
+    def test_cdx_index_content_and_plan(self, spark):
+        from igtdetect_spark.operators.webpages import cdx_index
+
+        pages = spark.createDataFrame(
+            [
+                (1, "https://www.a.org/p?b=2&a=1", 100, "hello"),
+                (2, "https://a.org/p?a=1&b=2", 200, "hello"),
+                (3, "https://b.org/q", 150, None),
+            ],
+            "doc_id long, url string, fetch_ts_sec long, text string",
+        )
+        rows = {
+            (r["urlkey"], r["fetch_ts_sec"]): r
+            for r in cdx_index(pages).collect()
+        }
+        # the two variant fetches share one urlkey, distinct captures
+        assert ("org,a)/p?a=1&b=2", 100) in rows
+        assert ("org,a)/p?a=1&b=2", 200) in rows
+        import hashlib
+
+        r = rows[("org,a)/p?a=1&b=2", 100)]
+        assert r["digest"] == hashlib.md5(b"hello").hexdigest()
+        assert r["length"] == 5
+        # NULL text hashes the empty string (never a NULL digest)
+        rn = rows[("org,b)/q", 150)]
+        assert rn["digest"] == hashlib.md5(b"").hexdigest()
+        assert rn["length"] == 0
+        plan = str(cdx_index(pages)._jdf.queryExecution().executedPlan())
+        assert "rangepartitioning" in plan.lower()  # the CDX sort layout
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan
+
+    def test_index_sorted_within_partitions(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            cdx_index,
+            synthetic_page_urls,
+        )
+
+        docs = spark.range(0, 300).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text"),
+        )
+        idx = cdx_index(synthetic_page_urls(docs, carry=("text",)))
+        ok = idx.select(
+            F.spark_partition_id().alias("p"), "urlkey", "fetch_ts_sec"
+        ).toPandas()
+        for _, g in ok.groupby("p"):
+            keys = list(zip(g["urlkey"], g["fetch_ts_sec"]))
+            assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing
+# ---------------------------------------------------------------------------
+
+
+class TestSitemapEntries:
+    def _parse(self, spark, xml):
+        from igtdetect_spark.operators.webpages import sitemap_entries
+
+        df = spark.createDataFrame(
+            [("https://s/sitemap.xml", xml)], "sitemap_url string, xml string"
+        )
+        return sitemap_entries(df).collect()
+
+    def test_full_and_bare_entries(self, spark):
+        xml = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>https://a/x</loc><lastmod>2026-01-05</lastmod>"
+            "<changefreq>weekly</changefreq><priority>0.8</priority></url>"
+            "<url><loc>https://a/y</loc></url>"
+            "</urlset>"
+        )
+        rows = {r["loc"]: r for r in self._parse(spark, xml)}
+        full = rows["https://a/x"]
+        assert full["lastmod"] == "2026-01-05"
+        assert full["changefreq"] == "weekly"
+        assert full["priority_ppm"] == 800_000
+        bare = rows["https://a/y"]
+        assert bare["lastmod"] is None
+        assert bare["changefreq"] is None
+        assert bare["priority_ppm"] is None
+
+    def test_empty_urlset_yields_no_rows(self, spark):
+        assert self._parse(spark, "<urlset></urlset>") == []
+
+    def test_synthetic_plan_zero_exchange_no_python(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            sitemap_entries,
+            synthetic_sitemaps,
+        )
+
+        docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+        df = sitemap_entries(synthetic_sitemaps(docs))
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert "Exchange" not in plan
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan
+        # ragged 1-3 entries per sitemap
+        n_docs, n_entries = 50, df.count()
+        assert n_docs <= n_entries <= 3 * n_docs
+
+
+# ---------------------------------------------------------------------------
+# politeness fetch scheduling
+# ---------------------------------------------------------------------------
+
+
+class TestFetchSchedule:
+    def test_slots_and_offsets(self, spark):
+        from igtdetect_spark.operators.webpages import fetch_schedule
+
+        pages = spark.createDataFrame(
+            [
+                (1, "https://a.org/2"),
+                (2, "https://a.org/1"),
+                (3, "https://a.org/1"),  # same url: doc_id breaks the tie
+                (4, "https://b.org/x"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {r["doc_id"]: r for r in fetch_schedule(pages).collect()}
+        # host a.org ordered by (url, doc_id): 2, 3, 1
+        assert [rows[i]["slot"] for i in (2, 3, 1)] == [0, 1, 2]
+        assert rows[4]["slot"] == 0  # other host starts its own wave
+        for r in rows.values():
+            assert 1 <= r["delay_sec"] <= 4
+            assert r["scheduled_offset_sec"] == r["slot"] * r["delay_sec"]
+        # per-host delay is a function of the host alone
+        assert len({rows[i]["delay_sec"] for i in (1, 2, 3)}) == 1
+
+    def test_single_window_exchange(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            fetch_schedule,
+            synthetic_page_urls,
+        )
+
+        docs = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+        df = fetch_schedule(synthetic_page_urls(docs))
+        plan = str(df._jdf.queryExecution().executedPlan())
+        assert plan.count("Exchange") == 1
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan
