@@ -4213,8 +4213,13 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_sitemap_parse() -> str:
+    return _sql_sitemap_cte() + "\nSELECT * FROM parsed"
+
+
+def _sql_sitemap_cte() -> str:
     # The oracle REBUILDS each sitemap document and RE-PARSES it with
-    # its own regexes (true double-parse, like page_metadata).
+    # its own regexes (true double-parse, like page_metadata); shared
+    # by the sitemap_parse and frontier_gap oracles.
     nib = ("(strpos('0123456789abcdef', "
            "substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)")
     entry = """
@@ -4257,21 +4262,63 @@ e AS (
   SELECT sitemap_url,
          unnest(regexp_extract_all(xml, '<url>.*?</url>')) AS b
   FROM sm
+),
+parsed AS (
+  SELECT sitemap_url,
+         regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
+         CASE WHEN regexp_matches(b, '<lastmod>([^<]*)</lastmod>')
+           THEN regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1)
+         END AS lastmod,
+         CASE WHEN regexp_matches(b, '<changefreq>([^<]*)</changefreq>')
+           THEN regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1)
+         END AS changefreq,
+         CASE WHEN regexp_matches(b, '<priority>([^<]*)</priority>')
+           THEN CAST(regexp_extract(
+                  regexp_extract(b, '<priority>([^<]*)</priority>', 1),
+                  '^0\\.(\\d)$', 1) AS BIGINT) * 100000
+         END AS priority_ppm
+  FROM e
+)"""
+
+
+def q_frontier_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-frontier construction: sitemap-discovered locations LEFT
+    ANTI joined against the crawled url set — per uncrawled loc, its
+    reference count, strongest advertised priority, freshest lastmod.
+    One aggregate on loc + one anti join; both sides hash once on the
+    url (neither is broadcastable at crawl scale)."""
+    from .operators.webpages import (
+        _page_url,
+        frontier_gap,
+        sitemap_entries,
+        synthetic_sitemaps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    discovered = sitemap_entries(synthetic_sitemaps(docs))
+    crawled = docs.select(_page_url(F.col("doc_id")).alias("url"))
+    return frontier_gap(discovered, crawled)
+
+
+def _sql_frontier_gap() -> str:
+    return _sql_sitemap_cte() + """,
+agg AS (
+  SELECT loc, CAST(count(*) AS BIGINT) AS n_refs,
+         max(priority_ppm) AS max_priority_ppm,
+         max(lastmod) AS latest_lastmod
+  FROM parsed GROUP BY loc
+),
+crawled AS (
+  SELECT DISTINCT 'https://site'
+         || CAST((strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+            AS VARCHAR)
+         || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
 )
-SELECT sitemap_url,
-       regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS loc,
-       CASE WHEN regexp_matches(b, '<lastmod>([^<]*)</lastmod>')
-         THEN regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1)
-       END AS lastmod,
-       CASE WHEN regexp_matches(b, '<changefreq>([^<]*)</changefreq>')
-         THEN regexp_extract(b, '<changefreq>([^<]*)</changefreq>', 1)
-       END AS changefreq,
-       CASE WHEN regexp_matches(b, '<priority>([^<]*)</priority>')
-         THEN CAST(regexp_extract(
-                regexp_extract(b, '<priority>([^<]*)</priority>', 1),
-                '^0\\.(\\d)$', 1) AS BIGINT) * 100000
-       END AS priority_ppm
-FROM e
+SELECT a.loc, a.n_refs, a.max_priority_ppm, a.latest_lastmod
+FROM agg a LEFT JOIN crawled c ON a.loc = c.url
+WHERE c.url IS NULL
 """
 
 
@@ -4476,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "cdx_index": q_cdx_index,
         "sitemap_parse": q_sitemap_parse,
+        "frontier_gap": q_frontier_gap,
         "mime_sniff": q_mime_sniff,
         "fetch_schedule": q_fetch_schedule,
     }
@@ -4570,6 +4618,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": _sql_robots_filter(),
         "cdx_index": _sql_cdx_index(),
         "sitemap_parse": _sql_sitemap_parse(),
+        "frontier_gap": _sql_frontier_gap(),
         "mime_sniff": _sql_mime_sniff(),
         "fetch_schedule": _sql_fetch_schedule(),
         # igt_classify_lines / igt_detect_spans: model scoring is

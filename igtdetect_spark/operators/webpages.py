@@ -1212,3 +1212,33 @@ def fetch_schedule(pages: DataFrame, url_col: str = "url") -> DataFrame:
             "scheduled_offset_sec", F.col("slot") * F.col("delay_sec")
         )
     )
+
+
+def frontier_gap(
+    discovered: DataFrame, crawled: DataFrame
+) -> DataFrame:
+    """URL-frontier construction: sitemap-DISCOVERED locations that are
+    NOT yet in the crawl — per distinct loc, how many sitemaps
+    reference it, the strongest advertised priority, and the freshest
+    lastmod (ISO dates compare lexicographically, so ``max`` is
+    chronological without a timestamp parse).
+
+    ``discovered`` is :func:`sitemap_entries` output; ``crawled`` any
+    table with a ``url`` column. Scale shape: ONE hash aggregate on
+    loc (map-side combinable), then a LEFT ANTI join against the
+    crawled url set — both sides hash-exchange once on the url; at
+    10¹² pages neither side is broadcastable and the anti join is the
+    honest one-shuffle-each set difference. Output order-free.
+
+    Output: (loc, n_refs, max_priority_ppm, latest_lastmod).
+    """
+    agg = discovered.groupBy(F.col("loc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.max("priority_ppm").alias("max_priority_ppm"),
+        F.max("lastmod").alias("latest_lastmod"),
+    )
+    return agg.join(
+        crawled.select(F.col("url").alias("loc")).distinct(),
+        "loc",
+        "left_anti",
+    )

@@ -1119,3 +1119,33 @@ class TestFetchSchedule:
         assert plan.count("Exchange") == 1
         for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert py not in plan
+
+
+class TestFrontierGap:
+    def test_gap_semantics(self, spark):
+        from igtdetect_spark.operators.webpages import frontier_gap
+
+        discovered = spark.createDataFrame(
+            [
+                ("s1", "https://a/x", "2026-01-05", None, 800_000),
+                ("s2", "https://a/x", None, "daily", None),
+                ("s1", "https://a/y", "2026-01-02", None, None),
+                ("s2", "https://a/z", None, None, 300_000),
+            ],
+            "sitemap_url string, loc string, lastmod string, "
+            "changefreq string, priority_ppm long",
+        )
+        crawled = spark.createDataFrame(
+            [("https://a/y",), ("https://a/other",)], "url string"
+        )
+        rows = {r["loc"]: r for r in
+                frontier_gap(discovered, crawled).collect()}
+        # crawled loc y is excluded; x aggregates across sitemaps
+        assert set(rows) == {"https://a/x", "https://a/z"}
+        x = rows["https://a/x"]
+        assert x["n_refs"] == 2
+        assert x["max_priority_ppm"] == 800_000
+        assert x["latest_lastmod"] == "2026-01-05"
+        z = rows["https://a/z"]
+        assert z["n_refs"] == 1
+        assert z["latest_lastmod"] is None  # all-NULL group stays NULL
