@@ -3633,22 +3633,13 @@ def q_extraction_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation for that stage — correct, and harness-only: in
     production the records come off disk and the parse-side expressions
     alone compile (pinned by TestHttpStage's plan test)."""
-    from .operators.webpages import main_content_pages
-    from .sources.warc import parse_http, parse_warc, synthetic_warc_http_records
+    from .sources.warc import (
+        extract_main_from_warc,
+        synthetic_warc_http_records,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    w = parse_warc(synthetic_warc_http_records(docs), with_payload=True)
-    h = parse_http(w.select("url", F.col("payload").alias("http")))
-    ok = h.filter(
-        (F.col("status") == 200) & (F.col("content_type") == "text/html")
-    )
-    pages = ok.select(
-        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
-        .alias("doc_id"),
-        "url",
-        F.encode("body", "utf-8").alias("html"),
-    )
-    return main_content_pages(pages)
+    return extract_main_from_warc(synthetic_warc_http_records(docs))
 
 
 def _sql_extraction_funnel() -> str:

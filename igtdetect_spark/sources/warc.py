@@ -240,3 +240,32 @@ def parse_http(responses: DataFrame, msg_col: str = "http") -> DataFrame:
     return out.withColumn(
         "length_ok", F.col("body_octets") == F.col("content_length")
     )
+
+
+def extract_main_from_warc(records: DataFrame) -> DataFrame:
+    """The north-rule funnel over raw archive bytes, as ONE reusable
+    composition: WARC record split → HTTP response split → status-200
+    text/html gate → density main-content extraction.
+
+    Every stage is a stateless per-row map (the two container cuts and
+    the gate are whole-stage codegen; only (doc_id, url, html) cross
+    the Arrow boundary), so the SAME function runs unmodified on a
+    ``readStream`` of records — stream and backfill outputs are
+    bit-identical by construction (pinned in tests/test_streaming).
+
+    Output: (doc_id, url, main_text, kept_blocks).
+    """
+    from ..operators.webpages import main_content_pages
+
+    w = parse_warc(records, with_payload=True)
+    h = parse_http(w.select("url", F.col("payload").alias("http")))
+    ok = h.filter(
+        (F.col("status") == 200) & (F.col("content_type") == "text/html")
+    )
+    pages = ok.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        "url",
+        F.encode("body", "utf-8").alias("html"),
+    )
+    return main_content_pages(pages)

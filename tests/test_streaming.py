@@ -618,3 +618,63 @@ def test_streaming_hll_matches_batch_and_replay_is_idempotent(
         .collect()[0][0]
     )
     assert per_batch <= 256
+
+
+def test_streaming_extraction_funnel_matches_batch(spark, tmp_path_factory):
+    """The north-rule funnel (WARC → HTTP → gate → main content) is a
+    chain of stateless per-row maps, so the SAME composition runs on a
+    readStream of archive records and must reproduce the batch output
+    bit-for-bit — end-to-end stream/backfill parity over raw bytes."""
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.sources.warc import (
+        extract_main_from_warc,
+        synthetic_warc_http_records,
+    )
+
+    docs = spark.range(0, 90).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("A sufficiently long stopword bearing paragraph "
+                  "about the topic of document "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    records = synthetic_warc_http_records(docs)
+
+    want = sorted(map(tuple, extract_main_from_warc(records).collect()))
+    assert want, "batch funnel produced no rows — fixture broken"
+
+    # replay the records as a 3-file stream, one file per micro-batch
+    src = str(tmp_path_factory.mktemp("warc_stream"))
+    rp = records.toPandas()
+    n = len(rp)
+    step = (n + 2) // 3
+    for i, lo in enumerate(range(0, n, step)):
+        spark.createDataFrame(
+            rp.iloc[lo:lo + step], schema=records.schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(records.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    out = str(tmp_path_factory.mktemp("funnel_out"))
+    ckpt = str(tmp_path_factory.mktemp("funnel_ckpt"))
+    q = (
+        extract_main_from_warc(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got_df = spark.read.schema(
+        extract_main_from_warc(records).schema
+    ).parquet(out)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want  # byte-identical extracted text per url
