@@ -4425,6 +4425,87 @@ FROM d
 """
 
 
+def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse (north rule): two-column gutter detection +
+    de-columnizing over pdftotext-layout-style fixed-width pages — the
+    widest strictly-interior vertical whitespace run that is blank on
+    EVERY line is the column gutter; every line splits at it. One
+    (doc_id,pos) aggregate + doc-local window/aggregates + one join of
+    the page-count-sized gutter relation back onto the lines."""
+    from .operators.layout import split_columns, synthetic_layout_pages
+
+    out = split_columns(
+        synthetic_layout_pages(_t(spark, sf_dir, "documents"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("line_no").cast("long").alias("line_no"),
+        "left_text",
+        "right_text",
+        F.col("gutter_start").cast("long").alias("gutter_start"),
+        F.col("gutter_end").cast("long").alias("gutter_end"),
+    )
+
+
+def _sql_layout_columns() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(regexp_replace(
+           coalesce(text, ''), '\s+', ' ', 'g')), ' '),
+           x -> length(x) > 0)[1:8] AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         array_to_string(list_transform(toks,
+           t -> rpad(substring(t, 1, 16), 20, ' ')
+                || upper(substring(t, 1, 16))), chr(10)) AS layout_text
+  FROM t WHERE len(toks) > 0
+),
+l AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line
+  FROM (SELECT doc_id, string_split(layout_text, chr(10)) AS ls FROM p),
+       LATERAL unnest(generate_series(1, len(ls))) t(i)
+),
+ch AS (
+  SELECT doc_id, i AS pos,
+         CASE WHEN substring(line, i, 1) != ' ' THEN 1 ELSE 0 END
+           AS nonblank
+  FROM l, LATERAL unnest(generate_series(1, length(line))) s(i)
+),
+bp AS (
+  SELECT doc_id, pos, sum(nonblank) AS nn FROM ch GROUP BY doc_id, pos
+),
+wdt AS (SELECT doc_id, max(pos) AS page_width FROM bp GROUP BY doc_id),
+runs AS (
+  SELECT doc_id, min(pos) AS gs, max(pos) AS ge
+  FROM (
+    SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+    FROM bp WHERE nn = 0
+  ) GROUP BY doc_id, grp
+),
+g AS (
+  SELECT doc_id, gs, ge FROM (
+    SELECT r.doc_id, gs, ge,
+           row_number() OVER (PARTITION BY r.doc_id
+                              ORDER BY (ge - gs + 1) DESC, gs) AS rk
+    FROM runs r JOIN wdt w ON r.doc_id = w.doc_id
+    WHERE gs > 1 AND ge < w.page_width AND ge - gs + 1 >= 2
+  ) WHERE rk = 1
+)
+SELECT l.doc_id, l.line_no,
+       rtrim(substring(l.line, 1, CAST(g.gs AS INT) - 1)) AS left_text,
+       substring(l.line, CAST(g.ge AS INT) + 1, length(l.line))
+         AS right_text,
+       CAST(g.gs AS BIGINT) AS gutter_start,
+       CAST(g.ge AS BIGINT) AS gutter_end
+FROM l JOIN g USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -4517,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_gap": q_frontier_gap,
         "mime_sniff": q_mime_sniff,
         "fetch_schedule": q_fetch_schedule,
+        "layout_columns": q_layout_columns,
     }
 
 
@@ -4612,6 +4694,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_gap": _sql_frontier_gap(),
         "mime_sniff": _sql_mime_sniff(),
         "fetch_schedule": _sql_fetch_schedule(),
+        "layout_columns": _sql_layout_columns(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

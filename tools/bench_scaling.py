@@ -408,7 +408,10 @@ def _render_registry_queries(rq: dict) -> str:
     if not rq:
         return ""
     rows = []
-    for key in sorted(rq):
+    for key in sorted(
+        rq, key=lambda k: (k.split("@k")[0],
+                           int((k.split("@k") + ["1"])[1]))
+    ):
         r = rq[key]
         name, scale = (key.split("@k") + ["1"])[:2] if "@k" in key else (
             key, "1")
