@@ -111,7 +111,7 @@ def main():
         "warc_parse", "robots_filter", "http_parse", "extraction_funnel",
         "host_graph", "recrawl_delta", "charset_decode", "host_quality_gate",
         "cdx_index", "sitemap_parse", "mime_sniff", "fetch_schedule",
-        "frontier_gap",
+        "frontier_gap", "layout_columns", "wet_export",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -4425,6 +4425,69 @@ FROM d
 """
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET sink roundtrip: extraction-funnel main content rendered as
+    WARC conversion records (the derived text format CC publishes) and
+    PARSED BACK through the WARC splitter — length_ok + payload_md5
+    prove the written bytes carry the extracted text exactly. Entirely
+    native string render/parse around the one Arrow extraction stage;
+    zero shuffles."""
+    from .sources.warc import (
+        extract_main_from_warc,
+        parse_warc,
+        synthetic_warc_http_records,
+        wet_records,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = extract_main_from_warc(synthetic_warc_http_records(docs))
+    return parse_warc(wet_records(ex))
+
+
+def _sql_wet_export() -> str:
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH ex AS ({_sql_extraction_funnel()}),
+rec AS (
+  SELECT 'WARC/1.0' || {crlf}
+      || 'WARC-Type: conversion' || {crlf}
+      || 'WARC-Target-URI: ' || ex.url || {crlf}
+      || 'WARC-Date: '
+      || strftime(make_timestamp(
+           (1735689600 + (ex.doc_id * 7919) % 8640000) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+      || 'WARC-Refers-To: <urn:md5:'
+      || md5(CAST(ex.doc_id AS VARCHAR)) || '>' || {crlf}
+      || 'Content-Type: text/plain' || {crlf}
+      || 'Content-Length: '
+      || CAST(octet_length(encode(coalesce(ex.main_text, '')))
+              AS VARCHAR)
+      || {crlf} || {crlf} || coalesce(ex.main_text, '') AS s
+  FROM ex
+),
+sp AS (
+  SELECT substring(s, 1, strpos(s, chr(13)||chr(10)||chr(13)||chr(10))
+                   - 1) AS head,
+         substring(s, strpos(s, chr(13)||chr(10)||chr(13)||chr(10))
+                   + 4) AS payload
+  FROM rec
+)
+SELECT regexp_extract(head, 'WARC-Target-URI: ([^\r]+)', 1) AS url,
+       regexp_extract(head, 'WARC-Type: ([^\r]+)', 1) AS warc_type,
+       CAST(epoch(strptime(
+         regexp_extract(head, 'WARC-Date: ([^\r]+)', 1),
+         '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS warc_date_ts,
+       CAST(regexp_extract(head, 'Content-Length: ([^\r]+)', 1)
+            AS BIGINT) AS content_length,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_octets,
+       md5(payload) AS payload_md5,
+       octet_length(encode(payload)) = CAST(
+         regexp_extract(head, 'Content-Length: ([^\r]+)', 1) AS BIGINT)
+         AS length_ok
+FROM sp
+"""
+
+
 def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse (north rule): two-column gutter detection +
     de-columnizing over pdftotext-layout-style fixed-width pages — the
@@ -4599,6 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "fetch_schedule": q_fetch_schedule,
         "layout_columns": q_layout_columns,
+        "wet_export": q_wet_export,
     }
 
 
@@ -4695,6 +4759,7 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": _sql_mime_sniff(),
         "fetch_schedule": _sql_fetch_schedule(),
         "layout_columns": _sql_layout_columns(),
+        "wet_export": _sql_wet_export(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -231,3 +231,59 @@ class TestExtractionFunnel:
         assert "Exchange" not in plan, plan
         assert plan.count("MapInPandas") == 1, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestWetExport:
+    def test_roundtrip_integrity(self, spark):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from igtdetect_spark.sources.warc import (
+            extract_main_from_warc,
+            parse_warc,
+            synthetic_warc_http_records,
+            wet_records,
+        )
+
+        docs = spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("A sufficiently long stopword bearing paragraph "
+                      "about the topic of document "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        ex = extract_main_from_warc(synthetic_warc_http_records(docs))
+        extracted = {r["url"]: r["main_text"] for r in ex.collect()}
+        assert extracted, "funnel produced nothing — fixture broken"
+
+        back = parse_warc(wet_records(ex)).collect()
+        assert len(back) == len(extracted)
+        for r in back:
+            assert r["warc_type"] == "conversion"
+            assert r["length_ok"] is True
+            want = extracted[r["url"]]
+            assert r["payload_md5"] == hashlib.md5(
+                want.encode()).hexdigest()
+            assert r["payload_octets"] == len(want.encode())
+
+    def test_render_is_shuffle_free(self, spark):
+        from pyspark.sql import functions as F
+
+        from igtdetect_spark.sources.warc import parse_warc, wet_records
+
+        ex = spark.range(0, 5).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("https://x/p/"), F.col("id").cast("string"))
+            .alias("url"),
+            F.lit("some extracted text").alias("main_text"),
+        )
+        plan = str(
+            parse_warc(wet_records(ex))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in plan
