@@ -4425,6 +4425,65 @@ FROM d
 """
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3xx canonicalization: follow every redirect chain to its
+    terminus (resolved / loop / truncated at 4 hops) over a synthetic
+    edge table with straight chains, terminus-less exits, self-loops
+    and md5-scrambled cycles. max_hops unrolled left joins against the
+    redirect map; in-flight rows strictly shrink each hop."""
+    from .operators.webpages import resolve_redirects, synthetic_redirects
+
+    return resolve_redirects(
+        synthetic_redirects(_t(spark, sf_dir, "documents")), max_hops=4
+    )
+
+
+def _sql_redirect_resolve() -> str:
+    return r"""
+WITH RECURSIVE e AS (
+  SELECT 'https://r.example.org/' || CAST(doc_id AS VARCHAR) AS src_url,
+         CASE (strpos('0123456789abcdef',
+                 substring(md5(CAST(doc_id AS VARCHAR)), 12, 1)) - 1) % 4
+           WHEN 0 THEN 'https://r.example.org/'
+                       || CAST((doc_id * 7 + 3) % 512 AS VARCHAR)
+           WHEN 1 THEN 'https://f.example.org/'
+                       || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'https://r.example.org/'
+                       || CAST(doc_id AS VARCHAR)
+           ELSE 'https://r.example.org/'
+                || CAST((doc_id * 3 + 1) % 512 AS VARCHAR)
+         END AS location
+  FROM documents
+  WHERE (strpos('0123456789abcdef',
+           substring(md5(CAST(doc_id AS VARCHAR)), 11, 1)) - 1) % 4 <= 2
+),
+walk AS (
+  SELECT src_url, location AS cur, CAST(1 AS BIGINT) AS n_hops,
+         [src_url] AS seen
+  FROM e
+  UNION ALL
+  SELECT w.src_url, e2.location, w.n_hops + 1,
+         list_append(w.seen, w.cur)
+  FROM walk w JOIN e e2 ON w.cur = e2.src_url
+  WHERE NOT list_contains(w.seen, w.cur) AND w.n_hops < 4
+),
+last AS (
+  SELECT src_url, cur, n_hops, seen,
+         row_number() OVER (PARTITION BY src_url
+                            ORDER BY n_hops DESC) AS rk
+  FROM walk
+)
+SELECT l.src_url, l.cur AS final_url, l.n_hops,
+       CASE
+         WHEN NOT EXISTS (SELECT 1 FROM e WHERE e.src_url = l.cur)
+           THEN 'resolved'
+         WHEN list_contains(l.seen, l.cur) THEN 'loop'
+         ELSE 'truncated'
+       END AS status
+FROM last l WHERE rk = 1
+"""
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET sink roundtrip: extraction-funnel main content rendered as
     WARC conversion records (the derived text format CC publishes) and
@@ -4663,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "layout_columns": q_layout_columns,
         "wet_export": q_wet_export,
+        "redirect_resolve": q_redirect_resolve,
     }
 
 
@@ -4760,6 +4820,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_schedule": _sql_fetch_schedule(),
         "layout_columns": _sql_layout_columns(),
         "wet_export": _sql_wet_export(),
+        "redirect_resolve": _sql_redirect_resolve(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1242,3 +1242,92 @@ def frontier_gap(
         "loc",
         "left_anti",
     )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution (3xx canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_redirects(
+    docs: DataFrame, id_col: str = "doc_id", targets_mod: int = 512
+) -> DataFrame:
+    """(src_url, location): a deterministic redirect-edge table with
+    every chain shape the resolver must survive — straight chains into
+    a final page, chains into URLs with no edge (a terminus), direct
+    self-loops, and md5-scrambled cross-links that produce longer
+    chains and multi-node cycles. Docs whose nibble 11 is ≥ 12 emit no
+    edge (their URLs are plain pages)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    m = _nib(h, 11) % 4
+    t = _nib(h, 12) % 4
+    r = lambda e: F.concat(  # noqa: E731 — local url shorthand
+        F.lit("https://r.example.org/"), e.cast("string")
+    )
+    dst = (
+        F.when(t == 0, r((F.col(id_col) * 7 + 3) % targets_mod))
+        .when(t == 1, F.concat(F.lit("https://f.example.org/"),
+                               F.col(id_col).cast("string")))
+        .when(t == 2, r(F.col(id_col)))
+        .otherwise(r((F.col(id_col) * 3 + 1) % targets_mod))
+    )
+    return docs.filter(m <= 2).select(
+        r(F.col(id_col)).alias("src_url"),
+        dst.alias("location"),
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Follow every redirect chain to its terminus — the 3xx
+    canonicalization step a crawl pipeline runs so content attributes
+    to the FINAL URL: per source, the last URL reached, the hop count,
+    and how the walk ended (``resolved`` — a URL with no outgoing
+    redirect; ``loop`` — a URL already visited on this walk;
+    ``truncated`` — still redirecting at ``max_hops``, the real-world
+    give-up bound).
+
+    Scale shape: ``max_hops`` UNROLLED left equi-joins of the in-flight
+    walks against the redirect map (both sides hash on url each hop;
+    the map is crawl-fraction-sized — never broadcastable at 10¹²
+    pages, and never joined to the full page table). In-flight rows
+    only shrink: each hop terminates every walk that resolved, looped
+    or exhausted its budget, so hop k's join input is a strict subset
+    of hop k-1's. No driver-side iteration state — the loop is plan
+    construction, not data movement.
+    """
+    emap = redirects.select(
+        F.col("src_url").alias("_k"), F.col("location").alias("_v")
+    )
+    state = redirects.select(
+        "src_url",
+        F.col("location").alias("final_url"),
+        F.lit(1).cast("long").alias("n_hops"),
+        F.array("src_url").alias("_seen"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    for _ in range(max_hops):
+        s = state.join(emap, state["final_url"] == emap["_k"], "left")
+        status = (
+            F.when(F.col("status").isNotNull(), F.col("status"))
+            .when(F.col("_v").isNull(), F.lit("resolved"))
+            .when(
+                F.array_contains(F.col("_seen"), F.col("final_url")),
+                F.lit("loop"),
+            )
+            .when(F.col("n_hops") >= max_hops, F.lit("truncated"))
+        )
+        cont = status.isNull()
+        state = s.select(
+            "src_url",
+            F.when(cont, F.col("_v")).otherwise(F.col("final_url"))
+            .alias("final_url"),
+            F.when(cont, F.col("n_hops") + 1).otherwise(F.col("n_hops"))
+            .alias("n_hops"),
+            F.when(
+                cont, F.concat(F.col("_seen"), F.array(F.col("final_url")))
+            ).otherwise(F.col("_seen")).alias("_seen"),
+            status.alias("status"),
+        )
+    return state.select("src_url", "final_url", "n_hops", "status")

@@ -1149,3 +1149,61 @@ class TestFrontierGap:
         z = rows["https://a/z"]
         assert z["n_refs"] == 1
         assert z["latest_lastmod"] is None  # all-NULL group stays NULL
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, edges, max_hops=4):
+        from igtdetect_spark.operators.webpages import resolve_redirects
+
+        df = spark.createDataFrame(edges, "src_url string, location string")
+        return {r["src_url"]: r for r in
+                resolve_redirects(df, max_hops=max_hops).collect()}
+
+    def test_chain_shapes(self, spark):
+        rows = self._resolve(
+            spark,
+            [
+                # straight 3-hop chain a->b->c->d (d has no edge)
+                ("a", "b"), ("b", "c"), ("c", "d"),
+                # direct self-loop
+                ("s", "s"),
+                # 2-cycle p<->q
+                ("p", "q"), ("q", "p"),
+                # single hop to a terminus
+                ("x", "y"),
+            ],
+        )
+        a = rows["a"]
+        assert (a["final_url"], a["n_hops"], a["status"]) == ("d", 3, "resolved")
+        # every suffix of the chain resolves too, with shrinking hop counts
+        assert rows["b"]["n_hops"] == 2 and rows["c"]["n_hops"] == 1
+        s = rows["s"]
+        assert s["status"] == "loop" and s["final_url"] == "s"
+        p = rows["p"]
+        # p -> q -> p: second hop lands on an already-seen url
+        assert p["status"] == "loop" and p["final_url"] == "p" and p["n_hops"] == 2
+        assert rows["x"]["status"] == "resolved"
+
+    def test_truncation_at_max_hops(self, spark):
+        # 6-long chain under max_hops=4 gives up mid-walk
+        edges = [(str(i), str(i + 1)) for i in range(6)]
+        rows = self._resolve(spark, edges, max_hops=4)
+        r0 = rows["0"]
+        assert r0["status"] == "truncated" and r0["n_hops"] == 4
+        assert r0["final_url"] == "4"
+        # tail of the same chain still resolves within budget
+        assert rows["3"]["status"] == "resolved"
+        assert rows["3"]["final_url"] == "6"
+
+    def test_synthetic_covers_all_statuses(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            resolve_redirects,
+            synthetic_redirects,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = resolve_redirects(synthetic_redirects(docs), max_hops=4)
+        statuses = {r["status"] for r in out.select("status").distinct().collect()}
+        assert statuses == {"resolved", "loop", "truncated"}
