@@ -4425,6 +4425,72 @@ FROM d
 """
 
 
+def q_host_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host template (chrome) line removal: lines appearing on
+    ≥ 60% of a host's pages (hosts with ≥ 4 pages) are detected as
+    site chrome and stripped from every page, which is the host-scoped
+    deboilerplate pass CC-style pipelines run between HTML strip and
+    corpus-level line dedup. The synthetic page table stamps a nav +
+    footer on every page of a host (must be stripped), a promo line on
+    ~half (must survive), and unique body lines cut from the document
+    text (must survive). Two hash aggregates + two host-keyed joins;
+    nothing broadcast — hosts are crawl-cardinality."""
+    from .operators.webpages import (
+        host_template_lines,
+        strip_host_template,
+        synthetic_host_lined_pages,
+    )
+
+    pages = synthetic_host_lined_pages(_t(spark, sf_dir, "documents"))
+    return strip_host_template(pages, host_template_lines(pages))
+
+
+def _sql_host_template_strip() -> str:
+    return r"""
+WITH pages0 AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS host,
+         replace(coalesce(text, ''), chr(10), ' ') AS body
+  FROM documents),
+pages AS (
+  SELECT doc_id, host,
+         'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         concat_ws(chr(10),
+           'NAV ' || host || ' home products about contact',
+           CASE WHEN (strpos('0123456789abcdef',
+                   substring(md5(CAST(doc_id AS VARCHAR)), 13, 1)) - 1)
+                   % 2 = 0
+                THEN 'PROMO newsletter for ' || host END,
+           'BODY0 ' || substring(body, 1, 80),
+           'BODY1 ' || substring(body, 81, 80),
+           'BODY2 ' || substring(body, 161, 80),
+           '(c) 2026 ' || host) AS text
+  FROM pages0),
+lines AS (
+  SELECT doc_id, url, host, CAST(i - 1 AS BIGINT) AS line_no, ls[i] AS line
+  FROM (SELECT *, string_split(text, chr(10)) AS ls FROM pages) p,
+       LATERAL unnest(generate_series(1, len(ls))) s(i)),
+hp AS (
+  SELECT host, COUNT(DISTINCT url) AS host_pages FROM pages GROUP BY host),
+tmpl AS (
+  SELECT lp.host, lp.line
+  FROM (SELECT host, line, COUNT(DISTINCT url) AS n_pages
+        FROM lines GROUP BY host, line) lp
+  JOIN hp ON lp.host = hp.host
+  WHERE hp.host_pages >= 4
+    AND lp.n_pages * 1000000 >= 600000 * hp.host_pages)
+SELECT l.doc_id, l.url,
+       coalesce(string_agg(CASE WHEN t.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.line_no), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN t.line IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stripped
+FROM lines l
+LEFT JOIN tmpl t ON l.host = t.host AND l.line = t.line
+GROUP BY l.doc_id, l.url
+"""
+
+
 def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3xx canonicalization: follow every redirect chain to its
     terminus (resolved / loop / truncated at 4 hops) over a synthetic
@@ -4723,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_columns": q_layout_columns,
         "wet_export": q_wet_export,
         "redirect_resolve": q_redirect_resolve,
+        "host_template_strip": q_host_template_strip,
     }
 
 
@@ -4821,6 +4888,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_columns": _sql_layout_columns(),
         "wet_export": _sql_wet_export(),
         "redirect_resolve": _sql_redirect_resolve(),
+        "host_template_strip": _sql_host_template_strip(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1331,3 +1331,152 @@ def resolve_redirects(
             status.alias("status"),
         )
     return state.select("src_url", "final_url", "n_hops", "status")
+
+
+# ---------------------------------------------------------------------------
+# per-host template (chrome) line removal
+# ---------------------------------------------------------------------------
+
+
+def synthetic_host_lined_pages(
+    docs: DataFrame, n_hosts: int = 8
+) -> DataFrame:
+    """(doc_id, host, url, text) — a multi-line page table where every
+    host stamps shared chrome around per-document body lines: a nav
+    line and a copyright footer on EVERY page of the host (true
+    template), a promo line on only ~half the host's pages (below any
+    sane template threshold — must survive), and three body lines cut
+    from the document's own text (unique per page).  ``concat_ws``
+    skips the NULL promo on both engines, so line numbering stays
+    dense."""
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (d % n_hosts).cast("string"), F.lit(".example.org")
+    )
+    body = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\n"), F.lit(" ")
+    )
+    promo = F.when(
+        _nib(F.md5(d.cast("string")), 13) % 2 == 0,
+        F.concat(F.lit("PROMO newsletter for "), host),
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 d.cast("string")).alias("url"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV "), host,
+                     F.lit(" home products about contact")),
+            promo,
+            F.concat(F.lit("BODY0 "), F.substring(body, 1, 80)),
+            F.concat(F.lit("BODY1 "), F.substring(body, 81, 80)),
+            F.concat(F.lit("BODY2 "), F.substring(body, 161, 80)),
+            F.concat(F.lit("(c) 2026 "), host),
+        ).alias("text"),
+    )
+
+
+def _page_lines(pages: DataFrame) -> DataFrame:
+    """Positional line explode of the page text (dense 0-based
+    ``line_no``); carries (doc_id, url, host)."""
+    return pages.select(
+        "doc_id",
+        "url",
+        "host",
+        F.posexplode(F.split(F.col("text"), "\n", -1)).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def host_template_lines(
+    pages: DataFrame,
+    min_host_pages: int = 4,
+    template_frac_ppm: int = 600_000,
+) -> DataFrame:
+    """Detect per-host template (chrome) lines: a line is template when
+    it appears on ≥ ``template_frac_ppm``/1e6 of a host's pages and the
+    host has ≥ ``min_host_pages`` pages (small hosts give no frequency
+    evidence).  This is the HOST-scoped complement of the corpus-level
+    RefinedWeb line dedup (`operators/cleaning.corpus_line_dedup`):
+    navigation/footer chrome repeats within a site, not across the
+    corpus, so the frequency denominator must be the host's own page
+    count.
+
+    Scale shape: one hash aggregate per relation — page counts per
+    host and distinct page counts per (host, line) — then an equi-join
+    on ``host``.  Both aggregates partial-combine map-side; the join
+    keys are already hash-partitioned on ``host`` by the page-count
+    aggregate, so AQE reuses the exchange.  Neither side is broadcast:
+    hosts are crawl-cardinality (10⁸⁺), the textbook non-broadcastable
+    dimension.  Hot hosts (mega-sites) skew the (host, line) aggregate
+    only by their OWN chrome-line count, not their page count, because
+    the explode's distinct-per-page pre-aggregation spreads on
+    (host, line, url) before the final (host, line) combine.
+
+    Output: (host, line, n_pages, host_pages), the template relation.
+    """
+    lines = _page_lines(pages)
+    host_pages = pages.groupBy("host").agg(
+        F.countDistinct("url").alias("host_pages")
+    )
+    line_pages = (
+        lines.select("host", "line", "url")
+        .distinct()
+        .groupBy("host", "line")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    return line_pages.join(host_pages, "host").filter(
+        (F.col("host_pages") >= min_host_pages)
+        & (
+            F.col("n_pages") * 1_000_000
+            >= template_frac_ppm * F.col("host_pages")
+        )
+    )
+
+
+def strip_host_template(
+    pages: DataFrame, templates: DataFrame
+) -> DataFrame:
+    """Remove every template line from every page of its host and
+    reassemble the page in line order — the deboilerplate step that
+    per-host chrome detection exists for.
+
+    Scale shape: explode → LEFT equi-join on (host, line) against the
+    template relation → one hash aggregate back to page grain.  The
+    template relation is chrome-sized per host but host-cardinality
+    overall, so it joins by shuffle on the same (host-prefixed) key the
+    reassembly aggregate uses.  The kept-lines array is materialized as
+    a NAMED column before the ``transform`` lambda touches it
+    (BENCH/PLANS.md lambda-trap discipline).
+
+    Output: (doc_id, url, clean_text, n_lines, n_stripped).
+    """
+    lines = _page_lines(pages)
+    tmpl = templates.select("host", "line").withColumn(
+        "_is_t", F.lit(True)
+    )
+    marked = lines.join(tmpl, ["host", "line"], "left")
+    agg = marked.groupBy("doc_id", "url").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_is_t").isNull(),
+                    F.struct("line_no", "line"),
+                )
+            )
+        ).alias("_kept"),
+        F.count("*").alias("n_lines"),
+        F.count("_is_t").alias("n_stripped"),
+    )
+    return agg.select(
+        "doc_id",
+        "url",
+        F.array_join(
+            F.transform(F.col("_kept"), lambda s: s["line"]), "\n"
+        ).alias("clean_text"),
+        "n_lines",
+        "n_stripped",
+    )

@@ -1207,3 +1207,82 @@ class TestResolveRedirects:
         out = resolve_redirects(synthetic_redirects(docs), max_hops=4)
         statuses = {r["status"] for r in out.select("status").distinct().collect()}
         assert statuses == {"resolved", "loop", "truncated"}
+
+
+class TestHostTemplateStrip:
+    def _pages(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, host string, url string, text string"
+        )
+
+    def test_template_detection_and_strip(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            host_template_lines,
+            strip_host_template,
+        )
+
+        # host A: 4 pages, NAV on all 4, PROMO on 2 of 4, unique bodies
+        rows = [
+            (i, "a.org", f"https://a.org/{i}",
+             "NAV a.org\n" + ("PROMO\n" if i % 2 == 0 else "")
+             + f"body {i}\nfooter a.org")
+            for i in range(4)
+        ]
+        # host B: only 2 pages — below min_host_pages, nothing is template
+        rows += [
+            (10 + i, "b.org", f"https://b.org/{i}",
+             f"NAV b.org\nbody b{i}")
+            for i in range(2)
+        ]
+        pages = self._pages(spark, rows)
+        tmpl = host_template_lines(
+            pages, min_host_pages=4, template_frac_ppm=600_000
+        )
+        got = {(r["host"], r["line"]) for r in tmpl.collect()}
+        # NAV + footer on 100% of a.org pages; PROMO at 50% < 60%;
+        # b.org too small
+        assert got == {("a.org", "NAV a.org"), ("a.org", "footer a.org")}
+
+        clean = {r["url"]: r for r in
+                 strip_host_template(pages, tmpl).collect()}
+        c0 = clean["https://a.org/0"]
+        assert c0["clean_text"] == "PROMO\nbody 0"
+        assert (c0["n_lines"], c0["n_stripped"]) == (4, 2)
+        c1 = clean["https://a.org/1"]
+        assert c1["clean_text"] == "body 1"
+        # small host passes through byte-identical
+        assert clean["https://b.org/0"]["clean_text"] == "NAV b.org\nbody b0"
+        assert clean["https://b.org/0"]["n_stripped"] == 0
+
+    def test_all_template_page_collapses_to_empty(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            host_template_lines,
+            strip_host_template,
+        )
+
+        rows = [
+            (i, "c.org", f"https://c.org/{i}", "same\nchrome")
+            for i in range(5)
+        ]
+        pages = self._pages(spark, rows)
+        tmpl = host_template_lines(pages)
+        out = strip_host_template(pages, tmpl).collect()
+        assert all(
+            r["clean_text"] == "" and r["n_stripped"] == 2 for r in out
+        )
+
+    def test_duplicate_line_within_one_page_counts_once(self, spark):
+        from igtdetect_spark.operators.webpages import host_template_lines
+
+        # "x" appears TWICE on one page of 4 — page-frequency is 1/4,
+        # not 2/4, so it must not become template
+        rows = [(0, "d.org", "https://d.org/0", "x\nx\nu0")] + [
+            (i, "d.org", f"https://d.org/{i}", f"u{i}\nv{i}")
+            for i in range(1, 4)
+        ]
+        tmpl = host_template_lines(
+            self._pages(spark, rows),
+            min_host_pages=4,
+            template_frac_ppm=500_000,
+        )
+        assert tmpl.count() == 0
