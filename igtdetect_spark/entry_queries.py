@@ -4504,9 +4504,13 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_redirect_resolve() -> str:
-    return r"""
-WITH RECURSIVE e AS (
+# Shared oracle fragment: the synthetic redirect edge table and the
+# bounded recursive walk with terminal-status classification (mirror of
+# operators.webpages.synthetic_redirects + resolve_redirects at
+# max_hops=4).  Used WITH RECURSIVE by both the resolver query and the
+# alias-attribution query.
+_SQL_REDIRECT_WALK = r"""
+e AS (
   SELECT 'https://r.example.org/' || CAST(doc_id AS VARCHAR) AS src_url,
          CASE (strpos('0123456789abcdef',
                  substring(md5(CAST(doc_id AS VARCHAR)), 12, 1)) - 1) % 4
@@ -4538,16 +4542,69 @@ last AS (
          row_number() OVER (PARTITION BY src_url
                             ORDER BY n_hops DESC) AS rk
   FROM walk
-)
-SELECT l.src_url, l.cur AS final_url, l.n_hops,
-       CASE
-         WHEN NOT EXISTS (SELECT 1 FROM e WHERE e.src_url = l.cur)
-           THEN 'resolved'
-         WHEN list_contains(l.seen, l.cur) THEN 'loop'
-         ELSE 'truncated'
-       END AS status
-FROM last l WHERE rk = 1
+),
+resolved0 AS (
+  SELECT l.src_url, l.cur AS final_url, l.n_hops,
+         CASE
+           WHEN NOT EXISTS (SELECT 1 FROM e WHERE e.src_url = l.cur)
+             THEN 'resolved'
+           WHEN list_contains(l.seen, l.cur) THEN 'loop'
+           ELSE 'truncated'
+         END AS status
+  FROM last l WHERE rk = 1
+)"""
+
+
+def _sql_redirect_resolve() -> str:
+    return (
+        "WITH RECURSIVE " + _SQL_REDIRECT_WALK
+        + "\nSELECT src_url, final_url, n_hops, status FROM resolved0\n"
+    )
+
+
+def q_canonical_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias → canonical-page attribution: content pages (URLs with no
+    outgoing 3xx) credited with the alias URLs whose resolved redirect
+    walk terminates at them — the dedup/credit step a crawler runs
+    right after 3xx canonicalization. One anti join (content = pages
+    minus redirect sources), the unrolled walk, one final_url hash agg,
+    one left join back; all url-keyed shuffles, nothing broadcast."""
+    from .operators.webpages import attribute_aliases, synthetic_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://r.example.org/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        "doc_id",
+    )
+    return attribute_aliases(
+        pages, synthetic_redirects(docs), max_hops=4
+    )
+
+
+def _sql_canonical_attribution() -> str:
+    return (
+        "WITH RECURSIVE " + _SQL_REDIRECT_WALK
+        + r""",
+pages AS (
+  SELECT 'https://r.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id
+  FROM documents),
+content AS (
+  SELECT p.* FROM pages p
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src_url = p.url)),
+alias_agg AS (
+  SELECT final_url AS url, CAST(COUNT(*) AS BIGINT) AS n_aliases,
+         MAX(n_hops) AS max_alias_hops
+  FROM resolved0 WHERE status = 'resolved'
+  GROUP BY final_url)
+SELECT c.url, c.doc_id,
+       coalesce(a.n_aliases, 0) AS n_aliases,
+       coalesce(a.max_alias_hops, 0) AS max_alias_hops
+FROM content c LEFT JOIN alias_agg a ON c.url = a.url
 """
+    )
 
 
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4790,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "redirect_resolve": q_redirect_resolve,
         "host_template_strip": q_host_template_strip,
+        "canonical_attribution": q_canonical_attribution,
     }
 
 
@@ -4889,6 +4947,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_export": _sql_wet_export(),
         "redirect_resolve": _sql_redirect_resolve(),
         "host_template_strip": _sql_host_template_strip(),
+        "canonical_attribution": _sql_canonical_attribution(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

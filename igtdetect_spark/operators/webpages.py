@@ -1480,3 +1480,46 @@ def strip_host_template(
         "n_lines",
         "n_stripped",
     )
+
+
+def attribute_aliases(
+    pages: DataFrame, redirects: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Attribute redirect aliases to the content page they resolve to —
+    the step after 3xx canonicalization where duplicate fetches of URL
+    aliases collapse onto one canonical page: a crawl sees
+    ``old-url → 301 → new-url`` and must credit discovery (and drop the
+    duplicate fetch) to ``new-url``.
+
+    A *content page* is a page whose URL has no outgoing redirect edge
+    (3xx responses carry no body).  Each such page gets the number of
+    alias URLs whose resolved walk terminates at it and the longest
+    such chain; loop/truncated walks attribute nowhere (crawlers
+    discard them).
+
+    Scale shape: the walk is :func:`resolve_redirects` (unrolled
+    url-keyed equi-joins); attribution adds one LEFT ANTI join (content
+    pages = pages minus redirect sources), one hash aggregate on
+    ``final_url``, and one LEFT equi-join back — every key is a url,
+    every relation crawl-sized, nothing broadcast.
+
+    Output: (url, doc_id, n_aliases, max_alias_hops).
+    """
+    content = pages.join(
+        redirects.select(F.col("src_url").alias("url")), "url", "left_anti"
+    )
+    resolved = (
+        resolve_redirects(redirects, max_hops=max_hops)
+        .filter(F.col("status") == "resolved")
+        .groupBy(F.col("final_url").alias("url"))
+        .agg(
+            F.count("*").alias("n_aliases"),
+            F.max("n_hops").alias("max_alias_hops"),
+        )
+    )
+    return content.join(resolved, "url", "left").select(
+        "url",
+        "doc_id",
+        F.coalesce("n_aliases", F.lit(0)).alias("n_aliases"),
+        F.coalesce("max_alias_hops", F.lit(0)).alias("max_alias_hops"),
+    )

@@ -1286,3 +1286,42 @@ class TestHostTemplateStrip:
             template_frac_ppm=500_000,
         )
         assert tmpl.count() == 0
+
+
+class TestAttributeAliases:
+    def test_attribution_semantics(self, spark):
+        from igtdetect_spark.operators.webpages import attribute_aliases
+
+        pages = spark.createDataFrame(
+            [("c", 1), ("d", 2), ("z", 3)], "url string, doc_id long"
+        )
+        # a->b->c (resolved at content page c), d is plain content,
+        # p<->q loop (attributes nowhere), x->y resolves at y which is
+        # NOT a known content page (dropped on the left join)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("p", "q"), ("q", "p"), ("x", "y")],
+            "src_url string, location string",
+        )
+        got = {r["url"]: r for r in
+               attribute_aliases(pages, edges).collect()}
+        assert set(got) == {"c", "d", "z"}
+        # both a (2 hops) and b (1 hop) credit c
+        assert got["c"]["n_aliases"] == 2
+        assert got["c"]["max_alias_hops"] == 2
+        assert got["d"]["n_aliases"] == 0
+        assert got["d"]["max_alias_hops"] == 0
+
+    def test_redirect_source_is_not_a_content_page(self, spark):
+        from igtdetect_spark.operators.webpages import attribute_aliases
+
+        pages = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "url string, doc_id long"
+        )
+        edges = spark.createDataFrame(
+            [("a", "b")], "src_url string, location string"
+        )
+        got = {r["url"]: r for r in
+               attribute_aliases(pages, edges).collect()}
+        # a 3xxes away → excluded even though it is in the page table
+        assert set(got) == {"b"}
+        assert got["b"]["n_aliases"] == 1
