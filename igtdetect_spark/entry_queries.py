@@ -4607,6 +4607,45 @@ FROM content c LEFT JOIN alias_agg a ON c.url = a.url
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-tier consumer of the extracted
+    corpus): per term, exact df and total tf plus a posting sample of
+    the 16 smallest doc_ids sorted ascending — the sample is capped
+    BEFORE any collect_list so a stopword's posting list never
+    materializes unbounded, and df stays exact so the truncation is
+    disclosed. Hapaxes (df < 2) dropped after stats. One (term, doc_id)
+    hash agg + one term window; the final term group-by reuses the
+    window's partitioning."""
+    from .operators.indexing import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, top_postings=16
+    )
+
+
+def _sql_inverted_index() -> str:
+    return (
+        "WITH " + _SQL_CLEAN_TOKS
+        + r""",
+terms AS (
+  SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM terms GROUP BY term, doc_id),
+stats AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS tf_total
+  FROM tf)
+SELECT term, df, tf_total, list(doc_id ORDER BY doc_id) AS postings
+FROM stats
+WHERE rk <= 16 AND df >= 2
+GROUP BY term, df, tf_total
+"""
+    )
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET sink roundtrip: extraction-funnel main content rendered as
     WARC conversion records (the derived text format CC publishes) and
@@ -4848,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "host_template_strip": q_host_template_strip,
         "canonical_attribution": q_canonical_attribution,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -4948,6 +4988,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": _sql_redirect_resolve(),
         "host_template_strip": _sql_host_template_strip(),
         "canonical_attribution": _sql_canonical_attribution(),
+        "inverted_index": _sql_inverted_index(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

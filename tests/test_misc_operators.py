@@ -1502,3 +1502,52 @@ class TestNbDomainScores:
             assert "CartesianProduct" not in plan, plan
             assert "ArrowEvalPython" not in plan, plan
             assert "BatchEvalPython" not in plan, plan
+
+
+class TestInvertedIndex:
+    def test_semantics_cap_and_df_exactness(self, spark):
+        from igtdetect_spark.operators.indexing import inverted_index
+
+        # "w" in 20 docs (df 20 > cap 3), "x" in 2 (kept), "y" in 1
+        # (hapax, dropped), "z" twice in ONE doc (tf 2, df 1, dropped)
+        rows = [(i, "w") for i in range(20)]
+        rows += [(0, "x w"), (1, "x"), (2, "y"), (3, "z z")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["term"]: r for r in
+               inverted_index(docs, min_df=2, top_postings=3).collect()}
+        assert set(out) == {"w", "x"}
+        w = out["w"]
+        # doc 0 contributes two rows ("w" and "x w") but df is
+        # DOCUMENT-grain: 20 distinct docs, 21 total occurrences
+        assert w["df"] == 20
+        assert w["tf_total"] == 21
+        assert w["postings"] == [0, 1, 2]  # capped, smallest ids, sorted
+        x = out["x"]
+        assert (x["df"], x["tf_total"], x["postings"]) == (2, 2, [0, 1])
+
+    def test_tf_counts_repeats(self, spark):
+        from igtdetect_spark.operators.indexing import term_frequencies
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a")], "doc_id long, text string"
+        )
+        got = {(r["term"], r["doc_id"]): r["tf"]
+               for r in term_frequencies(docs).collect()}
+        assert got == {("a", 1): 2, ("b", 1): 1, ("a", 2): 1}
+
+    def test_plan_no_python_no_unbounded_collect_shuffles(self, spark):
+        from igtdetect_spark.operators.indexing import inverted_index
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            inverted_index(docs)._jdf.queryExecution().executedPlan()
+        )
+        assert "ArrowEvalPython" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        # (term, doc_id) agg + term window + final agg: the final
+        # group-by must reuse the window's term partitioning, so at
+        # most 2 data exchanges appear.
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
