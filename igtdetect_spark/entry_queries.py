@@ -3973,6 +3973,69 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-farm screen over the host graph: per-host
+    in/out/self link masses plus reciprocity (distinct external
+    out-neighbours that link straight back, integral ppm), flagging
+    hosts whose reciprocity ≥ 50% across ≥ 2 out-neighbours. Runs
+    entirely at host-pair grain — three hash aggregates + one
+    pair-vs-swapped-pair semi-join, nothing broadcast."""
+    from .operators.webpages import (
+        host_graph,
+        link_spam_scores,
+        synthetic_linked_pages,
+    )
+
+    return link_spam_scores(
+        host_graph(synthetic_linked_pages(_t(spark, sf_dir, "documents")))
+    )
+
+
+def _sql_link_spam() -> str:
+    return f"""
+WITH hg AS ({_sql_host_graph()}),
+ext AS (
+  SELECT src_host, dst_host, n_links FROM hg WHERE NOT internal),
+out_a AS (
+  SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS out_links,
+         CAST(COUNT(*) AS BIGINT) AS out_hosts
+  FROM ext GROUP BY 1),
+in_a AS (
+  SELECT dst_host AS host, CAST(SUM(n_links) AS BIGINT) AS in_links
+  FROM ext GROUP BY 1),
+self_a AS (
+  SELECT src_host AS host, CAST(SUM(n_links) AS BIGINT) AS self_links
+  FROM hg WHERE internal GROUP BY 1),
+recip AS (
+  SELECT a.src_host AS host, CAST(COUNT(*) AS BIGINT) AS recip_hosts
+  FROM ext a JOIN ext b
+    ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+  GROUP BY 1),
+hosts AS (
+  SELECT src_host AS host FROM hg
+  UNION SELECT dst_host FROM hg),
+m AS (
+  SELECT h.host,
+         coalesce(out_links, 0) AS out_links,
+         coalesce(in_links, 0) AS in_links,
+         coalesce(self_links, 0) AS self_links,
+         coalesce(out_hosts, 0) AS out_hosts,
+         coalesce(recip_hosts, 0) AS recip_hosts
+  FROM hosts h
+  LEFT JOIN out_a USING (host) LEFT JOIN in_a USING (host)
+  LEFT JOIN self_a USING (host) LEFT JOIN recip USING (host))
+SELECT *,
+       CASE WHEN out_hosts > 0
+            THEN recip_hosts * 1000000 // out_hosts
+            ELSE CAST(0 AS BIGINT) END AS recip_ppm,
+       (CASE WHEN out_hosts > 0
+             THEN recip_hosts * 1000000 // out_hosts
+             ELSE CAST(0 AS BIGINT) END) >= 500000
+         AND out_hosts >= 2 AS is_farm
+FROM m
+"""
+
+
 def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-change detection across recrawls: canonicalize the
     synthetic fetch table, fingerprint each fetch (md5 over canonical
@@ -4888,6 +4951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_strip": q_host_template_strip,
         "canonical_attribution": q_canonical_attribution,
         "inverted_index": q_inverted_index,
+        "link_spam": q_link_spam,
     }
 
 
@@ -4989,6 +5053,7 @@ def oracle_sql() -> dict[str, str]:
         "host_template_strip": _sql_host_template_strip(),
         "canonical_attribution": _sql_canonical_attribution(),
         "inverted_index": _sql_inverted_index(),
+        "link_spam": _sql_link_spam(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1523,3 +1523,94 @@ def attribute_aliases(
         F.coalesce("n_aliases", F.lit(0)).alias("n_aliases"),
         F.coalesce("max_alias_hops", F.lit(0)).alias("max_alias_hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link-spam (link-farm) host scoring
+# ---------------------------------------------------------------------------
+
+
+def link_spam_scores(
+    host_edges: DataFrame,
+    recip_ppm_threshold: int = 500_000,
+    min_out_hosts: int = 2,
+) -> DataFrame:
+    """Host-level link-spam signals over the HOST graph (the
+    :func:`host_graph` rollup): link farms interlink reciprocally and
+    push far more distinct outgoing host-edges than organic sites, so
+    the classic screen is reciprocity — the fraction of a host's
+    distinct external out-neighbours that link straight back — plus
+    the raw in/out/self link masses for downstream weighting.
+
+    ``is_farm`` fires when reciprocity ≥ ``recip_ppm_threshold`` ppm
+    over ≥ ``min_out_hosts`` distinct out-neighbours (one mutual link
+    between two blogs is friendship, not a farm).
+
+    Scale shape: everything runs at HOST-PAIR grain (the rollup's key
+    space, orders of magnitude below edges).  Three hash aggregates
+    (out / in / self masses), one self-equi-join of the external pair
+    relation against its own swap for reciprocity — both sides
+    hash-partition on (host, host), no broadcast (hosts are
+    crawl-cardinality), fan-out impossible because pairs are unique —
+    then a left-join merge onto the host universe.  Integral ppm
+    (BIGINT ``div``) keeps the output hash-exact cross-engine.
+
+    Output: (host, out_links, in_links, self_links, out_hosts,
+    recip_hosts, recip_ppm, is_farm).
+    """
+    ext = host_edges.filter(~F.col("internal")).select(
+        "src_host", "dst_host", "n_links"
+    )
+    out_a = ext.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("n_links").alias("out_links"),
+        F.count("*").alias("out_hosts"),
+    )
+    in_a = ext.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("n_links").alias("in_links")
+    )
+    self_a = (
+        host_edges.filter(F.col("internal"))
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.sum("n_links").alias("self_links"))
+    )
+    pairs = ext.select("src_host", "dst_host")
+    swapped = pairs.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    recip = (
+        pairs.join(swapped, ["src_host", "dst_host"], "left_semi")
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.count("*").alias("recip_hosts"))
+    )
+    hosts = (
+        host_edges.select(F.col("src_host").alias("host"))
+        .union(host_edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    merged = (
+        hosts.join(out_a, "host", "left")
+        .join(in_a, "host", "left")
+        .join(self_a, "host", "left")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("self_links", F.lit(0)).alias("self_links"),
+            F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+            F.coalesce("recip_hosts", F.lit(0)).alias("recip_hosts"),
+        )
+    )
+    recip_ppm = F.when(
+        F.col("out_hosts") > 0,
+        F.expr("recip_hosts * 1000000 div out_hosts"),
+    ).otherwise(F.lit(0).cast("long"))
+    return merged.select(
+        "*",
+        recip_ppm.alias("recip_ppm"),
+    ).withColumn(
+        "is_farm",
+        (F.col("recip_ppm") >= recip_ppm_threshold)
+        & (F.col("out_hosts") >= min_out_hosts),
+    )

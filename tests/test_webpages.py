@@ -1325,3 +1325,53 @@ class TestAttributeAliases:
         # a 3xxes away → excluded even though it is in the page table
         assert set(got) == {"b"}
         assert got["b"]["n_aliases"] == 1
+
+
+class TestLinkSpam:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "src_host string, dst_host string, n_links long, "
+            "n_src_pages long, internal boolean",
+        )
+
+    def test_farm_vs_organic(self, spark):
+        from igtdetect_spark.operators.webpages import link_spam_scores
+
+        rows = [
+            # farm triangle f1/f2/f3: full reciprocity
+            ("f1", "f2", 5, 1, False), ("f2", "f1", 5, 1, False),
+            ("f1", "f3", 5, 1, False), ("f3", "f1", 5, 1, False),
+            ("f2", "f3", 5, 1, False), ("f3", "f2", 5, 1, False),
+            # organic o links OUT to two hosts, nobody links back
+            ("o", "n1", 2, 1, False), ("o", "n2", 1, 1, False),
+            # one mutual pair — reciprocity 100% but only 1 out-host
+            ("m1", "m2", 1, 1, False), ("m2", "m1", 1, 1, False),
+            # self links
+            ("f1", "f1", 7, 2, True),
+        ]
+        got = {r["host"]: r for r in
+               link_spam_scores(self._edges(spark, rows)).collect()}
+        f1 = got["f1"]
+        assert f1["is_farm"] and f1["recip_ppm"] == 1_000_000
+        assert f1["out_hosts"] == 2 and f1["self_links"] == 7
+        assert f1["out_links"] == 10 and f1["in_links"] == 10
+        o = got["o"]
+        assert not o["is_farm"] and o["recip_ppm"] == 0
+        assert o["out_links"] == 3
+        # mutual pair below min_out_hosts → not a farm
+        assert not got["m1"]["is_farm"]
+        assert got["m1"]["recip_ppm"] == 1_000_000
+        # sink-only hosts appear with zero masses
+        assert got["n1"]["out_links"] == 0 and not got["n1"]["is_farm"]
+
+    def test_partial_reciprocity_threshold(self, spark):
+        from igtdetect_spark.operators.webpages import link_spam_scores
+
+        # p links to 4 hosts, exactly 1 links back → 25% < 50%
+        rows = [("p", f"q{i}", 1, 1, False) for i in range(4)]
+        rows.append(("q0", "p", 1, 1, False))
+        got = {r["host"]: r for r in
+               link_spam_scores(self._edges(spark, rows)).collect()}
+        assert got["p"]["recip_ppm"] == 250_000
+        assert not got["p"]["is_farm"]
