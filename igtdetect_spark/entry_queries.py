@@ -4772,6 +4772,115 @@ FROM sp
 """
 
 
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT sink roundtrip (completes the CC artifact trio next to WARC
+    parse and WET export): per-page link metadata rendered as
+    ``WARC-Type: metadata`` records with a concatenation-built JSON
+    payload, parsed BACK through the WARC splitter and then queried
+    with real JSON-path functions — length_ok + payload_md5 prove the
+    record bytes, links_count/first_link prove the payload is
+    well-formed JSON on both engines."""
+    from .operators.webpages import synthetic_linked_pages
+    from .sources.warc import parse_warc, wat_records
+
+    pages = synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    w = parse_warc(wat_records(pages), with_payload=True)
+    return w.select(
+        "url",
+        "warc_type",
+        "warc_date_ts",
+        "content_length",
+        "payload_octets",
+        "payload_md5",
+        "length_ok",
+        F.get_json_object("payload", "$.envelope.links_count")
+        .cast("long").alias("links_count"),
+        F.get_json_object("payload", "$.envelope.links[0]")
+        .alias("first_link"),
+    )
+
+
+def _sql_wat_export() -> str:
+    crlf = "chr(13) || chr(10)"
+    page_url = _SQL_PAGE_URL.format(x="d.doc_id")
+    return rf"""
+WITH links AS ({_SQL_LINK_SLOTS}),
+lk AS (
+  SELECT src_id,
+         list(dst_url ORDER BY dst_url) AS ls
+  FROM (
+    SELECT src_id,
+           CASE WHEN j = 3
+             THEN 'https://ext' || CAST(tgt AS VARCHAR) || '.example.net/'
+             ELSE {_SQL_PAGE_URL.format(x="tgt")} END AS dst_url
+    FROM links) GROUP BY src_id
+),
+pg AS (
+  SELECT d.doc_id, {page_url} AS url,
+         coalesce(ls, []) AS arr
+  FROM documents d LEFT JOIN lk ON lk.src_id = d.doc_id
+),
+pay AS (
+  SELECT doc_id, url,
+         '{{"envelope":{{"uri":"'
+         || replace(replace(url, chr(92), chr(92) || chr(92)),
+                    '"', chr(92) || '"')
+         || '","record_id":"urn:md5:' || md5(CAST(doc_id AS VARCHAR))
+         || '","links":'
+         || CASE WHEN len(arr) = 0 THEN '[]'
+                 ELSE '["' || array_to_string(
+                        list_transform(arr, x ->
+                          replace(replace(x, chr(92),
+                                          chr(92) || chr(92)),
+                                  '"', chr(92) || '"')), '","')
+                      || '"]' END
+         || ',"links_count":' || CAST(len(arr) AS VARCHAR) || '}}}}'
+           AS payload
+  FROM pg
+),
+rec AS (
+  SELECT 'WARC/1.0' || {crlf}
+      || 'WARC-Type: metadata' || {crlf}
+      || 'WARC-Target-URI: ' || url || {crlf}
+      || 'WARC-Date: '
+      || strftime(make_timestamp(
+           (1735689600 + (doc_id * 7919) % 8640000) * 1000000),
+           '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+      || 'WARC-Refers-To: <urn:md5:'
+      || md5(CAST(doc_id AS VARCHAR)) || '>' || {crlf}
+      || 'Content-Type: application/json' || {crlf}
+      || 'Content-Length: '
+      || CAST(octet_length(encode(payload)) AS VARCHAR)
+      || {crlf} || {crlf} || payload AS s
+  FROM pay
+),
+sp AS (
+  SELECT substring(s, 1, strpos(s, chr(13)||chr(10)||chr(13)||chr(10))
+                   - 1) AS head,
+         substring(s, strpos(s, chr(13)||chr(10)||chr(13)||chr(10))
+                   + 4) AS payload
+  FROM rec
+)
+SELECT regexp_extract(head, 'WARC-Target-URI: ([^\r]+)', 1) AS url,
+       regexp_extract(head, 'WARC-Type: ([^\r]+)', 1) AS warc_type,
+       CAST(epoch(strptime(
+         regexp_extract(head, 'WARC-Date: ([^\r]+)', 1),
+         '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS warc_date_ts,
+       CAST(regexp_extract(head, 'Content-Length: ([^\r]+)', 1)
+            AS BIGINT) AS content_length,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_octets,
+       md5(payload) AS payload_md5,
+       octet_length(encode(payload)) = CAST(
+         regexp_extract(head, 'Content-Length: ([^\r]+)', 1) AS BIGINT)
+         AS length_ok,
+       CAST(json_extract_string(payload, '$.envelope.links_count')
+            AS BIGINT) AS links_count,
+       json_extract_string(payload, '$.envelope.links[0]')
+         AS first_link
+FROM sp
+"""
+
+
 def q_layout_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse (north rule): two-column gutter detection +
     de-columnizing over pdftotext-layout-style fixed-width pages — the
@@ -4952,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_attribution": q_canonical_attribution,
         "inverted_index": q_inverted_index,
         "link_spam": q_link_spam,
+        "wat_export": q_wat_export,
     }
 
 
@@ -5054,6 +5164,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_attribution": _sql_canonical_attribution(),
         "inverted_index": _sql_inverted_index(),
         "link_spam": _sql_link_spam(),
+        "wat_export": _sql_wat_export(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

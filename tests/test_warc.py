@@ -287,3 +287,56 @@ class TestWetExport:
         assert "Exchange" not in plan
         for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert py not in plan
+
+
+class TestWatRecords:
+    def _pages(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "doc_id long, url string, h string")
+        return df.select(
+            "doc_id", "url", F.encode("h", "utf-8").alias("html")
+        )
+
+    def test_payload_json_and_roundtrip(self, spark):
+        from igtdetect_spark.sources.warc import parse_warc, wat_records
+
+        pages = self._pages(spark, [
+            (1, "https://a.org/1",
+             '<a href="https://b.org/x">b</a><a href="https://a.org/2">a</a>'),
+            (2, "https://a.org/2", "<p>no links</p>"),
+        ])
+        out = {r["url"]: r for r in parse_warc(
+            wat_records(pages), with_payload=True).collect()}
+        import json
+
+        r1 = json.loads(out["https://a.org/1"]["payload"])
+        # links sorted; count matches; envelope fields present
+        assert r1["envelope"]["links"] == [
+            "https://a.org/2", "https://b.org/x"
+        ]
+        assert r1["envelope"]["links_count"] == 2
+        assert r1["envelope"]["uri"] == "https://a.org/1"
+        r2 = json.loads(out["https://a.org/2"]["payload"])
+        assert r2["envelope"]["links"] == []
+        assert r2["envelope"]["links_count"] == 0
+        # container integrity
+        for r in out.values():
+            assert r["warc_type"] == "metadata"
+            assert r["length_ok"]
+
+    def test_quote_and_backslash_escaped(self, spark):
+        from igtdetect_spark.sources.warc import parse_warc, wat_records
+
+        pages = self._pages(spark, [
+            (3, 'https://a.org/?q="x"\\y',
+             '<a href="https://b.org/\\"">z</a>'),
+        ])
+        row = parse_warc(wat_records(pages), with_payload=True).collect()[0]
+        import json
+
+        env = json.loads(row["payload"])["envelope"]  # must not raise
+        assert env["uri"] == 'https://a.org/?q="x"\\y'
+        # href stops at the attribute's closing quote, leaving a LONE
+        # trailing backslash — which must not eat the JSON close-quote
+        assert env["links"] == ["https://b.org/\\"]
