@@ -112,6 +112,8 @@ def main():
         "host_graph", "recrawl_delta", "charset_decode", "host_quality_gate",
         "cdx_index", "sitemap_parse", "mime_sniff", "fetch_schedule",
         "frontier_gap", "layout_columns", "wet_export",
+        "redirect_resolve", "host_template_strip", "canonical_attribution",
+        "inverted_index", "link_spam", "wat_export",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -3973,6 +3973,60 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization with per-host politeness caps: the
+    uncrawled sitemap frontier scored by integral sitemap-evidence +
+    link-popularity weights (n_refs·1000 + priority_ppm/1000 +
+    in_degree·500), then row_number-capped to 3 candidates per host so
+    no site monopolizes the fetch budget. One url-keyed left join + one
+    host window; nothing broadcast."""
+    from .operators.webpages import (
+        _page_url,
+        frontier_gap,
+        frontier_priority,
+        link_graph,
+        sitemap_entries,
+        synthetic_linked_pages,
+        synthetic_sitemaps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gap = frontier_gap(
+        sitemap_entries(synthetic_sitemaps(docs)),
+        docs.select(_page_url(F.col("doc_id")).alias("url")),
+    )
+    return frontier_priority(
+        gap, link_graph(synthetic_linked_pages(docs)), per_host_cap=3
+    )
+
+
+def _sql_frontier_priority() -> str:
+    return f"""
+WITH fg AS ({_sql_frontier_gap()}),
+lg AS ({_sql_link_graph()}),
+j AS (
+  SELECT regexp_extract(f.loc, '^https?://([^/:]+)', 1) AS host,
+         f.loc, f.n_refs,
+         coalesce(l.in_degree, 0) AS in_degree,
+         coalesce(f.max_priority_ppm, 0) AS prio
+  FROM fg f LEFT JOIN lg l ON f.loc = l.dst_url),
+s AS (
+  SELECT host, loc, n_refs, in_degree,
+         CAST(n_refs * 1000 + prio // 1000 + in_degree * 500
+              AS BIGINT) AS score
+  FROM j),
+r AS (
+  SELECT host, loc, score,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY score DESC, loc) AS BIGINT)
+           AS host_rank,
+         n_refs, in_degree
+  FROM s)
+SELECT host, loc, score, host_rank, n_refs, in_degree
+FROM r WHERE host_rank <= 3
+"""
+
+
 def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level link-farm screen over the host graph: per-host
     in/out/self link masses plus reciprocity (distinct external
@@ -5062,6 +5116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "link_spam": q_link_spam,
         "wat_export": q_wat_export,
+        "frontier_priority": q_frontier_priority,
     }
 
 
@@ -5165,6 +5220,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _sql_inverted_index(),
         "link_spam": _sql_link_spam(),
         "wat_export": _sql_wat_export(),
+        "frontier_priority": _sql_frontier_priority(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

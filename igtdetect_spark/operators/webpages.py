@@ -1614,3 +1614,59 @@ def link_spam_scores(
         (F.col("recip_ppm") >= recip_ppm_threshold)
         & (F.col("out_hosts") >= min_out_hosts),
     )
+
+
+def frontier_priority(
+    gap: DataFrame, link_stats: DataFrame, per_host_cap: int = 3
+) -> DataFrame:
+    """Rank the uncrawled frontier and apply per-host politeness caps —
+    the step after :func:`frontier_gap` that decides what actually gets
+    fetched next: each candidate's score combines sitemap evidence
+    (reference count, advertised priority) with link-graph popularity
+    (in-degree of the candidate URL), and a per-host ``row_number``
+    keeps only the top ``per_host_cap`` candidates so one mega-site
+    cannot monopolize the fetch budget.
+
+    Score is INTEGRAL (BIGINT ``div`` arithmetic): n_refs·1000 +
+    priority_ppm/1000 + in_degree·500 — hash-exact cross-engine, and
+    the weights are explicit constants a production config would own.
+
+    Scale shape: one url-keyed LEFT join (frontier × link stats, both
+    crawl-sized, nothing broadcast) + ONE window shuffle on host. The
+    per-host cap bounds every reducer's output, and the window state is
+    a counter — host skew (one host with 10⁸ candidates) is the sort
+    cost of that host's partition, which AQE skew-split handles because
+    row_number only needs per-key sorted runs.
+
+    Output: (host, loc, score, host_rank, n_refs, in_degree).
+    """
+    from pyspark.sql.window import Window
+
+    j = gap.join(
+        link_stats.select(
+            F.col("dst_url").alias("loc"), "in_degree"
+        ),
+        "loc",
+        "left",
+    ).select(
+        F.regexp_extract("loc", r"^https?://([^/:]+)", 1).alias("host"),
+        "loc",
+        "n_refs",
+        F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        F.coalesce("max_priority_ppm", F.lit(0)).alias("_prio"),
+    )
+    s = j.withColumn(
+        "score",
+        F.expr("n_refs * 1000 + _prio div 1000 + in_degree * 500")
+        .cast("long"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("loc")
+    )
+    return (
+        s.withColumn(
+            "host_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("host_rank") <= per_host_cap)
+        .select("host", "loc", "score", "host_rank", "n_refs", "in_degree")
+    )

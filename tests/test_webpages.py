@@ -1375,3 +1375,54 @@ class TestLinkSpam:
                link_spam_scores(self._edges(spark, rows)).collect()}
         assert got["p"]["recip_ppm"] == 250_000
         assert not got["p"]["is_farm"]
+
+
+class TestFrontierPriority:
+    def test_scoring_and_per_host_cap(self, spark):
+        from igtdetect_spark.operators.webpages import frontier_priority
+
+        gap = spark.createDataFrame(
+            [
+                # host a: 4 candidates — cap must cut to 3
+                ("https://a/1", 2, 800_000, None),
+                ("https://a/2", 1, None, None),
+                ("https://a/3", 1, 200_000, None),
+                ("https://a/4", 1, 100_000, None),
+                ("https://b/x", 1, None, None),
+            ],
+            "loc string, n_refs long, max_priority_ppm long, "
+            "latest_lastmod string",
+        )
+        link_stats = spark.createDataFrame(
+            [("https://a/2", 10, 5, True)],
+            "dst_url string, in_degree long, n_src long, "
+            "is_internal boolean",
+        )
+        rows = frontier_priority(gap, link_stats, per_host_cap=3).collect()
+        by_loc = {r["loc"]: r for r in rows}
+        # a/1: 2*1000 + 800 + 0 = 2800; a/2: 1000 + 0 + 5000 = 6000
+        assert by_loc["https://a/2"]["score"] == 6000
+        assert by_loc["https://a/2"]["host_rank"] == 1
+        assert by_loc["https://a/1"]["score"] == 2800
+        assert by_loc["https://a/1"]["host_rank"] == 2
+        # host a capped at 3: the weakest (a/4, score 1100 < a/3 1200)
+        # is dropped
+        a_locs = {r["loc"] for r in rows if r["host"] == "a"}
+        assert a_locs == {"https://a/1", "https://a/2", "https://a/3"}
+        assert by_loc["https://b/x"]["host_rank"] == 1
+
+    def test_tie_breaks_on_loc(self, spark):
+        from igtdetect_spark.operators.webpages import frontier_priority
+
+        gap = spark.createDataFrame(
+            [("https://h/b", 1, None, None), ("https://h/a", 1, None, None)],
+            "loc string, n_refs long, max_priority_ppm long, "
+            "latest_lastmod string",
+        )
+        empty = spark.createDataFrame(
+            [], "dst_url string, in_degree long, n_src long, "
+                "is_internal boolean",
+        )
+        rows = {r["loc"]: r["host_rank"] for r in
+                frontier_priority(gap, empty, per_host_cap=2).collect()}
+        assert rows == {"https://h/a": 1, "https://h/b": 2}
