@@ -3973,6 +3973,68 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 screen: error pages served as HTTP 200 flagged by (a)
+    exact match against the host's PROBED error-template fingerprint
+    (sic-transit random-URL probing) or (b) an error phrase on a thin
+    page (< 12 tokens). The synthetic table routes docs to normal /
+    phrase-error / template-clone shapes by an md5 nibble so all three
+    branches fire. Per-row screens + one host-keyed left join against
+    the probe relation (host-cardinality — shuffle, never broadcast)."""
+    from .operators.webpages import (
+        soft404_probes,
+        soft404_screen,
+        synthetic_soft404_pages,
+    )
+
+    pages = synthetic_soft404_pages(_t(spark, sf_dir, "documents"))
+    return soft404_screen(pages, soft404_probes(pages))
+
+
+def _sql_soft404() -> str:
+    return r"""
+WITH pages0 AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS host,
+         replace(coalesce(text, ''), chr(10), ' ') AS body,
+         (strpos('0123456789abcdef',
+            substring(md5(CAST(doc_id AS VARCHAR)), 14, 1)) - 1) % 8 AS b
+  FROM documents),
+pages AS (
+  SELECT doc_id, host,
+         'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN b = 6
+                THEN 'Error 404 - page not found. ' || substring(body, 1, 20)
+              WHEN b = 7
+                THEN 'The page you requested does not exist on ' || host
+                     || '. Try the homepage.'
+              ELSE body END AS text
+  FROM pages0),
+probes AS (
+  SELECT DISTINCT host,
+         md5('The page you requested does not exist on ' || host
+             || '. Try the homepage.') AS probe_md5
+  FROM pages)
+SELECT p.doc_id, p.url,
+       regexp_matches(lower(p.text),
+         '(error 404|not found|does not exist|no longer available)')
+         AS has_phrase,
+       CAST(len(list_filter(
+              string_split(trim(regexp_replace(p.text,
+                '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+              x -> length(x) > 0)) AS BIGINT) AS n_toks,
+       coalesce(md5(p.text) = pr.probe_md5, false) AS template_match,
+       coalesce(md5(p.text) = pr.probe_md5, false)
+         OR (regexp_matches(lower(p.text),
+               '(error 404|not found|does not exist|no longer available)')
+             AND len(list_filter(
+                   string_split(trim(regexp_replace(p.text,
+                     '[ \t\n\r\f\x0b]+', ' ', 'g')), ' '),
+                   x -> length(x) > 0)) < 12) AS is_soft404
+FROM pages p LEFT JOIN probes pr ON p.host = pr.host
+"""
+
+
 def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier prioritization with per-host politeness caps: the
     uncrawled sitemap frontier scored by integral sitemap-evidence +
@@ -5117,6 +5179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_spam": q_link_spam,
         "wat_export": q_wat_export,
         "frontier_priority": q_frontier_priority,
+        "soft404": q_soft404,
     }
 
 
@@ -5221,6 +5284,7 @@ def oracle_sql() -> dict[str, str]:
         "link_spam": _sql_link_spam(),
         "wat_export": _sql_wat_export(),
         "frontier_priority": _sql_frontier_priority(),
+        "soft404": _sql_soft404(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

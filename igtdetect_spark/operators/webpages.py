@@ -1670,3 +1670,121 @@ def frontier_priority(
         .filter(F.col("host_rank") <= per_host_cap)
         .select("host", "loc", "score", "host_rank", "n_refs", "in_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# soft-404 detection
+# ---------------------------------------------------------------------------
+
+#: Error-page phrase screen (lowercased match; Java ∩ RE2 regex subset
+#: so the DuckDB oracle runs the same pattern byte-for-byte).
+SOFT404_PHRASE_RE = (
+    r"(error 404|not found|does not exist|no longer available)"
+)
+
+
+def synthetic_soft404_pages(
+    docs: DataFrame, n_hosts: int = 8
+) -> DataFrame:
+    """(doc_id, host, url, title, text): a page table where md5 nibble
+    14 routes each document to one of three shapes — a normal content
+    page (body = the document text), an error-PHRASE page (thin text
+    carrying '404 - page not found'), or a host-TEMPLATE clone (the
+    host's constant custom-error body, identical across the host's
+    clones) — all served as HTTP 200, which is exactly the soft-404
+    problem."""
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (d % n_hosts).cast("string"), F.lit(".example.org")
+    )
+    body = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\n"), F.lit(" ")
+    )
+    b = _nib(F.md5(d.cast("string")), 14) % 8
+    title = (
+        F.when(b == 6, F.lit("Oops"))
+        .when(b == 7, F.lit("Error"))
+        .otherwise(F.concat(F.lit("Doc "), d.cast("string")))
+    )
+    text = (
+        F.when(
+            b == 6,
+            F.concat(
+                F.lit("Error 404 - page not found. "),
+                F.substring(body, 1, 20),
+            ),
+        )
+        .when(b == 7, _soft404_template(host))
+        .otherwise(body)
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 d.cast("string")).alias("url"),
+        title.alias("title"),
+        text.alias("text"),
+    )
+
+
+def _soft404_template(host) -> "F.Column":
+    """The host's constant custom-error body (what probing a random
+    URL on the host returns)."""
+    return F.concat(
+        F.lit("The page you requested does not exist on "), host,
+        F.lit(". Try the homepage."),
+    )
+
+
+def soft404_probes(pages: DataFrame) -> DataFrame:
+    """(host, probe_md5): the fingerprint of each host's error
+    template, as an active random-URL probe would capture it
+    (Bar-Yossef et al. 2004's sic-transit method: fetch a URL that
+    cannot exist, fingerprint what comes back).  Derived here from the
+    hosts present in the page table; in production this relation is
+    the probe crawl's output."""
+    return (
+        pages.select("host")
+        .distinct()
+        .select(
+            "host", F.md5(_soft404_template(F.col("host"))).alias("probe_md5")
+        )
+    )
+
+
+def soft404_screen(pages: DataFrame, probes: DataFrame) -> DataFrame:
+    """Flag soft 404s — error pages served as HTTP 200: a page is
+    flagged when its body md5 equals the host's probed error-template
+    fingerprint (exact template clone), or when it carries an error
+    phrase AND is thin (< 12 whitespace tokens; phrase alone would
+    false-positive on pages ABOUT 404s).
+
+    Scale shape: the phrase/length screens are per-row codegen; the
+    template check is ONE host-keyed LEFT equi-join against the probe
+    relation — host-cardinality (10⁸⁺ hosts at crawl scale), so it is
+    a shuffle join by construction, never a broadcast.
+
+    Output: (doc_id, url, has_phrase, n_toks, template_match,
+    is_soft404).
+    """
+    toks = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0b]+", " ")),
+            " ",
+        ),
+        lambda w: F.length(w) > 0,
+    )
+    j = pages.join(probes, "host", "left")
+    return j.select(
+        "doc_id",
+        "url",
+        F.lower(F.col("text")).rlike(SOFT404_PHRASE_RE).alias("has_phrase"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.coalesce(
+            F.md5(F.col("text")) == F.col("probe_md5"), F.lit(False)
+        ).alias("template_match"),
+    ).withColumn(
+        "is_soft404",
+        F.col("template_match")
+        | (F.col("has_phrase") & (F.col("n_toks") < 12)),
+    )

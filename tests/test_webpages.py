@@ -1426,3 +1426,65 @@ class TestFrontierPriority:
         rows = {r["loc"]: r["host_rank"] for r in
                 frontier_priority(gap, empty, per_host_cap=2).collect()}
         assert rows == {"https://h/a": 1, "https://h/b": 2}
+
+
+class TestSoft404:
+    def test_three_branches(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            soft404_probes,
+            soft404_screen,
+            synthetic_soft404_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pages = synthetic_soft404_pages(docs)
+        out = soft404_screen(pages, soft404_probes(pages))
+        rows = out.collect()
+        tm = [r for r in rows if r["template_match"]]
+        ph = [r for r in rows if r["is_soft404"] and not r["template_match"]]
+        ok = [r for r in rows if not r["is_soft404"]]
+        # all three populations exist
+        assert tm and ph and ok
+        # template clones are flagged regardless of token count
+        assert all(r["is_soft404"] for r in tm)
+        # phrase-only flags are thin
+        assert all(r["n_toks"] < 12 for r in ph)
+
+    def test_phrase_on_long_page_not_flagged(self, spark):
+        from igtdetect_spark.operators.webpages import soft404_screen
+
+        pages = spark.createDataFrame(
+            [
+                # an ARTICLE ABOUT 404s: phrase fires, but 14 tokens
+                (1, "h.org", "https://h.org/a", "t",
+                 "this essay about the error 404 - not found page "
+                 "has plenty of words"),
+                # thin error page
+                (2, "h.org", "https://h.org/b", "t", "Error 404 not found"),
+            ],
+            "doc_id long, host string, url string, title string, "
+            "text string",
+        )
+        probes = spark.createDataFrame(
+            [("h.org", "0" * 32)], "host string, probe_md5 string"
+        )
+        got = {r["doc_id"]: r for r in
+               soft404_screen(pages, probes).collect()}
+        assert got[1]["has_phrase"] and not got[1]["is_soft404"]
+        assert got[2]["is_soft404"] and not got[2]["template_match"]
+
+    def test_unprobed_host_template_check_is_false(self, spark):
+        from igtdetect_spark.operators.webpages import soft404_screen
+
+        pages = spark.createDataFrame(
+            [(1, "x.org", "https://x.org/a", "t", "normal words here")],
+            "doc_id long, host string, url string, title string, "
+            "text string",
+        )
+        probes = spark.createDataFrame(
+            [], "host string, probe_md5 string"
+        )
+        r = soft404_screen(pages, probes).collect()[0]
+        assert r["template_match"] is False and r["is_soft404"] is False
