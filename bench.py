@@ -114,6 +114,7 @@ def main():
         "frontier_gap", "layout_columns", "wet_export",
         "redirect_resolve", "host_template_strip", "canonical_attribution",
         "inverted_index", "link_spam", "wat_export",
+        "frontier_priority", "soft404", "snapshot_upsert",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

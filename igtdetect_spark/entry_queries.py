@@ -3973,6 +3973,94 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot merge (Iceberg MERGE INTO semantics, engine-
+    portable plan): a synthetic base table (nibble-selected docs,
+    version-0 fingerprints) merged with a later delta crawl (nibble-
+    selected overlap, some fetched twice, fingerprints re-versioned by
+    another nibble) so all four outcomes populate — new / carried /
+    updated / unchanged. One url-grain delta aggregate + one url full
+    outer join; both sides crawl-sized, nothing broadcast."""
+    from .operators.webpages import snapshot_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+    from .operators.webpages import _nib
+
+    url = F.concat(F.lit("https://s.example.org/"), d.cast("string"))
+    t0 = F.lit(1735689600) + (d * 37) % 1000
+    base = docs.filter(_nib(h, 15) % 4 <= 2).select(
+        url.alias("url"),
+        t0.alias("first_seen_ts"),
+        t0.alias("last_fetch_ts"),
+        F.lit(1).cast("long").alias("n_fetches"),
+        F.md5(F.concat(d.cast("string"), F.lit("#v0"))).alias("fingerprint"),
+    )
+    one = docs.filter(_nib(h, 16) % 2 == 0).select(
+        url.alias("url"),
+        (t0 + 86400).alias("fetch_ts_sec"),
+        F.md5(
+            F.concat(d.cast("string"), F.lit("#v"),
+                     (_nib(h, 17) % 2).cast("string"))
+        ).alias("fingerprint"),
+    )
+    refetch = docs.filter(
+        (_nib(h, 16) % 2 == 0) & (_nib(h, 18) % 4 == 0)
+    ).select(
+        url.alias("url"),
+        (t0 + 172800).alias("fetch_ts_sec"),
+        F.md5(F.concat(d.cast("string"), F.lit("#v2"))).alias("fingerprint"),
+    )
+    return snapshot_upsert(base, one.unionAll(refetch))
+
+
+def _sql_snapshot_upsert() -> str:
+    def nib(i: int) -> str:
+        return (
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+
+    return rf"""
+WITH base AS (
+  SELECT 'https://s.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         1735689600 + (doc_id * 37) % 1000 AS first_seen_ts,
+         1735689600 + (doc_id * 37) % 1000 AS last_fetch_ts,
+         CAST(1 AS BIGINT) AS n_fetches,
+         md5(CAST(doc_id AS VARCHAR) || '#v0') AS fingerprint
+  FROM documents WHERE {nib(15)} % 4 <= 2),
+delta AS (
+  SELECT 'https://s.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         1735689600 + (doc_id * 37) % 1000 + 86400 AS fetch_ts_sec,
+         md5(CAST(doc_id AS VARCHAR) || '#v'
+             || CAST({nib(17)} % 2 AS VARCHAR)) AS fingerprint
+  FROM documents WHERE {nib(16)} % 2 = 0
+  UNION ALL
+  SELECT 'https://s.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         1735689600 + (doc_id * 37) % 1000 + 172800 AS fetch_ts_sec,
+         md5(CAST(doc_id AS VARCHAR) || '#v2') AS fingerprint
+  FROM documents WHERE {nib(16)} % 2 = 0 AND {nib(18)} % 4 = 0),
+dagg AS (
+  SELECT url, MIN(fetch_ts_sec) AS d_first, MAX(fetch_ts_sec) AS d_last,
+         CAST(COUNT(*) AS BIGINT) AS d_n,
+         arg_max(fingerprint, fetch_ts_sec) AS d_fp
+  FROM delta GROUP BY url)
+SELECT coalesce(b.url, d.url) AS url,
+       CASE WHEN b.n_fetches IS NOT NULL THEN b.first_seen_ts
+            ELSE d.d_first END AS first_seen_ts,
+       greatest(coalesce(b.last_fetch_ts, 0),
+                coalesce(d.d_last, 0)) AS last_fetch_ts,
+       coalesce(b.n_fetches, 0) + coalesce(d.d_n, 0) AS n_fetches,
+       coalesce(d.d_fp, b.fingerprint) AS fingerprint,
+       CASE WHEN b.n_fetches IS NULL THEN 'new'
+            WHEN d.d_n IS NULL THEN 'carried'
+            WHEN d.d_fp <> b.fingerprint THEN 'updated'
+            ELSE 'unchanged' END AS status
+FROM base b FULL OUTER JOIN dagg d ON b.url = d.url
+"""
+
+
 def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-404 screen: error pages served as HTTP 200 flagged by (a)
     exact match against the host's PROBED error-template fingerprint
@@ -5180,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_export": q_wat_export,
         "frontier_priority": q_frontier_priority,
         "soft404": q_soft404,
+        "snapshot_upsert": q_snapshot_upsert,
     }
 
 
@@ -5285,6 +5374,7 @@ def oracle_sql() -> dict[str, str]:
         "wat_export": _sql_wat_export(),
         "frontier_priority": _sql_frontier_priority(),
         "soft404": _sql_soft404(),
+        "snapshot_upsert": _sql_snapshot_upsert(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

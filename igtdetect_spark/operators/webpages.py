@@ -1788,3 +1788,67 @@ def soft404_screen(pages: DataFrame, probes: DataFrame) -> DataFrame:
         F.col("template_match")
         | (F.col("has_phrase") & (F.col("n_toks") < 12)),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot merge (Iceberg-style MERGE INTO, expressed relationally)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_upsert(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a new crawl snapshot into the canonical page table — the
+    MERGE INTO an Iceberg deployment runs per crawl, expressed as the
+    engine-portable aggregate + full-outer-join plan (same row
+    semantics; Iceberg's copy-on-write file pruning replaces nothing in
+    the logical result):
+
+    * url in both: latest-fetch fingerprint wins (``max_by`` on ts),
+      ``first_seen_ts`` carried from base, fetch counts summed —
+      ``updated`` when the fingerprint changed, else ``unchanged``;
+    * url only in delta: ``new`` (first_seen = its earliest delta ts);
+    * url only in base: ``carried`` untouched.
+
+    Input: base (url, first_seen_ts, last_fetch_ts, n_fetches,
+    fingerprint); delta (url, fetch_ts_sec, fingerprint).
+
+    Scale shape: ONE hash aggregate collapses the delta to url grain
+    (map-side combinable — re-fetch multiplicity never crosses the
+    wire), then ONE url-keyed full outer join against base.  Both
+    sides are crawl-sized: never broadcast; on a real deployment both
+    would be bucketed by url so the join is exchange-free.  Output is
+    url grain, ready to overwrite the canonical table.
+
+    Output: (url, first_seen_ts, last_fetch_ts, n_fetches,
+    fingerprint, status).
+    """
+    d = delta.groupBy("url").agg(
+        F.min("fetch_ts_sec").alias("_d_first"),
+        F.max("fetch_ts_sec").alias("_d_last"),
+        F.count("*").alias("_d_n"),
+        F.max_by("fingerprint", "fetch_ts_sec").alias("_d_fp"),
+    )
+    j = base.join(d, "url", "full_outer")
+    in_base = F.col("n_fetches").isNotNull()
+    in_delta = F.col("_d_n").isNotNull()
+    status = (
+        F.when(~in_base, F.lit("new"))
+        .when(~in_delta, F.lit("carried"))
+        .when(F.col("_d_fp") != F.col("fingerprint"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "url",
+        F.when(in_base, F.col("first_seen_ts"))
+        .otherwise(F.col("_d_first")).alias("first_seen_ts"),
+        F.greatest(
+            F.coalesce(F.col("last_fetch_ts"), F.lit(0)),
+            F.coalesce(F.col("_d_last"), F.lit(0)),
+        ).alias("last_fetch_ts"),
+        (
+            F.coalesce(F.col("n_fetches"), F.lit(0))
+            + F.coalesce(F.col("_d_n"), F.lit(0))
+        ).alias("n_fetches"),
+        F.coalesce(F.col("_d_fp"), F.col("fingerprint"))
+        .alias("fingerprint"),
+        status.alias("status"),
+    )

@@ -1488,3 +1488,60 @@ class TestSoft404:
         )
         r = soft404_screen(pages, probes).collect()[0]
         assert r["template_match"] is False and r["is_soft404"] is False
+
+
+class TestSnapshotUpsert:
+    def test_all_four_outcomes(self, spark):
+        from igtdetect_spark.operators.webpages import snapshot_upsert
+
+        base = spark.createDataFrame(
+            [
+                ("u1", 100, 100, 1, "fpA"),   # will be re-fetched, same fp
+                ("u2", 100, 100, 2, "fpB"),   # re-fetched with NEW fp
+                ("u3", 100, 100, 1, "fpC"),   # absent from delta
+            ],
+            "url string, first_seen_ts long, last_fetch_ts long, "
+            "n_fetches long, fingerprint string",
+        )
+        delta = spark.createDataFrame(
+            [
+                ("u1", 200, "fpA"),
+                ("u2", 200, "fpB"),
+                ("u2", 300, "fpB2"),   # latest fetch wins
+                ("u4", 250, "fpD"),    # brand new url
+            ],
+            "url string, fetch_ts_sec long, fingerprint string",
+        )
+        got = {r["url"]: r for r in snapshot_upsert(base, delta).collect()}
+        assert got["u1"]["status"] == "unchanged"
+        assert got["u1"]["n_fetches"] == 2
+        assert got["u1"]["last_fetch_ts"] == 200
+        assert got["u1"]["first_seen_ts"] == 100
+        u2 = got["u2"]
+        assert u2["status"] == "updated"
+        assert u2["fingerprint"] == "fpB2"     # max_by fetch time
+        assert u2["n_fetches"] == 4            # 2 base + 2 delta
+        assert u2["last_fetch_ts"] == 300
+        u3 = got["u3"]
+        assert u3["status"] == "carried"
+        assert (u3["fingerprint"], u3["n_fetches"]) == ("fpC", 1)
+        u4 = got["u4"]
+        assert u4["status"] == "new"
+        assert u4["first_seen_ts"] == 250
+        assert u4["fingerprint"] == "fpD"
+
+    def test_merge_is_idempotent_for_empty_delta(self, spark):
+        from igtdetect_spark.operators.webpages import snapshot_upsert
+
+        base = spark.createDataFrame(
+            [("u1", 100, 150, 3, "fp")],
+            "url string, first_seen_ts long, last_fetch_ts long, "
+            "n_fetches long, fingerprint string",
+        )
+        empty = spark.createDataFrame(
+            [], "url string, fetch_ts_sec long, fingerprint string"
+        )
+        r = snapshot_upsert(base, empty).collect()[0]
+        assert r["status"] == "carried"
+        assert (r["first_seen_ts"], r["last_fetch_ts"],
+                r["n_fetches"], r["fingerprint"]) == (100, 150, 3, "fp")
