@@ -3973,6 +3973,87 @@ FROM e GROUP BY src_host, dst_host
 """
 
 
+def q_hreflang_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hreflang cluster validation: language-variant pages (doc_id mod
+    3 = language, div 3 = translation group) declare alternates with
+    nibble-selected RETURN LINKS MISSING — the screen counts each
+    page's alternates, how many are reciprocated by the target page
+    (the Google-documented symmetry requirement), x-default presence,
+    and full consistency. One extraction flat map, a no-fan-out
+    swap-self semi-join, one url aggregate."""
+    from .operators.webpages import (
+        extract_hreflang,
+        hreflang_symmetry,
+        synthetic_hreflang_pages,
+    )
+
+    return hreflang_symmetry(
+        extract_hreflang(
+            synthetic_hreflang_pages(_t(spark, sf_dir, "documents"))
+        )
+    )
+
+
+def _sql_hreflang_symmetry() -> str:
+    def nib(i: str) -> str:
+        return (
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+
+    decl = "".join(
+        f"""
+         || CASE WHEN doc_id % 3 <> {j} AND {nib(19 + j)} % 8 <> 0
+              THEN '<link rel="alternate" hreflang="{lang}" href="'
+                   || 'https://www.example.org/{lang}/'
+                   || CAST(doc_id // 3 AS VARCHAR) || '"/>'
+              ELSE '' END"""
+        for j, lang in enumerate(("en", "de", "fr"))
+    )
+    return rf"""
+WITH pg AS (
+  SELECT doc_id,
+         'https://www.example.org/'
+         || list_extract(['en', 'de', 'fr'], CAST(doc_id % 3 AS INT) + 1)
+         || '/' || CAST(doc_id // 3 AS VARCHAR) AS url,
+         '<html><head>'{decl}
+         || CASE WHEN doc_id % 3 = 0
+              THEN '<link rel="alternate" hreflang="x-default" href="'
+                   || 'https://www.example.org/en/'
+                   || CAST(doc_id // 3 AS VARCHAR) || '"/>'
+              ELSE '' END
+         || '</head><body><p>v</p></body></html>' AS html
+  FROM documents),
+alts AS (
+  SELECT url AS src_url,
+         regexp_extract(m, '<link rel="alternate" hreflang="([a-z-]+)" '
+                           || 'href="([^"]+)"/>', 1) AS hreflang,
+         regexp_extract(m, '<link rel="alternate" hreflang="([a-z-]+)" '
+                           || 'href="([^"]+)"/>', 2) AS href
+  FROM pg, LATERAL unnest(regexp_extract_all(html,
+         '<link rel="alternate" hreflang="([a-z-]+)" href="([^"]+)"/>',
+         0)) t(m)),
+real AS (
+  SELECT src_url, href FROM alts WHERE hreflang <> 'x-default'),
+sym AS (
+  SELECT a.src_url, CAST(COUNT(*) AS BIGINT) AS n_symmetric
+  FROM real a JOIN real b
+    ON a.href = b.src_url AND b.href = a.src_url
+  GROUP BY 1),
+agg AS (
+  SELECT src_url AS url,
+         CAST(SUM(CASE WHEN hreflang <> 'x-default' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_alts,
+         bool_or(hreflang = 'x-default') AS has_xdefault
+  FROM alts GROUP BY 1)
+SELECT a.url, a.n_alts,
+       coalesce(s.n_symmetric, 0) AS n_symmetric,
+       a.has_xdefault,
+       coalesce(s.n_symmetric, 0) = a.n_alts AS consistent
+FROM agg a LEFT JOIN sym s ON a.url = s.src_url
+"""
+
+
 def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-snapshot merge (Iceberg MERGE INTO semantics, engine-
     portable plan): a synthetic base table (nibble-selected docs,
@@ -5269,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priority": q_frontier_priority,
         "soft404": q_soft404,
         "snapshot_upsert": q_snapshot_upsert,
+        "hreflang_symmetry": q_hreflang_symmetry,
     }
 
 
@@ -5375,6 +5457,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_priority": _sql_frontier_priority(),
         "soft404": _sql_soft404(),
         "snapshot_upsert": _sql_snapshot_upsert(),
+        "hreflang_symmetry": _sql_hreflang_symmetry(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1852,3 +1852,131 @@ def snapshot_upsert(base: DataFrame, delta: DataFrame) -> DataFrame:
         .alias("fingerprint"),
         status.alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hreflang alternate validation (multilingual cluster consistency)
+# ---------------------------------------------------------------------------
+
+HREFLANG_RE = r'<link rel="alternate" hreflang="([a-z-]+)" href="([^"]+)"/>'
+
+_HL_LANGS = ("en", "de", "fr")
+
+
+def synthetic_hreflang_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, url, html): language-variant pages — doc_id mod 3
+    picks the page's language, doc_id div 3 its translation group —
+    each declaring ``<link rel="alternate" hreflang>`` to its sibling
+    variants, with md5-nibble-selected declarations OMITTED (the real
+    web's most common hreflang defect is the missing return link) and
+    an ``x-default`` on English pages."""
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+    gid = F.expr("doc_id div 3")
+    own = (d % 3).cast("int")
+
+    def vurl(lang) -> "F.Column":
+        return F.concat(
+            F.lit("https://www.example.org/"), lang, F.lit("/"),
+            gid.cast("string"),
+        )
+
+    def decl(j: int) -> "F.Column":
+        lang = F.lit(_HL_LANGS[j])
+        return F.when(
+            (own != j) & (_nib(h, 19 + j) % 8 != 0),
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="'), lang,
+                F.lit('" href="'), vurl(lang), F.lit('"/>'),
+            ),
+        ).otherwise(F.lit(""))
+
+    own_lang = F.elt(own + 1, *[F.lit(x) for x in _HL_LANGS])
+    xdef = F.when(
+        own == 0,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="x-default" href="'),
+            vurl(F.lit("en")), F.lit('"/>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), decl(0), decl(1), decl(2), xdef,
+        F.lit("</head><body><p>v</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        vurl(own_lang).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def extract_hreflang(pages: DataFrame) -> DataFrame:
+    """(src_url, hreflang, href) triples from the html column: ONE
+    full-match ``regexp_extract_all`` pass over the page (single-scan
+    discipline), per-match group extracts over tens-of-byte strings.
+    Fused flat map — no Python, no shuffle."""
+    html = F.decode(F.col("html"), "UTF-8")
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(
+                F.regexp_extract_all(html, F.lit(HREFLANG_RE), F.lit(0))
+            ).alias("_m"),
+        )
+        .select(
+            "src_url",
+            F.regexp_extract("_m", HREFLANG_RE, 1).alias("hreflang"),
+            F.regexp_extract("_m", HREFLANG_RE, 2).alias("href"),
+        )
+    )
+
+
+def hreflang_symmetry(alts: DataFrame) -> DataFrame:
+    """Validate hreflang clusters: an alternate is SYMMETRIC when the
+    target page declares an alternate straight back (the Google-
+    documented requirement — asymmetric pairs are ignored by search
+    engines and indicate extraction/translation drift).  Per declaring
+    page: alternate count (x-default excluded — it is a fallback
+    pointer, not a language edge), how many are reciprocated, whether
+    an x-default exists, and whether the page is fully consistent.
+
+    Scale shape: the reciprocity check is a self equi-join of the
+    (src_url, href) edge relation against its own swap — at most ONE
+    match per edge (src and href determine the return edge), so it is
+    a semi-join with no fan-out; then one src_url hash aggregate.
+    Everything keys on urls; nothing broadcast.
+
+    Output: (url, n_alts, n_symmetric, has_xdefault, consistent).
+    """
+    real = alts.filter(F.col("hreflang") != "x-default")
+    edges = real.select("src_url", "href")
+    back = edges.select(
+        F.col("href").alias("src_url"), F.col("src_url").alias("href")
+    )
+    sym = (
+        edges.join(back, ["src_url", "href"], "left_semi")
+        .groupBy("src_url")
+        .agg(F.count("*").alias("n_symmetric"))
+    )
+    agg = alts.groupBy(F.col("src_url").alias("url")).agg(
+        F.sum(
+            F.when(F.col("hreflang") != "x-default", 1).otherwise(0)
+        ).alias("n_alts"),
+        F.max(F.col("hreflang") == "x-default").alias("has_xdefault"),
+    )
+    return (
+        agg.join(
+            sym.select(F.col("src_url").alias("url"), "n_symmetric"),
+            "url",
+            "left",
+        )
+        .select(
+            "url",
+            "n_alts",
+            F.coalesce("n_symmetric", F.lit(0)).alias("n_symmetric"),
+            "has_xdefault",
+        )
+        .withColumn(
+            "consistent", F.col("n_symmetric") == F.col("n_alts")
+        )
+    )

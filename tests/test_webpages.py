@@ -1545,3 +1545,57 @@ class TestSnapshotUpsert:
         assert r["status"] == "carried"
         assert (r["first_seen_ts"], r["last_fetch_ts"],
                 r["n_fetches"], r["fingerprint"]) == (100, 150, 3, "fp")
+
+
+class TestHreflangSymmetry:
+    def _alts(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "src_url string, hreflang string, href string"
+        )
+
+    def test_symmetry_semantics(self, spark):
+        from igtdetect_spark.operators.webpages import hreflang_symmetry
+
+        alts = self._alts(spark, [
+            # en <-> de reciprocated both ways
+            ("en/1", "de", "de/1"), ("de/1", "en", "en/1"),
+            # en -> fr declared, fr NEVER answers → asymmetric
+            ("en/1", "fr", "fr/1"),
+            # x-default must not count as a language edge
+            ("en/1", "x-default", "en/1"),
+            # fr/2 declares into the void
+            ("fr/2", "en", "en/2"),
+        ])
+        got = {r["url"]: r for r in hreflang_symmetry(alts).collect()}
+        en = got["en/1"]
+        assert (en["n_alts"], en["n_symmetric"]) == (2, 1)
+        assert en["has_xdefault"] and not en["consistent"]
+        de = got["de/1"]
+        assert (de["n_alts"], de["n_symmetric"]) == (1, 1)
+        assert de["consistent"] and not de["has_xdefault"]
+        fr2 = got["fr/2"]
+        assert (fr2["n_alts"], fr2["n_symmetric"]) == (1, 0)
+        assert not fr2["consistent"]
+
+    def test_extraction_single_pass(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            extract_hreflang,
+            synthetic_hreflang_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        pages = synthetic_hreflang_pages(docs)
+        alts = extract_hreflang(pages)
+        rows = alts.collect()
+        langs = {r["hreflang"] for r in rows}
+        assert langs == {"en", "de", "fr", "x-default"}
+        # x-default only from en pages, pointing at themselves
+        for r in rows:
+            if r["hreflang"] == "x-default":
+                assert "/en/" in r["src_url"] and r["href"] == r["src_url"]
+        # plan: no Python, no shuffle in the extraction
+        plan = str(alts._jdf.queryExecution().executedPlan())
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
