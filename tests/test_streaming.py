@@ -678,3 +678,72 @@ def test_streaming_extraction_funnel_matches_batch(spark, tmp_path_factory):
     ).parquet(out)
     got = sorted(map(tuple, got_df.collect()))
     assert got == want  # byte-identical extracted text per url
+
+
+def test_streaming_snapshot_merge_matches_batch(spark, tmp_path_factory):
+    """Incremental crawl ingest: the SAME snapshot_upsert kernel folded
+    over micro-batches (foreachBatch, one delta file per trigger) must
+    land the same canonical table as one batch merge over the whole
+    delta — the stream/backfill agreement proof for the merge operator.
+    Status is excluded: it is relative to the immediately-previous
+    state by design (documented), so only the last merge's labels
+    coincide with the batch run's."""
+    from igtdetect_spark.operators.webpages import snapshot_upsert
+
+    base_rows = [
+        ("u1", 100, 100, 1, "fpA"),
+        ("u2", 100, 100, 1, "fpB"),
+        ("u3", 100, 100, 1, "fpC"),
+    ]
+    base_schema = (
+        "url string, first_seen_ts long, last_fetch_ts long, "
+        "n_fetches long, fingerprint string"
+    )
+    delta_schema = "url string, fetch_ts_sec long, fingerprint string"
+    # every NEW url confined to one file so first_seen is
+    # order-independent; re-fetches of base urls may span files
+    delta_files = [
+        [("u1", 200, "fpA2"), ("u4", 210, "fpD")],
+        [("u2", 220, "fpB"), ("u1", 230, "fpA3")],
+        [("u5", 240, "fpE")],
+    ]
+    ddir = tmp_path_factory.mktemp("merge_delta")
+    for i, rows in enumerate(delta_files):
+        spark.createDataFrame(rows, delta_schema).coalesce(1).write.parquet(
+            str(ddir / f"d{i}")
+        )
+
+    base = spark.createDataFrame(base_rows, base_schema)
+
+    # one-shot batch merge over the concatenated delta
+    all_delta = spark.read.parquet(*[str(ddir / f"d{i}") for i in range(3)])
+    want = {
+        r["url"]: (r["first_seen_ts"], r["last_fetch_ts"],
+                   r["n_fetches"], r["fingerprint"])
+        for r in snapshot_upsert(base, all_delta).collect()
+    }
+
+    # incremental: fold the same kernel file-by-file via foreachBatch
+    state = {"df": base.collect()}
+
+    def merge_batch(batch_df, batch_id):
+        cur = spark.createDataFrame(state["df"], base_schema)
+        merged = snapshot_upsert(cur, batch_df).drop("status")
+        state["df"] = merged.collect()
+
+    stream = (
+        spark.readStream.schema(delta_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ddir / "d*"))
+    )
+    ckpt = str(tmp_path_factory.mktemp("merge_ckpt"))
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r[0]: (r[1], r[2], r[3], r[4]) for r in state["df"]}
+    assert got == want
