@@ -1764,12 +1764,17 @@ def soft404_screen(pages: DataFrame, probes: DataFrame) -> DataFrame:
     relation — host-cardinality (10⁸⁺ hosts at crawl scale), so it is
     a shuffle join by construction, never a broadcast.
 
+    NULL text (undecodable / binary payloads upstream) is treated as
+    the empty page: no phrase, zero tokens, never a template match —
+    flags are always non-NULL so downstream gates can filter directly.
+
     Output: (doc_id, url, has_phrase, n_toks, template_match,
     is_soft404).
     """
+    text = F.coalesce(F.col("text"), F.lit(""))
     toks = F.filter(
         F.split(
-            F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0b]+", " ")),
+            F.trim(F.regexp_replace(text, r"[ \t\n\r\f\x0b]+", " ")),
             " ",
         ),
         lambda w: F.length(w) > 0,
@@ -1778,10 +1783,10 @@ def soft404_screen(pages: DataFrame, probes: DataFrame) -> DataFrame:
     return j.select(
         "doc_id",
         "url",
-        F.lower(F.col("text")).rlike(SOFT404_PHRASE_RE).alias("has_phrase"),
+        F.lower(text).rlike(SOFT404_PHRASE_RE).alias("has_phrase"),
         F.size(toks).cast("long").alias("n_toks"),
         F.coalesce(
-            F.md5(F.col("text")) == F.col("probe_md5"), F.lit(False)
+            F.md5(text) == F.col("probe_md5"), F.lit(False)
         ).alias("template_match"),
     ).withColumn(
         "is_soft404",

@@ -1599,3 +1599,61 @@ class TestHreflangSymmetry:
         plan = str(alts._jdf.queryExecution().executedPlan())
         assert "Exchange" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+class TestNewKernelRobustness:
+    def test_template_strip_handles_crlf_and_empty_lines(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            host_template_lines,
+            strip_host_template,
+        )
+
+        # \r survives inside lines (split is on \n only — CRLF pages
+        # keep their \r, and the (host, line) join must still match
+        # byte-identically); repeated empty lines are ordinary lines
+        rows = [
+            (i, "h.org", f"https://h.org/{i}", "nav\r\n\nbody %d\r" % i)
+            for i in range(4)
+        ]
+        pages = spark.createDataFrame(
+            rows, "doc_id long, host string, url string, text string"
+        )
+        tmpl = host_template_lines(pages)
+        got = {r["line"] for r in tmpl.collect()}
+        assert got == {"nav\r", ""}  # the CR line and the blank line
+        clean = strip_host_template(pages, tmpl).collect()
+        assert all(r["clean_text"] == "body %d\r" % r["doc_id"]
+                   for r in clean)
+
+    def test_hreflang_ignores_malformed_declarations(self, spark):
+        from igtdetect_spark.operators.webpages import extract_hreflang
+        from pyspark.sql import functions as F
+
+        bad = (
+            '<link rel="alternate" hreflang="EN" href="x"/>'   # uppercase
+            '<link rel="alternate" hreflang="de" href="">'      # empty+no />
+            '<link rel="alternate" href="y" hreflang="fr"/>'    # reordered
+            '<link rel="alternate" hreflang="pt-br" href="ok"/>'
+        )
+        pages = spark.createDataFrame(
+            [(1, "u", bad)], "doc_id long, url string, h string"
+        ).select("doc_id", "url", F.encode("h", "utf-8").alias("html"))
+        rows = extract_hreflang(pages).collect()
+        # only the strictly well-formed lowercase declaration matches
+        assert [(r["hreflang"], r["href"]) for r in rows] == [
+            ("pt-br", "ok")
+        ]
+
+    def test_soft404_null_text_is_not_flagged(self, spark):
+        from igtdetect_spark.operators.webpages import soft404_screen
+
+        pages = spark.createDataFrame(
+            [(1, "h.org", "u", "t", None)],
+            "doc_id long, host string, url string, title string, "
+            "text string",
+        )
+        probes = spark.createDataFrame(
+            [("h.org", "x")], "host string, probe_md5 string"
+        )
+        r = soft404_screen(pages, probes).collect()[0]
+        assert r["is_soft404"] is False and r["n_toks"] == 0
