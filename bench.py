@@ -115,7 +115,7 @@ def main():
         "redirect_resolve", "host_template_strip", "canonical_attribution",
         "inverted_index", "link_spam", "wat_export",
         "frontier_priority", "soft404", "snapshot_upsert",
-        "hreflang_symmetry",
+        "hreflang_symmetry", "link_resolve", "domain_rollup",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -5247,6 +5247,205 @@ FROM l JOIN g USING (doc_id)
 """
 
 
+def q_link_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §5 reference resolution over extracted hrefs — the
+    step between raw link extraction and any frontier / link-graph
+    work: absolute, protocol-relative, root-relative, plain/dot
+    relative, 1-3-level ``..`` ascent (3 clamps at root), query-only
+    and fragment-only forms, dot-segment removal on the path component
+    only.  Pure native expression chain over the fused extraction flat
+    map — ZERO shuffles, zero Python."""
+    from .operators.webpages import resolve_links, synthetic_relhref_pages
+
+    return resolve_links(
+        synthetic_relhref_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_link_resolve() -> str:
+    def nib(i: int) -> str:
+        return (
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        )
+
+    def t(j: int) -> str:
+        return f"CAST((doc_id * 31 + {j} * 97) % 256 AS VARCHAR)"
+
+    def a(href: str) -> str:
+        return f"'<a href=\"' || {href} || '\">x</a>'"
+
+    slots = " || ".join(
+        [
+            a(f"'https://ext' || {t(1)} || '.example.net/x/' || {t(1)}"),
+            a(
+                "'//cdn' || CAST((doc_id * 31 + 2 * 97) % 4 AS VARCHAR)"
+                f" || '.example.net/lib/' || {t(2)} || '.js'"
+            ),
+            a(f"'/p/' || {t(3)}"),
+            a(f"'img/' || {t(4)} || '.png'"),
+            f"CASE WHEN {nib(11)} % 2 = 0 THEN "
+            + a(f"'./same/' || {t(5)}") + " ELSE '' END",
+            f"CASE WHEN {nib(12)} % 2 = 0 THEN "
+            + a(f"'../up/' || {t(6)}") + " ELSE '' END",
+            f"CASE WHEN {nib(13)} % 4 <> 0 THEN "
+            + a(f"'../../' || {t(7)}") + " ELSE '' END",
+            f"CASE WHEN {nib(13)} % 4 = 0 THEN "
+            + a(f"'../../../deep/' || {t(8)}") + " ELSE '' END",
+            f"CASE WHEN {nib(14)} % 2 = 0 THEN "
+            + a("'?page=' || CAST((doc_id * 31 + 9 * 97) % 7 AS VARCHAR)")
+            + " ELSE '' END",
+            f"CASE WHEN {nib(15)} % 2 = 0 THEN "
+            + a(f"'#sec' || {t(10)}") + " ELSE '' END",
+        ]
+    )
+    return rf"""
+WITH pg AS (
+  SELECT doc_id,
+         'https://site' || CAST({nib(1)} % 4 AS VARCHAR)
+         || '.example.org/dir' || CAST(doc_id % 5 AS VARCHAR)
+         || '/sub/' || CAST(doc_id AS VARCHAR) || '.html'
+         || CASE WHEN {nib(10)} % 2 = 0
+              THEN '?sess=' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END
+           AS url,
+         '<html><body>' || {slots} || '</body></html>' AS html
+  FROM documents),
+e AS (
+  SELECT url AS src_url,
+         regexp_extract(m, 'href="([^"]+)"', 1) AS href
+  FROM pg, LATERAL unnest(
+         regexp_extract_all(html, 'href="([^"]+)"', 0)) u(m)),
+k AS (
+  SELECT src_url, href,
+         CASE WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*:')
+                THEN 'absolute'
+              WHEN href LIKE '//%' THEN 'protocol_relative'
+              WHEN href LIKE '/%' THEN 'root_relative'
+              WHEN href LIKE '?%' THEN 'query'
+              WHEN href LIKE '#%' THEN 'fragment'
+              ELSE 'relative' END AS kind,
+         regexp_extract(src_url, '^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+         regexp_extract(src_url,
+                        '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) AS b_origin,
+         regexp_replace(src_url, '[?#].*$', '') AS base_nq
+  FROM e),
+r AS (
+  SELECT src_url, href, kind,
+         CASE kind
+           WHEN 'absolute' THEN href
+           WHEN 'protocol_relative' THEN scheme || ':' || href
+           WHEN 'root_relative' THEN b_origin || href
+           WHEN 'query' THEN base_nq || href
+           WHEN 'fragment'
+             THEN regexp_replace(src_url, '#.*$', '') || href
+           ELSE regexp_replace(base_nq, '/[^/]*$', '/') || href
+         END AS raw
+  FROM k),
+p AS (
+  SELECT *, regexp_extract(raw,
+              '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) AS origin0
+  FROM r),
+q AS (SELECT *, substring(raw, length(origin0) + 1) AS rest0 FROM p),
+s AS (
+  SELECT *, regexp_extract(rest0, '^([^?#]*)', 1) AS path0,
+         substring(rest0,
+           length(regexp_extract(rest0, '^([^?#]*)', 1)) + 1) AS tail0
+  FROM q),
+norm AS (
+  SELECT *, regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(path0,
+        '/\./', '/', 'g'), '/\./', '/', 'g'), '^\./', ''),
+      '/[^/]+/\.\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g'),
+      '/[^/]+/\.\./', '/', 'g'),
+    '^(/\.\.)+/', '/') AS npath
+  FROM s)
+SELECT src_url, href, kind,
+       origin0 || npath || tail0 AS abs_url,
+       regexp_extract(raw, '^[a-z]+://([^/?#]+)', 1)
+         <> regexp_extract(src_url, '^[a-z]+://([^/?#]+)', 1)
+         AS is_external
+FROM norm
+"""
+
+
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (public-suffix list) rollup — the grain
+    crawl budgets and ownership screens actually want, vs the
+    HOSTNAME grain of host_graph/host_quality_gate: PSL longest-
+    suffix match via three zero-exchange broadcast left joins (the
+    PSL is ~10k rows, bounded by construction), implicit last-label
+    fallback for unlisted TLDs, NULL registrable part for bare-suffix
+    hosts, then ONE hash aggregate per (registered_domain, suffix)."""
+    from .operators.webpages import (
+        domain_rollup,
+        public_suffix_df,
+        synthetic_domain_pages,
+    )
+
+    return domain_rollup(
+        synthetic_domain_pages(_t(spark, sf_dir, "documents")),
+        public_suffix_df(spark),
+    )
+
+
+def _sql_domain_rollup() -> str:
+    from .operators.webpages import PUBLIC_SUFFIXES
+
+    vals = ", ".join(f"('{s}')" for s in PUBLIC_SUFFIXES)
+    return f"""
+WITH psl(suffix) AS (VALUES {vals}),
+pg AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 6 = 0 THEN 'www.shop' || CAST(doc_id % 37 AS VARCHAR)
+           || '.co.uk'
+      WHEN doc_id % 6 = 1 THEN 'news' || CAST(doc_id % 37 AS VARCHAR)
+           || '.org.uk'
+      WHEN doc_id % 6 = 2 THEN
+        CASE WHEN (strpos('0123456789abcdef', substring(
+                   md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) % 8 = 0
+             THEN 'github.io'
+             ELSE 'blog' || CAST(doc_id % 37 AS VARCHAR) || '.github.io'
+        END
+      WHEN doc_id % 6 = 3 THEN 'm' || CAST(doc_id % 7 AS VARCHAR)
+           || '.corp' || CAST(doc_id % 11 AS VARCHAR) || '.com'
+      WHEN doc_id % 6 = 4 THEN 'dept' || CAST(doc_id % 5 AS VARCHAR)
+           || '.uni' || CAST(doc_id % 13 AS VARCHAR) || '.ac.uk'
+      ELSE 'cdn' || CAST(doc_id % 37 AS VARCHAR) || '.unknown'
+           || CAST(doc_id % 3 AS VARCHAR) || '.zz'
+    END AS host
+  FROM documents),
+cand AS (
+  SELECT host, string_split(host, '.') AS ls, len(string_split(host, '.'))
+         AS n
+  FROM pg),
+m AS (
+  SELECT host, ls, n,
+         coalesce(
+           CASE WHEN n >= 3 AND array_to_string(ls[n-2:n], '.')
+                  IN (SELECT suffix FROM psl)
+                THEN array_to_string(ls[n-2:n], '.') END,
+           CASE WHEN n >= 2 AND array_to_string(ls[n-1:n], '.')
+                  IN (SELECT suffix FROM psl)
+                THEN array_to_string(ls[n-1:n], '.') END,
+           CASE WHEN ls[n] IN (SELECT suffix FROM psl) THEN ls[n] END,
+           ls[n]) AS ps
+  FROM cand),
+rd AS (
+  SELECT host, ps AS public_suffix,
+         CASE WHEN host <> ps
+              THEN ls[n - len(string_split(ps, '.'))] || '.' || ps
+         END AS registered_domain
+  FROM m)
+SELECT registered_domain, public_suffix,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(host) AS first_host
+FROM rd GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -5351,6 +5550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "snapshot_upsert": q_snapshot_upsert,
         "hreflang_symmetry": q_hreflang_symmetry,
+        "link_resolve": q_link_resolve,
+        "domain_rollup": q_domain_rollup,
     }
 
 
@@ -5458,6 +5659,8 @@ def oracle_sql() -> dict[str, str]:
         "soft404": _sql_soft404(),
         "snapshot_upsert": _sql_snapshot_upsert(),
         "hreflang_symmetry": _sql_hreflang_symmetry(),
+        "link_resolve": _sql_link_resolve(),
+        "domain_rollup": _sql_domain_rollup(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

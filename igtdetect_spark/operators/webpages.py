@@ -1985,3 +1985,262 @@ def hreflang_symmetry(alts: DataFrame) -> DataFrame:
             "consistent", F.col("n_symmetric") == F.col("n_alts")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Relative-href resolution (RFC 3986 §5 reference resolution — the step
+# between raw href extraction and any link-graph / frontier work; the
+# reference corpus-glob analogue is path handling in
+# /root/reference/igtdetect/igtdetect.py:1600-1625, re-expressed for URLs)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_relhref_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, url, html): pages whose base URL sits two directories
+    deep (``/dir{k}/sub/{id}.html``, half with a ``?sess=`` query) and
+    whose hrefs exercise EVERY RFC 3986 reference shape — absolute,
+    protocol-relative, root-relative, plain/``./`` relative, one- two-
+    and three-level ``..`` ascent (the last clamping at root, like the
+    real web's broken footers), query-only and fragment-only.  Slots
+    5-10 are nibble-gated so lists are ragged and every branch has a
+    non-firing population at any corpus size."""
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+
+    def t(j: int) -> "F.Column":
+        return ((d * 31 + j * 97) % 256).cast("string")
+
+    url = F.concat(
+        F.lit("https://site"), (_nib(h, 1) % 4).cast("string"),
+        F.lit(".example.org/dir"), (d % 5).cast("string"),
+        F.lit("/sub/"), d.cast("string"), F.lit(".html"),
+        F.when(_nib(h, 10) % 2 == 0,
+               F.concat(F.lit("?sess="), (d % 9).cast("string")))
+        .otherwise(F.lit("")),
+    )
+
+    def a(href: "F.Column") -> "F.Column":
+        return F.concat(F.lit('<a href="'), href, F.lit('">x</a>'))
+
+    def gated(i: int, mod: int, href: "F.Column") -> "F.Column":
+        return F.when(_nib(h, i) % mod == 0, a(href)).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body>"),
+        a(F.concat(F.lit("https://ext"), t(1), F.lit(".example.net/x/"),
+                   t(1))),
+        a(F.concat(F.lit("//cdn"), ((d * 31 + 2 * 97) % 4).cast("string"),
+                   F.lit(".example.net/lib/"), t(2), F.lit(".js"))),
+        a(F.concat(F.lit("/p/"), t(3))),
+        a(F.concat(F.lit("img/"), t(4), F.lit(".png"))),
+        gated(11, 2, F.concat(F.lit("./same/"), t(5))),
+        gated(12, 2, F.concat(F.lit("../up/"), t(6))),
+        F.when(_nib(h, 13) % 4 != 0,
+               a(F.concat(F.lit("../../"), t(7)))).otherwise(F.lit("")),
+        gated(13, 4, F.concat(F.lit("../../../deep/"), t(8))),
+        gated(14, 2, F.concat(F.lit("?page="),
+                              ((d * 31 + 9 * 97) % 7).cast("string"))),
+        gated(15, 2, F.concat(F.lit("#sec"), t(10))),
+        F.lit("</body></html>"),
+    )
+    return docs.select(d.alias("doc_id"), url.alias("url"),
+                       F.encode(html, "UTF-8").alias("html"))
+
+
+def _remove_dot_segments(path: "F.Column") -> "F.Column":
+    """RFC 3986 §5.2.4 dot-segment removal as a BOUNDED unrolled
+    regexp chain (documented depth cap, like ``max_hops`` in
+    :func:`resolve_redirects`): two ``/./`` passes, three
+    ``seg/../`` collapse passes, one leading-``/../`` root clamp —
+    exact for any path with ≤3 chained ``..`` segments (the synthetic
+    corpus maxes at 3; deeper chains would need a wider unroll, still
+    O(1) per row).  Replacement strings are literal so the DuckDB
+    mirror is byte-identical under RE2's identical non-overlapping
+    global-replace scan."""
+    p = F.regexp_replace(path, r"/\./", "/")
+    p = F.regexp_replace(p, r"/\./", "/")
+    p = F.regexp_replace(p, r"^\./", "")
+    for _ in range(3):
+        p = F.regexp_replace(p, r"/[^/]+/\.\./", "/")
+    return F.regexp_replace(p, r"^(/\.\.)+/", "/")
+
+
+def resolve_links(pages: DataFrame) -> DataFrame:
+    """Absolutize every extracted href against its page's base URL —
+    RFC 3986 §5.2 reference resolution (minus the exotic ``scheme:``
+    same-document forms) as ONE native expression chain over
+    :func:`extract_links`: zero Python, zero shuffle, fuses into the
+    page scan at 10¹² rows.  Dot-segment removal runs on the PATH
+    component only (a ``?a=../x`` query survives untouched).
+
+    Output: (src_url, href, kind, abs_url, is_external) where kind ∈
+    {absolute, protocol_relative, root_relative, query, fragment,
+    relative}."""
+    e = extract_links(pages).select(
+        F.col("src_url"), F.col("dst_url").alias("href")
+    )
+    src = F.col("src_url")
+    href = F.col("href")
+    scheme = F.regexp_extract(src, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(src, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    base_nq = F.regexp_replace(src, r"[?#].*$", "")
+    base_dir = F.regexp_replace(base_nq, r"/[^/]*$", "/")
+    kind = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*:"), F.lit("absolute"))
+        .when(href.startswith("//"), F.lit("protocol_relative"))
+        .when(href.startswith("/"), F.lit("root_relative"))
+        .when(href.startswith("?"), F.lit("query"))
+        .when(href.startswith("#"), F.lit("fragment"))
+        .otherwise(F.lit("relative"))
+    )
+    raw = (
+        F.when(kind == "absolute", href)
+        .when(kind == "protocol_relative", F.concat(scheme, F.lit(":"), href))
+        .when(kind == "root_relative", F.concat(origin, href))
+        .when(kind == "query", F.concat(base_nq, href))
+        .when(kind == "fragment",
+              F.concat(F.regexp_replace(src, r"#.*$", ""), href))
+        .otherwise(F.concat(base_dir, href))
+    )
+    rest = F.expr("substring(raw, length(origin0) + 1)")
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    tail = F.expr("substring(rest0, length(path0) + 1)")
+    abs_url = F.concat(F.col("origin0"), _remove_dot_segments(F.col("path0")),
+                       tail)
+    dst_origin = F.regexp_extract(raw, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    out = (
+        e.withColumn("kind", kind)
+        .withColumn("raw", raw)
+        .withColumn("origin0", dst_origin)
+        .withColumn("rest0", rest)
+        .withColumn("path0", path)
+    )
+    return out.select(
+        "src_url",
+        "href",
+        "kind",
+        abs_url.alias("abs_url"),
+        (F.regexp_extract(F.col("raw"), r"^[a-z]+://([^/?#]+)", 1)
+         != F.regexp_extract(F.col("src_url"), r"^[a-z]+://([^/?#]+)", 1))
+        .alias("is_external"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered-domain extraction (public-suffix list) + per-domain rollup —
+# the grain every per-site crawl policy actually wants (host_graph /
+# host_quality_gate group by HOSTNAME; crawl budgets, ownership and spam
+# screens group by REGISTERED DOMAIN: blog.foo.co.uk and www.foo.co.uk
+# are one site, foo.co.uk and bar.co.uk are not)
+# ---------------------------------------------------------------------------
+
+#: Embedded public-suffix subset (exact-match semantics; the real
+#: Mozilla PSL adds ``*``/``!`` rules — out of scope, documented).
+#: Longest listed suffix wins; an unlisted TLD falls back to its last
+#: label (the PSL's implicit ``*`` default rule).  The full PSL is
+#: ~10k rows — bounded by construction, the canonical broadcast dim.
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "jp", "uk", "au",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "co.jp", "ne.jp",
+    "github.io",
+)
+
+
+def public_suffix_df(spark) -> DataFrame:
+    """One-column (suffix) relation built via ``VALUES`` SQL so Catalyst
+    sees a LocalRelation with REAL size stats (a ``createDataFrame``
+    RDD scan reports the conservative max and defeats size-aware
+    broadcast planning — see BENCH/PLANS.md)."""
+    vals = ", ".join(f"('{s}')" for s in PUBLIC_SUFFIXES)
+    return spark.sql(f"SELECT col1 AS suffix FROM (VALUES {vals})")
+
+
+def synthetic_domain_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, url, host): six host shapes cycling on ``doc_id mod
+    6`` so every PSL branch populates — 2-level suffix under a www
+    subdomain, host == registered domain, a PRIVATE-registry suffix
+    (github.io, occasionally the bare suffix itself → NULL registered
+    domain), many hosts sharing one registered ``.com`` domain, a
+    3-label academic suffix, and an UNLISTED TLD exercising the
+    implicit last-label fallback."""
+    d = F.col("doc_id")
+    h = F.md5(d.cast("string"))
+    g = (d % 37).cast("string")
+    host = (
+        F.when(d % 6 == 0, F.concat(F.lit("www.shop"), g, F.lit(".co.uk")))
+        .when(d % 6 == 1, F.concat(F.lit("news"), g, F.lit(".org.uk")))
+        .when(d % 6 == 2,
+              F.when(_nib(h, 6) % 8 == 0, F.lit("github.io"))
+              .otherwise(F.concat(F.lit("blog"), g, F.lit(".github.io"))))
+        .when(d % 6 == 3,
+              F.concat(F.lit("m"), (d % 7).cast("string"), F.lit(".corp"),
+                       (d % 11).cast("string"), F.lit(".com")))
+        .when(d % 6 == 4,
+              F.concat(F.lit("dept"), (d % 5).cast("string"), F.lit(".uni"),
+                       (d % 13).cast("string"), F.lit(".ac.uk")))
+        .otherwise(F.concat(F.lit("cdn"), g, F.lit(".unknown"),
+                            (d % 3).cast("string"), F.lit(".zz")))
+    )
+    return docs.select(
+        d.alias("doc_id"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+        .alias("url"),
+        host.alias("host"),
+    )
+
+
+def registered_domain(pages: DataFrame, psl: DataFrame) -> DataFrame:
+    """Attach (public_suffix, registered_domain) to every row's
+    ``host`` — PSL longest-suffix match WITHOUT row fan-out: the
+    1/2/3-label suffix candidates become three columns, each LEFT
+    broadcast-joined against the (bounded, ~10k-row) suffix relation,
+    and the longest hit wins; no listed hit falls back to the last
+    label (implicit ``*`` rule).  A host that IS its public suffix has
+    no registrable part → registered_domain NULL.  Three broadcast
+    hash joins, ZERO exchanges — fuses into the page scan at 10¹²
+    rows (candidate explode + re-group would cost two shuffles)."""
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    s1 = F.element_at(labels, -1)
+    s2 = F.when(n >= 2, F.concat_ws(".", F.slice(labels, n - 1, 2)))
+    s3 = F.when(n >= 3, F.concat_ws(".", F.slice(labels, n - 2, 3)))
+    base = pages.withColumn("_s1", s1).withColumn("_s2", s2).withColumn(
+        "_s3", s3)
+    for i in (1, 2, 3):
+        m = psl.select(F.col("suffix").alias(f"_m{i}"))
+        base = base.join(
+            F.broadcast(m), base[f"_s{i}"] == m[f"_m{i}"], "left"
+        )
+    ps = F.coalesce(F.col("_m3"), F.col("_m2"), F.col("_m1"), F.col("_s1"))
+    labels2 = F.split(F.col("host"), r"\.")
+    reg = F.when(
+        F.col("host") != ps,
+        F.concat(
+            F.element_at(
+                labels2, F.size(labels2) - F.size(F.split(ps, r"\."))
+            ),
+            F.lit("."),
+            ps,
+        ),
+    )
+    return base.withColumn("public_suffix", ps).withColumn(
+        "registered_domain", reg
+    ).drop("_s1", "_s2", "_s3", "_m1", "_m2", "_m3")
+
+
+def domain_rollup(pages: DataFrame, psl: DataFrame) -> DataFrame:
+    """Per registered domain: distinct hosts, page count, and the
+    lexicographically first host (a stable exemplar).  ONE hash
+    aggregate (map-side combinable) after the zero-exchange PSL
+    attach; suffix-only hosts roll up under registered_domain NULL —
+    kept, not dropped, so the screen's blind spot is visible.
+
+    Output: (registered_domain, public_suffix, n_hosts, n_pages,
+    first_host)."""
+    rd = registered_domain(pages, psl)
+    return rd.groupBy("registered_domain", "public_suffix").agg(
+        F.count_distinct(F.col("host")).cast("long").alias("n_hosts"),
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.min("host").alias("first_host"),
+    )

@@ -483,3 +483,30 @@ def test_snapshot_upsert_is_one_agg_one_outer_join(spark):
     assert "FullOuter" in plan
     assert "Window" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_link_resolve_plan_is_zero_exchange_native(spark):
+    """RFC 3986 resolution fuses into the page scan: one narrow
+    flat map (explode), no shuffle, no Python evaluation."""
+    from igtdetect_spark.entry_queries import q_link_resolve
+
+    plan = _plan(q_link_resolve(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_domain_rollup_plan_is_broadcast_then_one_exchange(spark):
+    """PSL attach = broadcast hash joins only (the suffix list is the
+    canonical bounded dim); the only exchange is the final rollup
+    aggregate's. No sort-merge join, no row fan-out explode."""
+    from igtdetect_spark.entry_queries import q_domain_rollup
+
+    plan = _plan(q_domain_rollup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan  # no candidate explode
+    # the only SHUFFLES are the distinct-agg's two phases (host grain,
+    # then domain grain — both map-side combinable); BroadcastExchange
+    # nodes also contain the substring, so count hash exchanges only
+    assert plan.count("Exchange hashpartitioning") <= 2

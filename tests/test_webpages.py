@@ -1657,3 +1657,125 @@ class TestNewKernelRobustness:
         )
         r = soft404_screen(pages, probes).collect()[0]
         assert r["is_soft404"] is False and r["n_toks"] == 0
+
+
+class TestResolveLinks:
+    """RFC 3986 §5 resolution: every reference shape on a hand fixture."""
+
+    BASE = "https://h.example.org/a/b/c.html?sess=7"
+
+    def _resolve(self, spark, hrefs):
+        from pyspark.sql import functions as F
+
+        from igtdetect_spark.operators.webpages import resolve_links
+
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        pages = spark.createDataFrame(
+            [(self.BASE, html)], "url string, h string"
+        ).select("url", F.encode("h", "utf-8").alias("html"))
+        return {
+            r["href"]: (r["kind"], r["abs_url"], r["is_external"])
+            for r in resolve_links(pages).collect()
+        }
+
+    def test_every_reference_shape(self, spark):
+        got = self._resolve(spark, [
+            "https://x.net/p",        # absolute
+            "//cdn.x.net/l.js",       # protocol-relative
+            "/root/q",                # root-relative
+            "img.png",                # plain relative
+            "./same/1",               # dot relative
+            "../up/2",                # one ascent
+            "../../3",                # to root
+            "../../../clamp/4",       # past root — clamps
+            "?page=2",                # query-only
+            "#frag",                  # fragment-only
+        ])
+        o = "https://h.example.org"
+        assert got["https://x.net/p"] == (
+            "absolute", "https://x.net/p", True)
+        assert got["//cdn.x.net/l.js"] == (
+            "protocol_relative", "https://cdn.x.net/l.js", True)
+        assert got["/root/q"] == ("root_relative", f"{o}/root/q", False)
+        assert got["img.png"] == ("relative", f"{o}/a/b/img.png", False)
+        assert got["./same/1"] == ("relative", f"{o}/a/b/same/1", False)
+        assert got["../up/2"] == ("relative", f"{o}/a/up/2", False)
+        assert got["../../3"] == ("relative", f"{o}/3", False)
+        assert got["../../../clamp/4"] == (
+            "relative", f"{o}/clamp/4", False)
+        # query-only: base path kept, base query REPLACED
+        assert got["?page=2"] == ("query", f"{o}/a/b/c.html?page=2", False)
+        # fragment-only: base query kept
+        assert got["#frag"] == (
+            "fragment", f"{o}/a/b/c.html?sess=7#frag", False)
+
+    def test_dot_segments_in_query_survive(self, spark):
+        # normalization runs on the PATH component only
+        got = self._resolve(spark, ["/p?next=../x"])
+        assert got["/p?next=../x"][1] == (
+            "https://h.example.org/p?next=../x")
+
+    def test_interleaved_ascent(self, spark):
+        got = self._resolve(spark, ["../x/../y"])
+        assert got["../x/../y"][1] == "https://h.example.org/a/y"
+
+
+class TestRegisteredDomain:
+    def _rd(self, spark, hosts):
+        from igtdetect_spark.operators.webpages import (
+            public_suffix_df,
+            registered_domain,
+        )
+
+        pages = spark.createDataFrame(
+            [(h,) for h in hosts], "host string"
+        )
+        return {
+            r["host"]: (r["public_suffix"], r["registered_domain"])
+            for r in registered_domain(
+                pages, public_suffix_df(spark)
+            ).collect()
+        }
+
+    def test_longest_suffix_wins(self, spark):
+        got = self._rd(spark, [
+            "www.shop.co.uk",      # co.uk beats uk
+            "a.b.example.com",     # plain TLD
+            "blog.github.io",      # private registry beats io
+            "deep.dept.uni.ac.uk",
+        ])
+        assert got["www.shop.co.uk"] == ("co.uk", "shop.co.uk")
+        assert got["a.b.example.com"] == ("com", "example.com")
+        assert got["blog.github.io"] == ("github.io", "blog.github.io")
+        assert got["deep.dept.uni.ac.uk"] == ("ac.uk", "uni.ac.uk")
+
+    def test_unlisted_tld_falls_back_to_last_label(self, spark):
+        got = self._rd(spark, ["cdn.foo.zz"])
+        assert got["cdn.foo.zz"] == ("zz", "foo.zz")
+
+    def test_bare_suffix_host_has_null_registrable(self, spark):
+        got = self._rd(spark, ["github.io", "co.uk"])
+        assert got["github.io"] == ("github.io", None)
+        assert got["co.uk"] == ("co.uk", None)
+
+    def test_rollup_counts_hosts_and_pages(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            domain_rollup,
+            public_suffix_df,
+        )
+
+        pages = spark.createDataFrame(
+            [("a.x.com",), ("a.x.com",), ("b.x.com",), ("y.zz",)],
+            "host string",
+        )
+        got = {
+            r["registered_domain"]: r
+            for r in domain_rollup(
+                pages, public_suffix_df(spark)
+            ).collect()
+        }
+        assert got["x.com"]["n_hosts"] == 2
+        assert got["x.com"]["n_pages"] == 3
+        assert got["x.com"]["first_host"] == "a.x.com"
+        # unlisted TLD: zz itself is the fallback suffix
+        assert got["y.zz"]["public_suffix"] == "zz"
