@@ -5446,6 +5446,113 @@ FROM rd GROUP BY 1, 2
 """
 
 
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth BFS from the deterministic seed set over the
+    synthetic internal link graph — min hop distance per reached page,
+    4 hops, frontier anti-joined against the visited set each hop (one
+    shuffle join + distinct per hop, frontiers persisted)."""
+    from .operators.webpages import crawl_depth, synthetic_linked_pages
+
+    return crawl_depth(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_crawl_depth(seeds_mod: int = 64, max_hops: int = 4) -> str:
+    # unrolled frontier BFS mirroring the Spark hop loop: n{i} is the
+    # hop-i frontier (new nodes only), v{i} the visited set after hop i.
+    parts = [
+        f"WITH links AS ({_SQL_LINK_SLOTS}),",
+        """edges AS (
+  SELECT DISTINCT src_id, tgt AS dst_id FROM links
+  WHERE j <= 2 AND tgt IN (SELECT doc_id FROM documents)
+),""",
+        f"""n0 AS (
+  SELECT doc_id AS id, CAST(0 AS BIGINT) AS depth FROM documents
+  WHERE doc_id % {seeds_mod} = 0
+),
+v0 AS (SELECT id, depth FROM n0),""",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(f"""n{i} AS (
+  SELECT DISTINCT e.dst_id AS id, CAST({i} AS BIGINT) AS depth
+  FROM edges e JOIN n{i - 1} f ON f.id = e.src_id
+  WHERE e.dst_id NOT IN (SELECT id FROM v{i - 1})
+),
+v{i} AS (SELECT id, depth FROM v{i - 1}
+         UNION ALL SELECT id, depth FROM n{i}),""")
+    url = _SQL_PAGE_URL.format(x="v.id")
+    parts.append(f"""final AS (
+  SELECT {url} AS url, v.depth FROM v{max_hops} v
+)
+SELECT url, depth FROM final""")
+    return "\n".join(parts)
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities (2 iterations, micro-unit
+    L1 normalization via integral division) over the synthetic
+    internal link graph — the search-ranking complement of pagerank,
+    bit-matched by an unrolled SQL oracle."""
+    from .operators.webpages import hits_scores, synthetic_linked_pages
+
+    return hits_scores(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_hits_scores(iterations: int = 2) -> str:
+    # unrolled half-iterations; DuckDB sum(BIGINT) is HUGEINT so every
+    # normalized score is CAST back to BIGINT to match Spark's long.
+    parts = [
+        f"WITH links AS ({_SQL_LINK_SLOTS}),",
+        """edges AS (
+  SELECT DISTINCT src_id, tgt AS dst_id FROM links
+  WHERE j <= 2 AND tgt IN (SELECT doc_id FROM documents)
+),
+nodes AS (SELECT doc_id AS id FROM documents),
+h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM nodes),""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""ra{i} AS (
+  SELECT e.dst_id AS id, sum(h.s) AS raw
+  FROM edges e JOIN h{i - 1} h ON h.id = e.src_id GROUP BY e.dst_id
+),
+fa{i} AS (
+  SELECT n.id, coalesce(r.raw, 0) AS raw
+  FROM nodes n LEFT JOIN ra{i} r ON r.id = n.id
+),
+ta{i} AS (SELECT sum(raw) AS tot FROM fa{i}),
+a{i} AS (
+  SELECT f.id,
+         CAST(CASE WHEN t.tot > 0 THEN (f.raw * 1000000) // t.tot
+              ELSE 0 END AS BIGINT) AS s
+  FROM fa{i} f, ta{i} t
+),
+rh{i} AS (
+  SELECT e.src_id AS id, sum(a.s) AS raw
+  FROM edges e JOIN a{i} a ON a.id = e.dst_id GROUP BY e.src_id
+),
+fh{i} AS (
+  SELECT n.id, coalesce(r.raw, 0) AS raw
+  FROM nodes n LEFT JOIN rh{i} r ON r.id = n.id
+),
+th{i} AS (SELECT sum(raw) AS tot FROM fh{i}),
+h{i} AS (
+  SELECT f.id,
+         CAST(CASE WHEN t.tot > 0 THEN (f.raw * 1000000) // t.tot
+              ELSE 0 END AS BIGINT) AS s
+  FROM fh{i} f, th{i} t
+),""")
+    url = _SQL_PAGE_URL.format(x="h.id")
+    parts.append(f"""final AS (
+  SELECT {url} AS url, h.s AS hub_e6, a.s AS auth_e6
+  FROM h{iterations} h JOIN a{iterations} a ON a.id = h.id
+)
+SELECT url, hub_e6, auth_e6 FROM final""")
+    return "\n".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -5552,6 +5659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_symmetry": q_hreflang_symmetry,
         "link_resolve": q_link_resolve,
         "domain_rollup": q_domain_rollup,
+        "crawl_depth": q_crawl_depth,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -5661,6 +5770,8 @@ def oracle_sql() -> dict[str, str]:
         "hreflang_symmetry": _sql_hreflang_symmetry(),
         "link_resolve": _sql_link_resolve(),
         "domain_rollup": _sql_domain_rollup(),
+        "crawl_depth": _sql_crawl_depth(),
+        "hits_scores": _sql_hits_scores(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -613,6 +613,168 @@ def pagerank(
     return out
 
 
+def _internal_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared link-graph prep for the iterative graph operators: resolve
+    the href flat-map against the page table ONCE (two equi-joins) and
+    return ``(ids, edges)`` where ``ids = (url, _nid)`` and ``edges``
+    is the DISTINCT internal (src_id, dst_id) relation — external
+    targets drop in the inner dst join, exactly like :func:`pagerank`'s
+    edge build."""
+    ids = pages.select(F.col("url"), F.col("doc_id").alias("_nid"))
+    raw = extract_links(pages)
+    edges = (
+        raw.join(ids.select(F.col("url").alias("src_url"),
+                            F.col("_nid").alias("src_id")), "src_url")
+        .join(ids.select(F.col("url").alias("dst_url"),
+                         F.col("_nid").alias("dst_id")), "dst_url")
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    return ids, edges
+
+
+def crawl_depth(
+    pages: DataFrame, seeds_mod: int = 64, max_hops: int = 4
+) -> DataFrame:
+    """Crawl-depth BFS: minimum hop distance from a seed set over the
+    crawl's internal link graph — the frontier metric real crawls
+    budget by (pages more than k hops from any seed are the long tail
+    a breadth-limited crawl never reaches; CC's own crawler caps hop
+    depth per seed list).
+
+    Seeds are the deterministic set ``doc_id % seeds_mod == 0`` (the
+    stand-in for a seed list; sparse at every corpus size).  Classic
+    frontier BFS, unrolled to ``max_hops``: each hop is ONE shuffle
+    join of the edge relation against the (small) frontier, a DISTINCT
+    on the discovered targets, and an anti-join against the visited
+    set so depth = FIRST hop seen (min distance) and the frontier
+    never re-expands settled nodes — the property that bounds total
+    work at O(|E reachable|) regardless of hop count.
+
+    Scale shape: the edge relation partitions on ``src_id`` and keeps
+    that partitioning across hops; frontiers shrink geometrically once
+    the reachable set saturates, and Spark broadcasts them under the
+    AQE threshold so late hops degenerate to broadcast joins.  Each
+    hop's frontier is persisted (it is consumed by the next hop's join
+    AND the final union) — handles attached for
+    ``release_plan_caches``.  For deep crawls (hops ≫ 10) the visited
+    union should be checkpointed every ~10 hops to cut lineage, the
+    same pattern as ``connected_components``; at 4 hops it is
+    unnecessary.
+
+    Output: (url, depth) for every page reached within ``max_hops``
+    hops (seeds at depth 0).  Unreached pages are absent — the
+    consumer's outer-join decides their fate, not this operator.
+    """
+    ids, edges = _internal_edges(pages)
+    seeds = (
+        pages.filter((F.col("doc_id") % seeds_mod) == 0)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.lit(0).cast("long").alias("depth"),
+        )
+    )
+    frontiers = [seeds.persist()]
+    visited = frontiers[0]
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontiers[-1].select(F.col("id").alias("src_id")),
+                "src_id",
+            )
+            .select(F.col("dst_id").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).cast("long").alias("depth"))
+            .persist()
+        )
+        frontiers.append(nxt)
+        visited = visited.unionByName(nxt)
+    out = visited.join(ids, visited.id == ids._nid).select("url", "depth")
+    from .dedup import attach_plan_cache
+
+    for f in frontiers:
+        attach_plan_cache(out, f)
+    return out
+
+
+def hits_scores(pages: DataFrame, iterations: int = 2) -> DataFrame:
+    """Integer-exact HITS (hubs & authorities) over the crawl's
+    internal link graph — the complement of :func:`pagerank` for
+    search-tier ranking: authorities are pages many good hubs point
+    AT, hubs are pages that point at many good authorities
+    (Kleinberg '99).
+
+    Cross-engine exactness (same discipline as :func:`pagerank`):
+    scores live in BIGINT micro-units.  ``hub₀ = auth₀ = 10⁶``; each
+    iteration computes ``auth'(p) = Σ_{q→p} hub(q)`` then L1-normalizes
+    back to micro-units with integral division
+    (``auth = auth'·10⁶ div Σauth'``), then symmetrically
+    ``hub'(p) = Σ_{p→q} auth(q)`` with its own normalization.  Sums of
+    integers are order-independent and ``div`` is integral on
+    non-negative values, so the unrolled SQL oracle matches
+    bit-for-bit — the float HITS formulation would diverge across
+    engines in summation order alone.  Magnitude bound: the
+    pre-normalization sum is ≤ |E|·10⁶, inside BIGINT up to ~9·10¹²
+    edges; a larger graph drops to e3 units (one constant).
+
+    Scale shape: edges resolved and persisted ONCE; each half-iteration
+    is one shuffle join (edges against the score relation on the
+    sending side) + one hash aggregate on the receiving side + a 1-row
+    global sum broadcast-crossed back (a scalar, not a data shuffle).
+    Score state is two BIGINTs per node.  Nodes with no in-edges hold
+    authority 0, no out-edges hub 0 — the standard open-web shape.
+
+    Output: (url, hub_e6, auth_e6).
+    """
+    ids, edges = _internal_edges(pages)
+    er = edges.persist()
+    nodes = ids.select(F.col("_nid").alias("id"))
+    hub = nodes.select("id", F.lit(1_000_000).cast("long").alias("s"))
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            er.join(hub.withColumnRenamed("id", "src_id"), "src_id")
+            .groupBy(F.col("dst_id").alias("id"))
+            .agg(F.sum("s").alias("_raw"))
+        )
+        auth = _l1_normalize_e6(nodes, raw_a)
+        raw_h = (
+            er.join(auth.withColumnRenamed("id", "dst_id"), "dst_id")
+            .groupBy(F.col("src_id").alias("id"))
+            .agg(F.sum("s").alias("_raw"))
+        )
+        hub = _l1_normalize_e6(nodes, raw_h)
+    out = (
+        hub.withColumnRenamed("s", "hub_e6")
+        .join(auth.withColumnRenamed("s", "auth_e6"), "id")
+        .join(ids, F.col("id") == ids._nid)
+        .select("url", "hub_e6", "auth_e6")
+    )
+    from .dedup import attach_plan_cache
+
+    attach_plan_cache(out, er)
+    return out
+
+
+def _l1_normalize_e6(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(id, s): left-join ``raw`` sums onto the full node set (absent →
+    0) and L1-normalize to micro-units with integral division.  The
+    global sum is a 1-row aggregate broadcast back via cross join — a
+    scalar exchange, not a data shuffle."""
+    full = (
+        nodes.join(raw, "id", "left")
+        .select("id", F.coalesce(F.col("_raw"), F.lit(0)).alias("_raw"))
+    )
+    tot = full.agg(F.sum("_raw").alias("_tot"))
+    return full.crossJoin(F.broadcast(tot)).select(
+        "id",
+        F.when(F.col("_tot") > 0,
+               F.expr("(_raw * 1000000L) div _tot"))
+        .otherwise(F.lit(0)).cast("long").alias("s"),
+    )
+
+
 def crawl_cadence(
     pages: DataFrame,
     id_col: str = "doc_id",

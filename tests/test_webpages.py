@@ -1779,3 +1779,169 @@ class TestRegisteredDomain:
         assert got["x.com"]["first_host"] == "a.x.com"
         # unlisted TLD: zz itself is the fallback suffix
         assert got["y.zz"]["public_suffix"] == "zz"
+
+
+class TestCrawlDepth:
+    """BFS hop distance from the deterministic seed set."""
+
+    def _bfs(self, ids, seeds_mod=64, max_hops=4):
+        edges = TestAnchorText()._hand_model(ids)[1]
+        adj = {}
+        for s, d in set(edges):
+            adj.setdefault(s, set()).add(d)
+        dist = {i: 0 for i in ids if i % seeds_mod == 0}
+        frontier = set(dist)
+        for hop in range(1, max_hops + 1):
+            nxt = set()
+            for s in frontier:
+                nxt |= adj.get(s, set())
+            nxt -= set(dist)
+            for n in nxt:
+                dist[n] = hop
+            frontier = nxt
+        return dist
+
+    def test_matches_hand_bfs(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            crawl_depth,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        exp = self._bfs(ids)
+        out = crawl_depth(synthetic_linked_pages(docs))
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r["depth"]
+            for r in out.collect()
+        }
+        assert got == exp
+        # seeds sit at depth 0; depth-1 ring is non-empty; nothing
+        # beyond max_hops leaks out
+        assert all(got[i] == 0 for i in ids if i % 64 == 0)
+        assert 1 in set(got.values())
+        assert max(got.values()) <= 4
+        # seeds + 4 per-hop frontiers were persisted
+        assert release_plan_caches(out) == 5
+
+    def test_min_depth_not_last_write(self, spark):
+        # a page reachable at hops 2 AND 3 must report 2 — the
+        # anti-join against visited is what pins min distance
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import crawl_depth
+
+        rows = [
+            # seed 0 → 1 → 2 → 3, plus a long way round 0 → 4 → 5 → 2
+            (0, "https://h/0", '<a href="https://h/1"><a href="https://h/4">'),
+            (1, "https://h/1", '<a href="https://h/2">'),
+            (2, "https://h/2", '<a href="https://h/3">'),
+            (3, "https://h/3", ""),
+            (4, "https://h/4", '<a href="https://h/5">'),
+            (5, "https://h/5", '<a href="https://h/2">'),
+        ]
+        pages = spark.createDataFrame(
+            [(i, u, h.encode()) for i, u, h in rows],
+            "doc_id long, url string, html binary",
+        )
+        out = crawl_depth(pages, seeds_mod=64, max_hops=4)
+        got = {r["url"]: r["depth"] for r in out.collect()}
+        release_plan_caches(out)
+        assert got == {
+            "https://h/0": 0, "https://h/1": 1, "https://h/4": 1,
+            "https://h/2": 2, "https://h/5": 2, "https://h/3": 3,
+        }
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            crawl_depth,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = crawl_depth(synthetic_linked_pages(docs))
+        plan = str(out._jdf.queryExecution().executedPlan())
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        release_plan_caches(out)
+
+
+class TestHitsScores:
+    """Integer-exact HITS hubs/authorities."""
+
+    def _hits(self, ids, edges, iterations=2):
+        E = sorted(set(edges))
+        hub = {i: 1_000_000 for i in ids}
+        auth = None
+        for _ in range(iterations):
+            raw = {i: 0 for i in ids}
+            for s, d in E:
+                raw[d] += hub[s]
+            tot = sum(raw.values())
+            auth = {
+                i: (v * 1_000_000) // tot if tot > 0 else 0
+                for i, v in raw.items()
+            }
+            raw = {i: 0 for i in ids}
+            for s, d in E:
+                raw[s] += auth[d]
+            tot = sum(raw.values())
+            hub = {
+                i: (v * 1_000_000) // tot if tot > 0 else 0
+                for i, v in raw.items()
+            }
+        return hub, auth
+
+    def test_matches_integer_hand_model(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            hits_scores,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        edges = TestAnchorText()._hand_model(ids)[1]
+        ehub, eauth = self._hits(ids, edges)
+        out = hits_scores(synthetic_linked_pages(docs))
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r for r in out.collect()
+        }
+        assert set(got) == set(ids)
+        for i in ids:
+            assert got[i]["hub_e6"] == ehub[i], i
+            assert got[i]["auth_e6"] == eauth[i], i
+        # L1 normalization: each family's mass is ≤ 1e6 (floor division
+        # only sheds remainder mass) and somebody holds positive score
+        assert 0 < sum(r["auth_e6"] for r in got.values()) <= 1_000_000
+        assert 0 < sum(r["hub_e6"] for r in got.values()) <= 1_000_000
+        # every target id < 256: pages ≥ 256 are pure hubs
+        assert all(
+            got[i]["auth_e6"] == 0 for i in ids if i >= 256
+        )
+        assert release_plan_caches(out) == 1
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            hits_scores,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = hits_scores(synthetic_linked_pages(docs))
+        plan = str(out._jdf.queryExecution().executedPlan())
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        release_plan_caches(out)
