@@ -5553,6 +5553,153 @@ SELECT url, hub_e6, auth_e6 FROM final""")
     return "\n".join(parts)
 
 
+def q_adaptive_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling: fold recrawl_delta's change flags
+    into a per-URL change ratio (integer ppm) and a revisit bucket +
+    concrete next fetch time from the shared REVISIT_POLICY table —
+    one window shuffle + one exchange-reusing aggregate."""
+    from .operators.webpages import (
+        adaptive_revisit,
+        canonical_url,
+        recrawl_delta,
+        synthetic_page_urls,
+    )
+
+    p = synthetic_page_urls(_t(spark, sf_dir, "documents"))
+    f = p.select(
+        canonical_url(F.col("url")).alias("canonical_url"),
+        "fetch_ts_sec",
+        F.md5(
+            F.concat(
+                canonical_url(F.col("url")), F.lit("#v"),
+                ((F.col("doc_id") * 7919) % 3).cast("string"),
+            )
+        ).alias("fingerprint"),
+    )
+    return adaptive_revisit(recrawl_delta(f))
+
+
+def _sql_adaptive_revisit() -> str:
+    from .operators.webpages import REVISIT_POLICY
+
+    bucket = "\n       ".join(
+        f"WHEN change_ratio_ppm >= {ppm} THEN '{name}'"
+        for ppm, name, _ in REVISIT_POLICY
+    )
+    secs = "\n       ".join(
+        f"WHEN change_ratio_ppm >= {ppm} THEN {s}"
+        for ppm, name, s in REVISIT_POLICY
+    )
+    return f"""
+WITH d AS (
+{_sql_recrawl_delta()}
+),
+a AS (
+  SELECT canonical_url,
+         CAST(count(*) AS BIGINT) AS n_fetches,
+         CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         max(fetch_ts_sec) AS last_ts
+  FROM d GROUP BY canonical_url
+),
+r AS (
+  SELECT canonical_url, n_fetches, n_changes,
+         CASE WHEN n_fetches > 1 THEN
+           CAST((n_changes * 1000000) // (n_fetches - 1) AS BIGINT)
+         END AS change_ratio_ppm,
+         last_ts
+  FROM a
+)
+SELECT canonical_url, n_fetches, n_changes, change_ratio_ppm,
+  CASE WHEN change_ratio_ppm IS NULL THEN 'daily'
+       {bucket}
+       ELSE 'monthly' END AS revisit_bucket,
+  CAST(last_ts + CASE WHEN change_ratio_ppm IS NULL THEN 86400
+       {secs}
+       ELSE 2592000 END AS BIGINT) AS next_fetch_ts_sec
+FROM r
+"""
+
+
+def q_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-page SEO keyword-stuffing screen over the synthetic SEO
+    corpus: declared meta keywords vs tokenized body — keyword density
+    in integer ppm, declared-but-absent fraction, and the ≥30%%
+    verdict. Zero-shuffle native projection."""
+    from .operators.webpages import keyword_stuffing, synthetic_seo_pages
+
+    return keyword_stuffing(
+        synthetic_seo_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_keyword_stuffing(threshold_ppm: int = 300_000) -> str:
+    # rebuild the SEO page html from doc_id, then DOUBLE-PARSE it with
+    # DuckDB's own regex/list functions — same discipline as the
+    # link_resolve oracle (the oracle never trusts the builder's
+    # intermediates, only the byte-identical page).
+    nib3 = ("(strpos('0123456789abcdef', substring(hx, 3, 1)) - 1)")
+    nib4 = ("(strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)")
+    url = _SQL_PAGE_URL.format(x="doc_id")
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+k AS (
+  SELECT doc_id,
+         'kw' || CAST(doc_id % 17 AS VARCHAR) AS kw,
+         'kw' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR) AS kw2,
+         'kw' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR) AS kw3,
+         CASE WHEN {nib3} % 4 = 0 THEN 8 + {nib4} % 8
+              WHEN {nib3} % 4 = 1 THEN 1 ELSE 0 END AS reps
+  FROM h
+),
+pg AS (
+  SELECT doc_id,
+         '<html><head><title>guide to ' || kw
+         || '</title><meta name="keywords" content="' || kw || ', '
+         || kw2 || ', ' || kw3 || '"></head><body><p>'
+         || 'plain prose about topic ' || CAST(doc_id % 7 AS VARCHAR)
+         || repeat(' ' || kw, reps) || '</p></body></html>' AS html
+  FROM k
+),
+x AS (
+  SELECT doc_id,
+         string_split_regex(regexp_extract(html,
+           '<meta name="keywords" content="([^"]*)">', 1),
+           ',\\s*') AS kws,
+         string_split_regex(trim(lower(regexp_extract(html,
+           '<p>(.*?)</p>', 1))), '\\s+') AS toks
+  FROM pg
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> list_contains(kws, t)))
+              AS BIGINT) AS kw_hits,
+         CAST(len(kws) AS BIGINT) AS n_meta_kw,
+         CAST(len(list_filter(kws, w -> list_contains(toks, w)))
+              AS BIGINT) AS n_present
+  FROM x
+),
+s AS (
+  SELECT {url} AS url, n_tokens, kw_hits,
+         CASE WHEN n_tokens > 0
+              THEN CAST((kw_hits * 1000000) // n_tokens AS BIGINT)
+         END AS kw_density_ppm,
+         n_meta_kw,
+         CASE WHEN n_meta_kw > 0
+              THEN CAST((n_present * 1000000) // n_meta_kw AS BIGINT)
+         END AS meta_present_frac_e6
+  FROM m
+)
+SELECT url, n_tokens, kw_hits, kw_density_ppm, n_meta_kw,
+       meta_present_frac_e6,
+       coalesce(kw_density_ppm >= {threshold_ppm}, false) AS stuffed
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -5661,6 +5808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "crawl_depth": q_crawl_depth,
         "hits_scores": q_hits_scores,
+        "adaptive_revisit": q_adaptive_revisit,
+        "keyword_stuffing": q_keyword_stuffing,
     }
 
 
@@ -5772,6 +5921,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_rollup": _sql_domain_rollup(),
         "crawl_depth": _sql_crawl_depth(),
         "hits_scores": _sql_hits_scores(),
+        "adaptive_revisit": _sql_adaptive_revisit(),
+        "keyword_stuffing": _sql_keyword_stuffing(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

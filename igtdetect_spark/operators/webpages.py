@@ -1056,6 +1056,75 @@ def recrawl_delta(fetches: DataFrame) -> DataFrame:
     )
 
 
+#: (min change-ratio ppm, bucket name, revisit interval seconds) —
+#: descending thresholds; a URL whose content changed on ≥50% of
+#: recrawls is polled hourly, ≥20% daily, ever-changed weekly, never-
+#: changed monthly. Single-fetch URLs (no baseline) get one daily
+#: probe — the cold-start convention.
+REVISIT_POLICY = (
+    (500_000, "hourly", 3_600),
+    (200_000, "daily", 86_400),
+    (1, "weekly", 604_800),
+    (0, "monthly", 2_592_000),
+)
+
+
+def adaptive_revisit(deltas: DataFrame) -> DataFrame:
+    """Adaptive revisit scheduling from recrawl change history — the
+    policy output a freshness-driven crawler derives from
+    :func:`recrawl_delta`'s change flags (Cho & Garcia-Molina's
+    frequency-based revisit estimation, discretized to integer ppm
+    buckets so the schedule is engine-exact; the continuous-λ Poisson
+    estimator needs ``ln`` and would diverge across engines in float).
+
+    Per canonical URL: observed change ratio
+    ``n_changes·10⁶ div (n_fetches − 1)`` (NULL when a single fetch
+    has no baseline), the :data:`REVISIT_POLICY` bucket it falls in,
+    and the concrete next fetch time (last fetch + bucket interval).
+
+    Scale shape: ONE map-side-combinable hash aggregate over the delta
+    relation; since :func:`recrawl_delta`'s window already exchanged
+    on ``canonical_url``, the aggregate reuses that partitioning and
+    the composed plan keeps a single shuffle end-to-end.
+
+    Output: (canonical_url, n_fetches, n_changes, change_ratio_ppm,
+    revisit_bucket, next_fetch_ts_sec).
+    """
+    agg = deltas.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(F.col("changed").cast("long")).cast("long")
+        .alias("n_changes"),
+        F.max(F.col("fetch_ts_sec").cast("long")).alias("_last_ts"),
+    )
+    ratio = F.when(
+        F.col("n_fetches") > 1,
+        F.expr("(n_changes * 1000000L) div (n_fetches - 1)"),
+    ).cast("long")
+    out = agg.select(
+        "canonical_url", "n_fetches", "n_changes",
+        ratio.alias("change_ratio_ppm"), "_last_ts",
+    )
+    cond_built = F.when(
+        F.col("change_ratio_ppm").isNull(), F.lit("daily")
+    )
+    int_built = F.when(
+        F.col("change_ratio_ppm").isNull(), F.lit(86_400)
+    )
+    for ppm, name, secs in REVISIT_POLICY:
+        cond_built = cond_built.when(
+            F.col("change_ratio_ppm") >= ppm, F.lit(name)
+        )
+        int_built = int_built.when(
+            F.col("change_ratio_ppm") >= ppm, F.lit(secs)
+        )
+    return out.select(
+        "canonical_url", "n_fetches", "n_changes", "change_ratio_ppm",
+        cond_built.alias("revisit_bucket"),
+        (F.col("_last_ts") + int_built.cast("long"))
+        .cast("long").alias("next_fetch_ts_sec"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # host-level quality gating (domain filtering)
 # ---------------------------------------------------------------------------
@@ -2405,4 +2474,116 @@ def domain_rollup(pages: DataFrame, psl: DataFrame) -> DataFrame:
         F.count_distinct(F.col("host")).cast("long").alias("n_hosts"),
         F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.min("host").alias("first_host"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# on-page SEO spam: keyword stuffing
+# ---------------------------------------------------------------------------
+
+#: topic vocabulary for the SEO fixture — ``kw{n}`` keywords so the
+#: hand model and both engines re-derive them from doc_id alone.
+SEO_KEYWORD_MOD = 17
+
+
+def synthetic_seo_pages(docs: DataFrame, id_col: str = "doc_id"
+                        ) -> DataFrame:
+    """(doc_id, url, html): pages with a title keyword, a meta-keywords
+    declaration (3 terms — the title term plus two rotated others, so
+    declared-but-absent terms exist on every page), and a body that is
+    normal prose on 3/4 of pages but STUFFED on 1/4 (md5 nibble 3):
+    the title keyword appended ``8 + nibble₄ %% 8`` times — the classic
+    on-page SEO spam shape.  Non-stuffed pages mention their keyword
+    once (nibble₃ ≡ 1 mod 4) or never (otherwise), so the density
+    screen has firing and non-firing population at every corpus size.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    kw = F.concat(F.lit("kw"), (F.col(id_col) % SEO_KEYWORD_MOD)
+                  .cast("string"))
+    kw2 = F.concat(F.lit("kw"), ((F.col(id_col) * 3 + 1)
+                                 % SEO_KEYWORD_MOD).cast("string"))
+    kw3 = F.concat(F.lit("kw"), ((F.col(id_col) * 5 + 2)
+                                 % SEO_KEYWORD_MOD).cast("string"))
+    reps = F.when(_nib(h, 3) % 4 == 0, 8 + _nib(h, 4) % 8).otherwise(
+        F.when(_nib(h, 3) % 4 == 1, F.lit(1)).otherwise(F.lit(0))
+    )
+    body = F.concat(
+        F.lit("plain prose about topic "),
+        (F.col(id_col) % 7).cast("string"),
+        F.repeat(F.concat(F.lit(" "), kw), reps),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>guide to "), kw,
+        F.lit('</title><meta name="keywords" content="'),
+        kw, F.lit(", "), kw2, F.lit(", "), kw3,
+        F.lit('"></head><body><p>'), body,
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _page_url(F.col(id_col)).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def keyword_stuffing(
+    pages: DataFrame, density_threshold_ppm: int = 300_000
+) -> DataFrame:
+    """On-page keyword-stuffing screen — the SEO-spam complement of the
+    link-graph (:func:`link_spam`) and soft-404 screens: parse the
+    declared meta keywords, tokenize the visible body, and measure how
+    much of the body is keyword mass.
+
+    Per page: body token count, total hits of ANY declared keyword,
+    the integer-ppm keyword density ``hits·10⁶ div n_tokens``, the
+    fraction of declared keywords that actually appear
+    (declared-but-absent terms are the inverse spam signal — keyword
+    dumping), and the verdict at ``density_threshold_ppm`` (default:
+    ≥30%% of body tokens being declared keywords marks the page).
+
+    Pure native projection — decode + regexp extracts + higher-order
+    array functions (``filter``/``array_contains``), whole-stage
+    codegen, ZERO shuffles; fuses into the scan at 10¹² pages.  The
+    DuckDB oracle mirrors with ``list_filter``/``list_contains``.
+
+    Output: (url, n_tokens, kw_hits, kw_density_ppm, n_meta_kw,
+    meta_present_frac_e6, stuffed).
+    """
+    html = F.decode(F.col("html"), "UTF-8")
+    kws = F.split(
+        F.regexp_extract(
+            html, r'<meta name="keywords" content="([^"]*)">', 1
+        ),
+        r",\s*",
+    )
+    body = F.regexp_extract(html, r"<p>(.*?)</p>", 1)
+    toks = F.split(F.trim(F.lower(body)), r"\s+")
+    base = pages.select(
+        "url",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(kws, t)))
+        .cast("long").alias("kw_hits"),
+        F.size(kws).cast("long").alias("n_meta_kw"),
+        F.size(F.filter(kws, lambda k: F.array_contains(toks, k)))
+        .cast("long").alias("_n_present"),
+    )
+    # the divisions are guarded inside CASE branches (ANSI div-by-zero
+    # safety on empty bodies / absent meta), and ``stuffed`` derives
+    # from the guarded density so it never re-divides
+    scored = base.select(
+        "url", "n_tokens", "kw_hits",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("(kw_hits * 1000000L) div n_tokens"))
+        .cast("long").alias("kw_density_ppm"),
+        "n_meta_kw",
+        F.when(F.col("n_meta_kw") > 0,
+               F.expr("(_n_present * 1000000L) div n_meta_kw"))
+        .cast("long").alias("meta_present_frac_e6"),
+    )
+    return scored.withColumn(
+        "stuffed",
+        F.coalesce(
+            F.col("kw_density_ppm") >= density_threshold_ppm,
+            F.lit(False),
+        ),
     )

@@ -1945,3 +1945,154 @@ class TestHitsScores:
         assert "ArrowEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         release_plan_caches(out)
+
+
+class TestAdaptiveRevisit:
+    """Change-ratio → revisit-bucket scheduling policy."""
+
+    def _deltas(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "canonical_url string, fetch_ts_sec long, "
+            "fingerprint string, changed boolean, fetch_seq long",
+        )
+
+    def test_policy_buckets_and_next_fetch(self, spark):
+        from igtdetect_spark.operators.webpages import adaptive_revisit
+
+        rows = [
+            # hot: 2 changes in 2 recrawls → 1e6 ppm → hourly
+            ("u/hot", 100, "a", False, 1),
+            ("u/hot", 200, "b", True, 2),
+            ("u/hot", 300, "c", True, 3),
+            # lukewarm: 1 change in 4 recrawls → 250000 → daily
+            ("u/warm", 10, "a", False, 1),
+            ("u/warm", 20, "a", False, 2),
+            ("u/warm", 30, "b", True, 3),
+            ("u/warm", 40, "b", False, 4),
+            ("u/warm", 50, "b", False, 5),
+            # stale but once-changed: 1 in 9 → 111111 → weekly
+            *[("u/slow", 10 * i, "a" if i < 9 else "b", i == 9, i)
+              for i in range(1, 10 + 1)],
+            # frozen: 0 changes → monthly
+            ("u/cold", 5, "a", False, 1),
+            ("u/cold", 6, "a", False, 2),
+            # single fetch: no baseline → NULL ratio → daily probe
+            ("u/new", 7, "a", False, 1),
+        ]
+        got = {
+            r["canonical_url"]: r
+            for r in adaptive_revisit(self._deltas(spark, rows)).collect()
+        }
+        assert got["u/hot"]["change_ratio_ppm"] == 1_000_000
+        assert got["u/hot"]["revisit_bucket"] == "hourly"
+        assert got["u/hot"]["next_fetch_ts_sec"] == 300 + 3_600
+        assert got["u/warm"]["change_ratio_ppm"] == 250_000
+        assert got["u/warm"]["revisit_bucket"] == "daily"
+        assert got["u/warm"]["next_fetch_ts_sec"] == 50 + 86_400
+        assert got["u/slow"]["change_ratio_ppm"] == 111_111
+        assert got["u/slow"]["revisit_bucket"] == "weekly"
+        assert got["u/cold"]["change_ratio_ppm"] == 0
+        assert got["u/cold"]["revisit_bucket"] == "monthly"
+        assert got["u/cold"]["next_fetch_ts_sec"] == 6 + 2_592_000
+        assert got["u/new"]["change_ratio_ppm"] is None
+        assert got["u/new"]["revisit_bucket"] == "daily"
+        assert got["u/new"]["next_fetch_ts_sec"] == 7 + 86_400
+
+    def test_composed_single_shuffle(self, spark):
+        # recrawl_delta's window exchange on canonical_url is the ONE
+        # exchange; the policy aggregate reuses that partitioning
+        from igtdetect_spark.operators.webpages import (
+            adaptive_revisit,
+            canonical_url,
+            recrawl_delta,
+            synthetic_page_urls,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        p = synthetic_page_urls(docs)
+        f = p.select(
+            canonical_url(F.col("url")).alias("canonical_url"),
+            "fetch_ts_sec",
+            F.md5(F.col("url")).alias("fingerprint"),
+        )
+        out = adaptive_revisit(recrawl_delta(f))
+        plan = str(out._jdf.queryExecution().executedPlan())
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+class TestKeywordStuffing:
+    """On-page SEO keyword-density screen."""
+
+    def _hand(self, ids):
+        import hashlib
+
+        out = {}
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            kw = f"kw{i % 17}"
+            kws = [kw, f"kw{(i * 3 + 1) % 17}", f"kw{(i * 5 + 2) % 17}"]
+            n3, n4 = int(h[2], 16), int(h[3], 16)
+            reps = (8 + n4 % 8 if n3 % 4 == 0
+                    else (1 if n3 % 4 == 1 else 0))
+            toks = ["plain", "prose", "about", "topic", str(i % 7)]
+            toks += [kw] * reps
+            hits = sum(1 for t in toks if t in kws)
+            # per declared SLOT, not per distinct term — the rotations
+            # may collide and the filter counts each slot
+            present = sum(1 for k in kws if k in toks)
+            dens = (hits * 1_000_000) // len(toks)
+            out[i] = {
+                "n_tokens": len(toks), "kw_hits": hits,
+                "kw_density_ppm": dens, "n_meta_kw": len(kws),
+                "meta_present_frac_e6":
+                    (present * 1_000_000) // len(kws),
+                "stuffed": dens >= 300_000,
+            }
+        return out
+
+    def test_matches_hand_model(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            keyword_stuffing,
+            synthetic_seo_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        exp = self._hand(ids)
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r
+            for r in keyword_stuffing(
+                synthetic_seo_pages(docs)
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for i, e in exp.items():
+            for k, v in e.items():
+                assert got[i][k] == v, (i, k, got[i][k], v)
+        # both verdicts are populated
+        verdicts = {r["stuffed"] for r in got.values()}
+        assert verdicts == {True, False}
+
+    def test_zero_shuffle_native_plan(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            keyword_stuffing,
+            synthetic_seo_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = str(
+            keyword_stuffing(synthetic_seo_pages(docs))
+            ._jdf.queryExecution().executedPlan()
+        )
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
