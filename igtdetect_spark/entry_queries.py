@@ -5553,6 +5553,118 @@ SELECT url, hub_e6, auth_e6 FROM final""")
     return "\n".join(parts)
 
 
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact TrustRank (seed-personalized PageRank, the
+    classic web-spam demotion score): teleport mass restarts only at
+    the deterministic seed set, so trust decays with link distance
+    from seeds. Same per-iteration shape as pagerank (one shuffle
+    join + one hash agg), unrolled SQL oracle matches bit-for-bit."""
+    from .operators.webpages import synthetic_linked_pages, trustrank
+
+    return trustrank(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_trustrank(
+    seeds_mod: int = 64, iterations: int = 3, damping_ppm: int = 850_000
+) -> str:
+    teleport = 1_000_000 - damping_ppm
+    seed_mass = (f"CASE WHEN d.doc_id % {seeds_mod} = 0 "
+                 f"THEN {teleport} ELSE 0 END")
+    parts = [
+        f"WITH links AS ({_SQL_LINK_SLOTS}),",
+        """edges AS (
+  SELECT DISTINCT src_id, tgt AS dst_id FROM links
+  WHERE j <= 2 AND tgt IN (SELECT doc_id FROM documents)
+),
+deg AS (
+  SELECT src_id, CAST(count(*) AS BIGINT) AS out_deg
+  FROM edges GROUP BY src_id
+),""",
+        f"""t0 AS (
+  SELECT d.doc_id AS id, CAST({seed_mass} AS BIGINT) AS trust_e6
+  FROM documents d
+),""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.dst_id,
+         sum((t.trust_e6 * {damping_ppm}) // (1000000 * g.out_deg))
+           AS s
+  FROM edges e
+  JOIN deg g ON g.src_id = e.src_id
+  JOIN t{i - 1} t ON t.id = e.src_id
+  GROUP BY e.dst_id
+),
+t{i} AS (
+  SELECT d.doc_id AS id,
+         CAST({seed_mass} + coalesce(c.s, 0) AS BIGINT) AS trust_e6
+  FROM documents d LEFT JOIN c{i} c ON c.dst_id = d.doc_id
+),""")
+    url = _SQL_PAGE_URL.format(x="t.id")
+    parts.append(f"""final AS (
+  SELECT {url} AS url, t.trust_e6,
+         t.id % {seeds_mod} = 0 AS seed
+  FROM t{iterations} t
+)
+SELECT url, trust_e6, seed FROM final""")
+    return "\n".join(parts)
+
+
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=next/prev pagination-chain assembly over the synthetic
+    paginated corpus: heads (no rel=prev) walk the url→next map via
+    unrolled left joins (redirect_resolve's plan-construction loop)
+    into one row per ARTICLE with its ordered part list."""
+    from .operators.webpages import (
+        paginate_chains,
+        synthetic_paginated_pages,
+    )
+
+    return paginate_chains(
+        synthetic_paginated_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_pagination_chains() -> str:
+    # fixture-mirror oracle: article a = id div 4, true length
+    # L = 1 + nib5(md5(a)) % 4; heads are part-0 pages (chains of L
+    # parts) and k ≥ L orphans (single-page articles). Assumes every
+    # article's parts are present — true whenever the doc count is a
+    # multiple of 4 (all driver SFs); the Spark side handles ragged
+    # tails and is pinned by the sf0.001 hand-model test.
+    url_i = _SQL_PAGE_URL.format(x="(x.a * 4 + i)")
+    url_0 = _SQL_PAGE_URL.format(x="x.doc_id")
+    return f"""
+WITH p AS (
+  SELECT doc_id, doc_id // 4 AS a, doc_id % 4 AS k FROM documents
+),
+x AS (
+  SELECT doc_id, a, k,
+         1 + (strpos('0123456789abcdef',
+              substring(md5(CAST(a AS VARCHAR)), 5, 1)) - 1) % 4 AS L
+  FROM p
+),
+chains AS (
+  SELECT {url_0} AS root_url,
+         CAST(x.L AS BIGINT) AS n_parts,
+         list_transform(range(CAST(x.L AS BIGINT)),
+                        i -> {url_i}) AS part_urls,
+         true AS complete
+  FROM x WHERE x.k = 0
+),
+orphans AS (
+  SELECT {url_0} AS root_url,
+         CAST(1 AS BIGINT) AS n_parts,
+         [{url_0}] AS part_urls,
+         true AS complete
+  FROM x WHERE x.k >= x.L
+)
+SELECT * FROM chains UNION ALL SELECT * FROM orphans
+"""
+
+
 def q_adaptive_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive revisit scheduling: fold recrawl_delta's change flags
     into a per-URL change ratio (integer ppm) and a revisit bucket +
@@ -5810,6 +5922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "adaptive_revisit": q_adaptive_revisit,
         "keyword_stuffing": q_keyword_stuffing,
+        "trustrank": q_trustrank,
+        "pagination_chains": q_pagination_chains,
     }
 
 
@@ -5923,6 +6037,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _sql_hits_scores(),
         "adaptive_revisit": _sql_adaptive_revisit(),
         "keyword_stuffing": _sql_keyword_stuffing(),
+        "trustrank": _sql_trustrank(),
+        "pagination_chains": _sql_pagination_chains(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

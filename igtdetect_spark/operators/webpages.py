@@ -757,6 +757,78 @@ def hits_scores(pages: DataFrame, iterations: int = 2) -> DataFrame:
     return out
 
 
+def trustrank(
+    pages: DataFrame,
+    seeds_mod: int = 64,
+    iterations: int = 3,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB '04): PageRank personalized on a trusted seed set — teleport
+    mass restarts ONLY at seeds, so trust decays with link distance
+    from the seed list and spam clusters that PageRank rewards (dense
+    reciprocal linkage far from any trusted page) starve.  The
+    standard web-spam demotion score; pages with high PageRank but
+    near-zero trust are the classic spam signature
+    (:func:`link_spam`'s graph-local screen generalized to global
+    propagation).
+
+    Same integer micro-unit discipline as :func:`pagerank`: seeds
+    start (and restart) at ``10⁶ − damping`` micro-units, every node
+    forwards ``(t·damping) div (10⁶·out_deg)`` along each out-edge,
+    non-seeds get NO teleport.  All-integer, so the unrolled SQL
+    oracle matches bit-for-bit.
+
+    Scale shape: identical to pagerank — edges resolved and persisted
+    once, one shuffle join + one hash aggregate per iteration; the
+    seed gate is a modular predicate on the node id, no extra join.
+
+    Output: (url, trust_e6, seed).
+    """
+    ids, edges = _internal_edges(pages)
+    deg = edges.groupBy("src_id").agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    er = edges.join(deg, "src_id").persist()
+    teleport = 1_000_000 - damping_ppm
+    nodes = ids.select(F.col("_nid").alias("id"))
+    seed_mass = F.when(
+        (F.col("id") % seeds_mod) == 0, F.lit(teleport)
+    ).otherwise(F.lit(0)).cast("long")
+    trust = nodes.select("id", seed_mass.alias("trust_e6"))
+    for _ in range(iterations):
+        contrib = (
+            er.join(trust, er.src_id == trust.id)
+            .select(
+                F.col("dst_id"),
+                F.expr(
+                    f"(trust_e6 * {damping_ppm}L) div (1000000L * out_deg)"
+                ).alias("_c"),
+            )
+            .groupBy("dst_id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        trust = (
+            nodes.join(contrib, nodes.id == contrib.dst_id, "left")
+            .select(
+                "id",
+                (seed_mass + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long").alias("trust_e6"),
+            )
+        )
+    out = (
+        trust.join(ids, trust.id == ids._nid)
+        .select(
+            "url", "trust_e6",
+            ((F.col("id") % seeds_mod) == 0).alias("seed"),
+        )
+    )
+    from .dedup import attach_plan_cache
+
+    attach_plan_cache(out, er)
+    return out
+
+
 def _l1_normalize_e6(nodes: DataFrame, raw: DataFrame) -> DataFrame:
     """(id, s): left-join ``raw`` sums onto the full node set (absent →
     0) and L1-normalize to micro-units with integral division.  The
@@ -2586,4 +2658,113 @@ def keyword_stuffing(
             F.col("kw_density_ppm") >= density_threshold_ppm,
             F.lit(False),
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pagination chains (rel=next/prev article assembly)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_paginated_pages(docs: DataFrame, id_col: str = "doc_id"
+                              ) -> DataFrame:
+    """(doc_id, url, html): multi-part articles. Consecutive doc_ids
+    group into articles of up to 4 parts — article ``a = id div 4``
+    has true length ``L(a) = 1 + nib₅(md5(a)) % 4``; the member with
+    part ``k = id % 4 < L`` carries ``rel=next`` to part k+1 (except
+    the last) and ``rel=prev`` to part k-1 (except the first).
+    Members with ``k ≥ L`` are standalone single-page articles (no
+    pagination links at all) — the majority case on the real web, so
+    the assembler must not fabricate chains for them."""
+    a = F.floor(F.col(id_col) / 4).cast("long")
+    k = (F.col(id_col) % 4).cast("long")
+    ha = F.md5(a.cast("string"))
+    L = (1 + _nib(ha, 5) % 4).cast("long")
+    in_chain = k < L
+    nxt = F.when(
+        in_chain & (k < L - 1),
+        F.concat(F.lit('<link rel="next" href="'),
+                 _page_url(F.col(id_col) + 1), F.lit('">')),
+    ).otherwise(F.lit(""))
+    prv = F.when(
+        in_chain & (k > 0),
+        F.concat(F.lit('<link rel="prev" href="'),
+                 _page_url(F.col(id_col) - 1), F.lit('">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Part "), (k + 1).cast("string"),
+        F.lit("</title>"), nxt, prv,
+        F.lit("</head><body><p>Article "), a.cast("string"),
+        F.lit(" part "), (k + 1).cast("string"),
+        F.lit(".</p></body></html>"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _page_url(F.col(id_col)).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def paginate_chains(pages: DataFrame, max_parts: int = 4) -> DataFrame:
+    """Assemble ``rel=next`` pagination chains into whole articles —
+    the multi-page-article stitch a text-extraction pipeline runs so
+    a 4-part article becomes ONE training document instead of four
+    fragments (every production extractor — news, docs, forums — has
+    this step; the reference's per-document model assumes it already
+    happened).
+
+    Heads are pages with a ``rel=next`` but no ``rel=prev`` (chain
+    starts) plus pages with neither (single-page articles).  From each
+    head the chain is walked by ``max_parts − 1`` UNROLLED left
+    equi-joins against the (url → next_url) map — the same
+    plan-construction loop as :func:`resolve_redirects`: no driver
+    iteration, walk state is one array column, finished walks carry
+    NULL keys through the remaining hops.  Tail pages (mid-chain or
+    chain-end) are NOT heads and emit no row, so output grain is the
+    ARTICLE.
+
+    Scale shape: the next-map is pagination-fraction-sized (a few % of
+    pages) and hash-joins on url each hop; per-hop state is O(heads).
+    Truncation at ``max_parts`` is disclosed via ``complete = false``
+    rather than silently dropped.
+
+    Output: (root_url, n_parts, part_urls, complete).
+    """
+    html = F.decode(F.col("html"), "UTF-8")
+    nxt = F.nullif(
+        F.regexp_extract(html, r'<link rel="next" href="([^"]+)">', 1),
+        F.lit(""),
+    )
+    prv = F.nullif(
+        F.regexp_extract(html, r'<link rel="prev" href="([^"]+)">', 1),
+        F.lit(""),
+    )
+    rel = pages.select(
+        "url", nxt.alias("_next"), prv.alias("_prev")
+    )
+    emap = rel.filter(F.col("_next").isNotNull()).select(
+        F.col("url").alias("_k"), F.col("_next").alias("_v")
+    )
+    heads = rel.filter(F.col("_prev").isNull()).select(
+        F.col("url").alias("root_url"),
+        F.array("url").alias("part_urls"),
+        F.col("_next").alias("_cur"),
+    )
+    state = heads
+    for _ in range(max_parts - 1):
+        s = state.join(emap, state["_cur"] == emap["_k"], "left")
+        state = s.select(
+            "root_url",
+            F.when(
+                F.col("_cur").isNotNull(),
+                F.array_append(F.col("part_urls"), F.col("_cur")),
+            ).otherwise(F.col("part_urls")).alias("part_urls"),
+            F.when(F.col("_cur").isNotNull(), F.col("_v"))
+            .otherwise(F.lit(None).cast("string")).alias("_cur"),
+        )
+    return state.select(
+        "root_url",
+        F.size("part_urls").cast("long").alias("n_parts"),
+        "part_urls",
+        F.col("_cur").isNull().alias("complete"),
     )

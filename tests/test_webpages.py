@@ -2096,3 +2096,160 @@ class TestKeywordStuffing:
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
+
+
+class TestTrustrank:
+    """Seed-personalized PageRank (TrustRank) integer model."""
+
+    def test_matches_integer_hand_model(self, spark):
+        from collections import defaultdict
+
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            synthetic_linked_pages,
+            trustrank,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        edges = sorted(set(TestAnchorText()._hand_model(ids)[1]))
+        outdeg = defaultdict(int)
+        for s, _d in edges:
+            outdeg[s] += 1
+        seed = {i: (150_000 if i % 64 == 0 else 0) for i in ids}
+        trust = dict(seed)
+        for _ in range(3):
+            new = dict(seed)
+            for s, d in edges:
+                new[d] += (trust[s] * 850_000) // (1_000_000 * outdeg[s])
+            trust = new
+        out = trustrank(synthetic_linked_pages(docs))
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r for r in out.collect()
+        }
+        assert set(got) == set(ids)
+        for i in ids:
+            assert got[i]["trust_e6"] == trust[i], i
+            assert got[i]["seed"] == (i % 64 == 0), i
+        # trust decays from seeds: non-seeds unreachable from any seed
+        # hold exactly 0; at least one reachable non-seed holds > 0
+        nonseed = [got[i]["trust_e6"] for i in ids if i % 64]
+        assert any(v > 0 for v in nonseed)
+        assert any(v == 0 for v in nonseed)
+        assert release_plan_caches(out) == 1
+
+    def test_spam_cluster_starves(self, spark):
+        # a reciprocal pair far from any seed gets trust 0 even
+        # though pagerank would reward its mutual linkage
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import trustrank
+
+        rows = [
+            (0, "https://h/0", '<a href="https://h/1">'),
+            (1, "https://h/1", ""),
+            (7, "https://h/7", '<a href="https://h/8">'),
+            (8, "https://h/8", '<a href="https://h/7">'),
+        ]
+        pages = spark.createDataFrame(
+            [(i, u, h.encode()) for i, u, h in rows],
+            "doc_id long, url string, html binary",
+        )
+        out = trustrank(pages, seeds_mod=64)
+        got = {r["url"]: r["trust_e6"] for r in out.collect()}
+        release_plan_caches(out)
+        assert got["https://h/1"] > 0      # one hop from the seed
+        assert got["https://h/7"] == 0     # spam island: no trust
+        assert got["https://h/8"] == 0
+
+
+class TestPaginationChains:
+    """rel=next/prev chain assembly into article rows."""
+
+    def _hand(self, ids):
+        import hashlib
+
+        def page_url(i):
+            s = int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) % 4
+            return f"https://site{s}.example.org/p/{i}"
+
+        idset = set(ids)
+        out = {}
+        for i in ids:
+            a, k = divmod(i, 4)
+            L = 1 + int(hashlib.md5(str(a).encode()).hexdigest()[4],
+                        16) % 4
+            if k == 0:
+                # walk real next-pointers: page j links j+1 while
+                # j's part < L-1; a target outside the corpus is
+                # appended as a dangler, then the walk stops
+                parts = [page_url(i)]
+                cur = i
+                while cur % 4 < L - 1:
+                    parts.append(page_url(cur + 1))
+                    if cur + 1 not in idset:
+                        break
+                    cur += 1
+                out[page_url(i)] = (len(parts), parts, True)
+            elif k >= L:
+                out[page_url(i)] = (1, [page_url(i)], True)
+        return out
+
+    def test_matches_hand_model(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            paginate_chains,
+            synthetic_paginated_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        exp = self._hand(ids)
+        got = {
+            r["root_url"]: (r["n_parts"], r["part_urls"], r["complete"])
+            for r in paginate_chains(
+                synthetic_paginated_pages(docs)
+            ).collect()
+        }
+        assert got == exp
+        # multi-part chains and singletons both occur
+        assert {v[0] for v in got.values()} >= {1, 2}
+
+    def test_dangler_and_truncation(self, spark):
+        from igtdetect_spark.operators.webpages import paginate_chains
+
+        def pg(i, nxt=None, prv=None):
+            h = ""
+            if nxt is not None:
+                h += f'<link rel="next" href="https://h/{nxt}">'
+            if prv is not None:
+                h += f'<link rel="prev" href="https://h/{prv}">'
+            return (i, f"https://h/{i}", h.encode())
+
+        rows = [
+            # 6-part chain: truncates at max_parts=4, complete=false
+            pg(0, nxt=1), pg(1, nxt=2, prv=0), pg(2, nxt=3, prv=1),
+            pg(3, nxt=4, prv=2), pg(4, nxt=5, prv=3), pg(5, prv=4),
+            # dangling next: target 99 never crawled — appended as a
+            # part, then the walk stops cleanly
+            pg(10, nxt=99),
+            # singleton
+            pg(20),
+        ]
+        pages = spark.createDataFrame(
+            rows, "doc_id long, url string, html binary"
+        )
+        got = {
+            r["root_url"]: r
+            for r in paginate_chains(pages, max_parts=4).collect()
+        }
+        assert set(got) == {"https://h/0", "https://h/10", "https://h/20"}
+        r0 = got["https://h/0"]
+        assert r0["n_parts"] == 4 and not r0["complete"]
+        assert r0["part_urls"] == [f"https://h/{i}" for i in range(4)]
+        r10 = got["https://h/10"]
+        assert r10["part_urls"] == ["https://h/10", "https://h/99"]
+        assert r10["complete"]
+        assert got["https://h/20"]["part_urls"] == ["https://h/20"]
