@@ -116,15 +116,41 @@ def main():
         "inverted_index", "link_spam", "wat_export",
         "frontier_priority", "soft404", "snapshot_upsert",
         "hreflang_symmetry", "link_resolve", "domain_rollup",
+        "crawl_depth", "hits_scores", "adaptive_revisit",
+        "keyword_stuffing",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
+
+    def force(d):
+        # df.count() lets Catalyst PRUNE every output column, so a
+        # projection-terminal query (wat_export's JSON render,
+        # wet_export, html_extract, ...) degenerates to a row count
+        # over the scan and the timing measures a plan nobody would
+        # run. A bit_xor(xxhash64(*)) checksum forces every output
+        # column to be computed (overflow-free under ANSI, unlike
+        # sum). Structural queries (join/agg/window-terminal) cost
+        # the same either way — pruning cannot remove those stages —
+        # so their history stays comparable; see BENCH/PLANS.md
+        # "Scaling-probe validity fixes" for the measured A/B.
+        def h(f):
+            # xxhash64 rejects MapType; route maps through to_json —
+            # the checksum only needs to FORCE evaluation, not be a
+            # canonical value
+            if "map<" in f.dataType.simpleString():
+                return f"to_json(`{f.name}`)"
+            return f"`{f.name}`"
+
+        cols = ", ".join(h(f) for f in d.schema.fields)
+        d.selectExpr(
+            "count(1) AS n", f"bit_xor(xxhash64({cols})) AS chk"
+        ).collect()
 
     for name in bench_queries:
         best = None
         for _ in range(2):  # best-of-2: damp JIT/GC noise in the record
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            df.count()
+            force(df)
             dt = time.time() - t0
             release_plan_caches(df)  # outside the timed window
             best = dt if best is None or dt < best else best

@@ -37,18 +37,43 @@ from igtdetect_spark.entry_queries import queries as registry
 from igtdetect_spark.operators.dedup import release_plan_caches
 
 name, sf_dir, cpus = sys.argv[1], sys.argv[2], int(sys.argv[3])
-# identical shuffle plan at both levels; only parallelism differs
-spark = build_session(master=f"local[{cpus}]", shuffle_partitions=32)
+# identical shuffle plan at both levels; only parallelism differs.
+# AQE partition COALESCING is disabled for the probe: it folds the 32
+# shuffle partitions down by INPUT SIZE (a heuristic that never binds
+# at production shuffle volumes), so a probe-scale post-shuffle stage
+# can end up with fewer tasks than the 4N leg has cores and the ratio
+# measures AQE's small-input behavior, not the engine (measured on
+# wat_export@k1024: 0.776 with coalescing, 0.92 without — the render
+# stage had been folded to ~5 tasks at BOTH levels).
+spark = build_session(
+    master=f"local[{cpus}]", shuffle_partitions=32,
+    extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+)
 spark.sparkContext.setLogLevel("ERROR")
 fn = registry()[name]
+
+
+def force(d):
+    # df.count() lets Catalyst PRUNE every output column, so a
+    # projection-heavy query (wat_export's JSON render, wet_export)
+    # degenerates to a row-count over the scan and the probe measures
+    # nothing.  A bit_xor(xxhash64(*)) checksum forces every column to
+    # be computed (overflow-free under ANSI, unlike sum).
+    cols = ", ".join(f"`{c}`" for c in d.columns)
+    r = d.selectExpr(
+        "count(1) AS n", f"bit_xor(xxhash64({cols})) AS chk"
+    ).collect()[0]
+    return r["n"]
+
+
 df = fn(spark, sf_dir)
-df.count()  # warm-up: python workers, broadcasts, page cache
+force(df)  # warm-up: python workers, broadcasts, page cache
 release_plan_caches(df)
 best = None
 for _ in range(3):
     t0 = time.time()
     d = fn(spark, sf_dir)
-    n = d.count()
+    n = force(d)
     dt = time.time() - t0
     release_plan_caches(d)
     best = dt if best is None or dt < best else best
