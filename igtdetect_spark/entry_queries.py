@@ -5446,6 +5446,75 @@ FROM rd GROUP BY 1, 2
 """
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical largest-remainder (Hamilton) crawl-budget
+    apportionment: the global per-cycle page budget split exactly
+    across public suffixes (bounded global ranking) then registered
+    domains (suffix-partitioned ranking) — Σ alloc == budget exactly,
+    the invariant naive rounding cannot give."""
+    from .operators.webpages import (
+        crawl_budget,
+        domain_rollup,
+        public_suffix_df,
+        synthetic_domain_pages,
+    )
+
+    return crawl_budget(
+        domain_rollup(
+            synthetic_domain_pages(_t(spark, sf_dir, "documents")),
+            public_suffix_df(spark),
+        )
+    )
+
+
+def _sql_crawl_budget(total_budget: int = 100_000) -> str:
+    B = total_budget
+    return f"""
+WITH roll AS (
+{_sql_domain_rollup()}
+),
+d AS (
+  SELECT registered_domain, public_suffix,
+         CAST(n_pages AS BIGINT) AS weight
+  FROM roll WHERE registered_domain IS NOT NULL
+),
+sfx AS (
+  SELECT public_suffix, sum(weight) AS s_w FROM d GROUP BY public_suffix
+),
+tot AS (SELECT sum(s_w) AS t FROM sfx),
+l1 AS (
+  SELECT public_suffix, s_w,
+         CAST(({B} * s_w) // t.t AS BIGINT) AS base,
+         CAST({B} - sum(({B} * s_w) // t.t) OVER () AS BIGINT)
+           AS leftover,
+         row_number() OVER (ORDER BY ({B} * s_w) % t.t DESC,
+                            public_suffix ASC) AS rk
+  FROM sfx, tot t
+),
+sb AS (
+  SELECT public_suffix, s_w,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+              AS BIGINT) AS s_budget
+  FROM l1
+),
+l2 AS (
+  SELECT d.registered_domain, d.public_suffix, d.weight,
+         CAST((sb.s_budget * d.weight) // sb.s_w AS BIGINT) AS base,
+         CAST(sb.s_budget - sum((sb.s_budget * d.weight) // sb.s_w)
+              OVER (PARTITION BY d.public_suffix) AS BIGINT)
+           AS leftover,
+         row_number() OVER (PARTITION BY d.public_suffix
+            ORDER BY (sb.s_budget * d.weight) % sb.s_w DESC,
+                     d.registered_domain ASC) AS rk
+  FROM d JOIN sb ON sb.public_suffix = d.public_suffix
+)
+SELECT registered_domain, public_suffix, weight,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM l2
+"""
+
+
 def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-depth BFS from the deterministic seed set over the
     synthetic internal link graph — min hop distance per reached page,
@@ -5924,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_stuffing": q_keyword_stuffing,
         "trustrank": q_trustrank,
         "pagination_chains": q_pagination_chains,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -6039,6 +6109,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_stuffing": _sql_keyword_stuffing(),
         "trustrank": _sql_trustrank(),
         "pagination_chains": _sql_pagination_chains(),
+        "crawl_budget": _sql_crawl_budget(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -2768,3 +2768,95 @@ def paginate_chains(pages: DataFrame, max_parts: int = 4) -> DataFrame:
         "part_urls",
         F.col("_cur").isNull().alias("complete"),
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-budget apportionment (hierarchical largest-remainder)
+# ---------------------------------------------------------------------------
+
+
+def crawl_budget(
+    domains: DataFrame, total_budget: int = 100_000
+) -> DataFrame:
+    """Apportion a global per-cycle page budget across registered
+    domains — the planning step between :func:`domain_rollup` and
+    :func:`fetch_schedule`: every crawl cycle fetches a fixed number
+    of pages, and each registrable unit gets a share proportional to
+    its weight (here ``n_pages``, standing in for demand × quality).
+
+    Integer-exact largest-remainder (Hamilton) apportionment, run
+    HIERARCHICALLY so it scales: level 1 splits the global budget
+    across PUBLIC SUFFIXES (cardinality bounded by the PSL, ~10⁴ —
+    the single unpartitioned ranking window is bounded by
+    construction, documented, and the only global ordering anywhere);
+    level 2 splits each suffix's budget across its domains with the
+    ranking window PARTITIONED BY SUFFIX — no global sort over the
+    10⁸-domain relation ever happens.  Each level: ``base =
+    (budget·w) div W``, then the ``budget − Σbase`` leftover units go
+    +1 each to the largest ``(budget·w) mod W`` remainders (ties to
+    the lexicographically smaller name, so both engines agree).
+    Invariant (tested): ``Σ alloc == total_budget`` EXACTLY — floors
+    plus largest remainders is what makes that identity hold, and it
+    is why crawl planners use Hamilton and not naive rounding.
+
+    Magnitude bound: products are ``budget × W``; with BIGINT that
+    caps ``budget ≤ 9·10¹⁸ / Σpages`` (at 10¹² pages: budget ≤ 9·10⁶
+    per apportionment pass — pre-scale weights to ppm, or lift to
+    decimal(38,0), for bigger cycles; one constant, documented not
+    hidden).
+
+    Suffix-only hosts (NULL registered_domain) are excluded — a bare
+    public suffix is not a crawlable registrable unit.
+
+    Output: (registered_domain, public_suffix, weight, alloc).
+    """
+    from pyspark.sql.window import Window
+
+    d = domains.filter(F.col("registered_domain").isNotNull()).select(
+        "registered_domain", "public_suffix",
+        F.col("n_pages").cast("long").alias("weight"),
+    )
+    sfx = d.groupBy("public_suffix").agg(
+        F.sum("weight").alias("s_w")
+    )
+    tot = sfx.agg(F.sum("s_w").alias("_tot"))
+    lvl1 = sfx.crossJoin(F.broadcast(tot)).select(
+        "public_suffix", "s_w",
+        F.expr(f"({total_budget}L * s_w) div _tot").alias("_base"),
+        F.expr(f"({total_budget}L * s_w) % _tot").alias("_rem"),
+    )
+    lvl1 = lvl1.select(
+        "public_suffix", "s_w", "_base", "_rem",
+        (F.lit(total_budget).cast("long")
+         - F.sum("_base").over(
+             Window.partitionBy())).alias("_left"),
+        F.row_number().over(
+            Window.orderBy(F.desc("_rem"), F.asc("public_suffix"))
+        ).alias("_rk"),
+    )
+    lvl1 = lvl1.select(
+        "public_suffix", "s_w",
+        (F.col("_base")
+         + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
+        .cast("long").alias("s_budget"),
+    )
+    w2 = Window.partitionBy("public_suffix")
+    joined = d.join(F.broadcast(lvl1), "public_suffix")
+    lvl2 = joined.select(
+        "registered_domain", "public_suffix", "weight", "s_budget",
+        F.expr("(s_budget * weight) div s_w").alias("_base"),
+        F.expr("(s_budget * weight) % s_w").alias("_rem"),
+    )
+    lvl2 = lvl2.select(
+        "registered_domain", "public_suffix", "weight", "_base",
+        (F.col("s_budget") - F.sum("_base").over(w2)).alias("_left"),
+        F.row_number().over(
+            w2.orderBy(F.desc("_rem"), F.asc("registered_domain"))
+        ).alias("_rk"),
+    )
+    return lvl2.select(
+        "registered_domain", "public_suffix", "weight",
+        (F.col("_base")
+         + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
+        .cast("long").alias("alloc"),
+    )

@@ -2253,3 +2253,76 @@ class TestPaginationChains:
         assert r10["part_urls"] == ["https://h/10", "https://h/99"]
         assert r10["complete"]
         assert got["https://h/20"]["part_urls"] == ["https://h/20"]
+
+
+class TestCrawlBudget:
+    """Hierarchical largest-remainder budget apportionment."""
+
+    def _domains(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "registered_domain string, public_suffix string, "
+                  "n_pages long"
+        )
+
+    def test_hand_apportionment_and_exact_sum(self, spark):
+        from igtdetect_spark.operators.webpages import crawl_budget
+
+        rows = [
+            ("a.com", "com", 3), ("b.com", "com", 3), ("c.com", "com", 1),
+            ("d.org", "org", 2), ("e.org", "org", 1),
+            (None, "zz", 5),  # suffix-only: excluded
+        ]
+        got = {
+            r["registered_domain"]: r
+            for r in crawl_budget(
+                self._domains(spark, rows), total_budget=10
+            ).collect()
+        }
+        # level 1: com w=7, org w=3, T=10 → com 7, org 3 (no leftover)
+        # level 2 com: 7·3//7=3, 7·3//7=3, 7·1//7=1 → sum 7, rems 0
+        # level 2 org: 3·2//3=2, 3·1//3=1 → sum 3
+        assert got["a.com"]["alloc"] == 3
+        assert got["b.com"]["alloc"] == 3
+        assert got["c.com"]["alloc"] == 1
+        assert got["d.org"]["alloc"] == 2
+        assert got["e.org"]["alloc"] == 1
+        assert None not in got
+        assert sum(r["alloc"] for r in got.values()) == 10
+
+    def test_largest_remainder_tiebreak(self, spark):
+        from igtdetect_spark.operators.webpages import crawl_budget
+
+        # 3 equal domains, budget 10 → base 3 each, 1 leftover unit
+        # goes to the lexicographically SMALLEST name on the tie
+        rows = [(n, "com", 1) for n in ("x.com", "m.com", "z.com")]
+        got = {
+            r["registered_domain"]: r["alloc"]
+            for r in crawl_budget(
+                self._domains(spark, rows), total_budget=10
+            ).collect()
+        }
+        assert got == {"m.com": 4, "x.com": 3, "z.com": 3}
+
+    def test_exact_sum_on_synthetic_rollup(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            crawl_budget,
+            domain_rollup,
+            public_suffix_df,
+            synthetic_domain_pages,
+        )
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = crawl_budget(
+            domain_rollup(synthetic_domain_pages(docs),
+                          public_suffix_df(spark)),
+            total_budget=99_991,  # prime: forces remainders everywhere
+        )
+        row = out.agg(
+            F.sum("alloc").alias("s"),
+            F.min("alloc").alias("lo"),
+        ).collect()[0]
+        assert row["s"] == 99_991  # the Hamilton identity, exactly
+        assert row["lo"] >= 0
