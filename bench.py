@@ -117,7 +117,8 @@ def main():
         "frontier_priority", "soft404", "snapshot_upsert",
         "hreflang_symmetry", "link_resolve", "domain_rollup",
         "crawl_depth", "hits_scores", "adaptive_revisit",
-        "keyword_stuffing",
+        "keyword_stuffing", "trustrank", "pagination_chains",
+        "crawl_budget",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 
