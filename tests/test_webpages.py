@@ -2326,3 +2326,27 @@ class TestCrawlBudget:
         ).collect()[0]
         assert row["s"] == 99_991  # the Hamilton identity, exactly
         assert row["lo"] >= 0
+
+    def test_plan_domain_windows_stay_partitioned(self, spark):
+        # the ONLY single-partition exchanges belong to the level-1
+        # suffix relation (bounded by the PSL by construction); every
+        # domain-grain window hashes on public_suffix
+        from igtdetect_spark.operators.webpages import (
+            crawl_budget,
+            domain_rollup,
+            public_suffix_df,
+            synthetic_domain_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = crawl_budget(
+            domain_rollup(synthetic_domain_pages(docs),
+                          public_suffix_df(spark))
+        )
+        plan = str(out._jdf.queryExecution().executedPlan())
+        assert plan.count("Exchange SinglePartition") <= 2, plan
+        assert "Exchange hashpartitioning(public_suffix" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
