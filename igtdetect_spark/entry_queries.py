@@ -5515,6 +5515,86 @@ FROM l2
 """
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder '99) over the synthetic
+    mirrored corpus: per-host k-min line-hash sketches, banded
+    candidate join (complete bands only), exact-Jaccard verification
+    of candidates — never all-pairs."""
+    from .operators.webpages import mirror_hosts, synthetic_mirror_pages
+
+    return mirror_hosts(
+        synthetic_mirror_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_mirror_hosts(
+    sketch_k: int = 16, band_size: int = 4, threshold_e6: int = 500_000
+) -> str:
+    n_bands = sketch_k // band_size
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, doc_id % 64 AS hid,
+         'h' || CAST(doc_id % 64 AS VARCHAR) || '.example.org' AS host,
+         'alpha line ' || CAST(doc_id AS VARCHAR) AS l1,
+         'beta line ' || CAST((doc_id * 7) % 1000 AS VARCHAR) AS l2,
+         'gamma line ' || CAST((doc_id * 13) % 1000 AS VARCHAR) AS l3
+  FROM documents
+),
+pg AS (
+  SELECT host, [l1, l2, l3] AS ls FROM base
+  UNION ALL
+  SELECT 'm' || CAST(hid AS VARCHAR) || '.example.org',
+         CASE WHEN hid % 16 = 0 THEN [l1, l2, l3]
+              ELSE [l1, l2, l3,
+                    'mirror footer ' || CAST(id AS VARCHAR)] END
+  FROM base WHERE hid % 8 = 0
+),
+ln AS (
+  SELECT DISTINCT host, md5(unnest(ls)) AS line_h FROM pg
+),
+sizes AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_lines FROM ln GROUP BY host
+),
+sk AS (
+  SELECT host, (list_sort(list(line_h)))[1:{sketch_k}] AS sig
+  FROM ln GROUP BY host
+),
+bands AS (
+  SELECT host, bb.b AS band,
+         md5(array_to_string(
+           sig[bb.b * {band_size} + 1 : (bb.b + 1) * {band_size}],
+           '|')) AS band_h
+  FROM sk, (SELECT unnest(range({n_bands})) AS b) bb
+  WHERE len(sig[bb.b * {band_size} + 1 : (bb.b + 1) * {band_size}])
+        = {band_size}
+),
+cand AS (
+  SELECT DISTINCT a.host AS host_a, b.host AS host_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_h = b.band_h AND a.host < b.host
+),
+com AS (
+  SELECT c.host_a, c.host_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN ln la ON la.host = c.host_a
+  JOIN ln lb ON lb.host = c.host_b AND lb.line_h = la.line_h
+  GROUP BY c.host_a, c.host_b
+),
+j AS (
+  SELECT com.host_a, com.host_b, com.n_common,
+         sa.n_lines AS n_a, sb.n_lines AS n_b,
+         CAST((com.n_common * 1000000)
+              // (sa.n_lines + sb.n_lines - com.n_common) AS BIGINT)
+           AS jaccard_e6
+  FROM com
+  JOIN sizes sa ON sa.host = com.host_a
+  JOIN sizes sb ON sb.host = com.host_b
+)
+SELECT host_a, host_b, n_common, n_a, n_b, jaccard_e6
+FROM j WHERE jaccard_e6 >= {threshold_e6}
+"""
+
+
 def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-depth BFS from the deterministic seed set over the
     synthetic internal link graph — min hop distance per reached page,
@@ -5994,6 +6074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q_trustrank,
         "pagination_chains": q_pagination_chains,
         "crawl_budget": q_crawl_budget,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -6110,6 +6191,7 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": _sql_trustrank(),
         "pagination_chains": _sql_pagination_chains(),
         "crawl_budget": _sql_crawl_budget(),
+        "mirror_hosts": _sql_mirror_hosts(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -2860,3 +2860,164 @@ def crawl_budget(
          + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
         .cast("long").alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection (Bharat & Broder '99)
+# ---------------------------------------------------------------------------
+
+
+def synthetic_mirror_pages(docs: DataFrame, id_col: str = "doc_id"
+                           ) -> DataFrame:
+    """(host, url, text): pages over 64 base hosts (``host =
+    doc_id % 64``) with deterministic 3-line bodies, PLUS mirror
+    copies: every host ``h`` with ``h % 8 == 0`` is re-served as
+    ``m{h}`` — an EXACT mirror when ``h % 16 == 0`` (every line
+    identical) and a NEAR mirror otherwise (each mirrored page gains
+    one extra footer line, so Jaccard < 1 but high) — the www2/CDN
+    alias shape Bharat & Broder's mirror detection targets.  Base
+    hosts that are not mirrored give the screen its non-firing
+    population."""
+    hid = (F.col(id_col) % 64).cast("long")
+    base_text = F.concat(
+        F.lit("alpha line "), F.col(id_col).cast("string"),
+        F.lit("\nbeta line "), ((F.col(id_col) * 7) % 1000)
+        .cast("string"),
+        F.lit("\ngamma line "), ((F.col(id_col) * 13) % 1000)
+        .cast("string"),
+    )
+    base = docs.select(
+        F.concat(F.lit("h"), hid.cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("https://h"), hid.cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col(id_col).cast("string")).alias("url"),
+        base_text.alias("text"),
+        hid.alias("_hid"),
+        F.col(id_col).alias("_id"),
+    )
+    mirrored = base.filter((F.col("_hid") % 8) == 0).select(
+        F.concat(F.lit("m"), F.col("_hid").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("https://m"), F.col("_hid").cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("_id").cast("string")).alias("url"),
+        F.when(
+            (F.col("_hid") % 16) == 0, F.col("text")
+        ).otherwise(
+            F.concat(F.col("text"), F.lit("\nmirror footer "),
+                     F.col("_id").cast("string"))
+        ).alias("text"),
+        F.col("_hid"), F.col("_id"),
+    )
+    return base.unionByName(mirrored).drop("_hid", "_id")
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    sketch_k: int = 16,
+    band_size: int = 4,
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW '99): find host
+    pairs serving (nearly) the same content — www2/CDN/alias mirrors
+    that every crawl budget and link-graph statistic double-counts
+    until they are folded.
+
+    Pipeline: (1) distinct (host, line-md5) relation — content
+    identity at the LINE grain, order- and URL-independent, so a
+    mirror with different paths still matches; (2) per-host k-min
+    sketch: the ``sketch_k`` smallest line hashes
+    (``slice(array_sort(collect_set(..)))`` — set semantics make it
+    deterministic on both engines); (3) banded candidate join: the
+    sketch splits into ``k/band_size`` bands, hosts sharing any
+    complete band pair up (incomplete trailing bands of small hosts
+    are NOT emitted — an empty-band join would pair every small host
+    with every other); (4) EXACT Jaccard verification of candidates
+    over the full line relation, threshold in integer e6.
+
+    Scale shape: the line relation is one distinct (hash exchange on
+    (host, line)); the sketch one hash aggregate; the band join is
+    sketch-grain (tiny); verification joins the line relation only
+    for candidate hosts (semi-join pushdown through the candidate
+    list), never all-pairs.  The final Jaccard arithmetic is integer
+    (``common·10⁶ div (n_a + n_b − common)``).
+
+    Output: (host_a, host_b, n_common, n_a, n_b, jaccard_e6), pairs
+    with ``jaccard_e6 ≥ threshold_e6`` only, host_a < host_b.
+    """
+    lines = (
+        pages.select(
+            "host",
+            F.explode(F.split(F.col("text"), "\n")).alias("_line"),
+        )
+        .filter(F.length(F.trim(F.col("_line"))) > 0)
+        .select("host", F.md5(F.col("_line")).alias("line_h"))
+        .distinct()
+    )
+    lines = lines.persist()
+    sizes = lines.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    sk = lines.groupBy("host").agg(
+        F.slice(F.array_sort(F.collect_set("line_h")), 1, sketch_k)
+        .alias("_sig")
+    )
+    n_bands = sketch_k // band_size
+    bands = sk.select(
+        "host",
+        F.explode(
+            F.filter(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice(F.col("_sig"), b * band_size + 1,
+                                band_size).alias("vals"),
+                    )
+                    for b in range(n_bands)
+                ]),
+                lambda s: F.size(s["vals"]) == band_size,
+            )
+        ).alias("_b"),
+    ).select(
+        "host",
+        F.col("_b.band").alias("band"),
+        F.md5(F.concat_ws("|", F.col("_b.vals"))).alias("band_h"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_h") == F.col("b.band_h"))
+               & (F.col("a.host") < F.col("b.host")))
+        .select(F.col("a.host").alias("host_a"),
+                F.col("b.host").alias("host_b"))
+        .distinct()
+    )
+    la = lines.select(F.col("host").alias("host_a"),
+                      F.col("line_h"))
+    lb = lines.select(F.col("host").alias("host_b"),
+                      F.col("line_h"))
+    common = (
+        cand.join(la, "host_a")
+        .join(lb, ["host_b", "line_h"])
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        common
+        .join(sizes.select(F.col("host").alias("host_a"),
+                           F.col("n_lines").alias("n_a")), "host_a")
+        .join(sizes.select(F.col("host").alias("host_b"),
+                           F.col("n_lines").alias("n_b")), "host_b")
+        .select(
+            "host_a", "host_b", "n_common", "n_a", "n_b",
+            F.expr("(n_common * 1000000L) div (n_a + n_b - n_common)")
+            .cast("long").alias("jaccard_e6"),
+        )
+        .filter(F.col("jaccard_e6") >= threshold_e6)
+    )
+    from .dedup import attach_plan_cache
+
+    attach_plan_cache(out, lines)
+    return out

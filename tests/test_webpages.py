@@ -2350,3 +2350,81 @@ class TestCrawlBudget:
         assert "Exchange hashpartitioning(public_suffix" in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestMirrorHosts:
+    """Bharat-Broder mirror detection: sketch, band, verify."""
+
+    def test_exact_and_near_mirrors(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            mirror_hosts,
+            synthetic_mirror_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = mirror_hosts(synthetic_mirror_pages(docs))
+        got = {(r["host_a"], r["host_b"]): r for r in out.collect()}
+        assert release_plan_caches(out) == 1
+        for (a, b), r in got.items():
+            # only h<k> ↔ m<k> pairs can match — never two base hosts
+            ka = a.lstrip("hm").split(".")[0]
+            kb = b.lstrip("hm").split(".")[0]
+            assert ka == kb, (a, b)
+            assert {a[0], b[0]} == {"h", "m"}, (a, b)
+        # exact mirrors (hid % 16 == 0) report jaccard exactly 1.0
+        exact = [r for (a, b), r in got.items()
+                 if int(a.lstrip("hm").split(".")[0]) % 16 == 0]
+        assert exact and all(
+            r["jaccard_e6"] == 1_000_000 and r["n_a"] == r["n_b"]
+            == r["n_common"] for r in exact
+        )
+        # near mirrors that surface sit strictly below 1.0 and at or
+        # above the 0.5 gate
+        near = [r for (a, b), r in got.items()
+                if int(a.lstrip("hm").split(".")[0]) % 16 != 0]
+        assert all(
+            500_000 <= r["jaccard_e6"] < 1_000_000 for r in near
+        )
+
+    def test_incomplete_bands_never_pair_small_hosts(self, spark):
+        # two tiny hosts with DIFFERENT single-line content share the
+        # "empty trailing band" — they must not become candidates
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import mirror_hosts
+
+        pages = spark.createDataFrame(
+            [("a.org", "u1", "only line a"),
+             ("b.org", "u2", "only line b"),
+             ("c.org", "u3", "same line\nsecond"),
+             ("d.org", "u4", "same line\nsecond")],
+            "host string, url string, text string",
+        )
+        out = mirror_hosts(pages, sketch_k=16, band_size=4)
+        rows = out.collect()
+        release_plan_caches(out)
+        # a/b: 1 line each (< band_size): no complete band, no pair.
+        # c/d: 2 lines, still < band_size — ALSO no pair: the screen
+        # needs at least one complete band; tiny hosts are below the
+        # sketch's resolution (documented behavior, not an accident)
+        assert rows == []
+
+    def test_band_size_floor_pairs_identical_small_hosts(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import mirror_hosts
+
+        text = "l1\nl2\nl3\nl4"
+        pages = spark.createDataFrame(
+            [("a.org", "u1", text), ("b.org", "u2", text),
+             ("x.org", "u3", "different\ncontent\nhere\nnow")],
+            "host string, url string, text string",
+        )
+        out = mirror_hosts(pages, sketch_k=16, band_size=4)
+        rows = out.collect()
+        release_plan_caches(out)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["host_a"], r["host_b"]) == ("a.org", "b.org")
+        assert r["jaccard_e6"] == 1_000_000
