@@ -5607,35 +5607,80 @@ def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_crawl_depth(seeds_mod: int = 64, max_hops: int = 4) -> str:
-    # unrolled frontier BFS mirroring the Spark hop loop: n{i} is the
-    # hop-i frontier (new nodes only), v{i} the visited set after hop i.
-    parts = [
-        f"WITH links AS ({_SQL_LINK_SLOTS}),",
-        """edges AS (
+_SQL_INTERNAL_EDGES = """edges AS (
   SELECT DISTINCT src_id, tgt AS dst_id FROM links
   WHERE j <= 2 AND tgt IN (SELECT doc_id FROM documents)
-),""",
-        f"""n0 AS (
+),"""
+
+
+def _sql_bfs_chain(
+    p: str, seeds_mod: int, max_hops: int, src: str, dst: str
+) -> str:
+    """Unrolled frontier-BFS CTE chain (prefix ``p``) over the shared
+    ``edges`` relation: ``{p}n{i}`` is the hop-i frontier (new nodes
+    only), ``{p}v{i}`` the visited set after hop i. ``src``/``dst``
+    pick the walk direction."""
+    parts = [f"""{p}n0 AS (
   SELECT doc_id AS id, CAST(0 AS BIGINT) AS depth FROM documents
   WHERE doc_id % {seeds_mod} = 0
 ),
-v0 AS (SELECT id, depth FROM n0),""",
-    ]
+{p}v0 AS (SELECT id, depth FROM {p}n0),"""]
     for i in range(1, max_hops + 1):
-        parts.append(f"""n{i} AS (
-  SELECT DISTINCT e.dst_id AS id, CAST({i} AS BIGINT) AS depth
-  FROM edges e JOIN n{i - 1} f ON f.id = e.src_id
-  WHERE e.dst_id NOT IN (SELECT id FROM v{i - 1})
+        parts.append(f"""{p}n{i} AS (
+  SELECT DISTINCT e.{dst} AS id, CAST({i} AS BIGINT) AS depth
+  FROM edges e JOIN {p}n{i - 1} f ON f.id = e.{src}
+  WHERE e.{dst} NOT IN (SELECT id FROM {p}v{i - 1})
 ),
-v{i} AS (SELECT id, depth FROM v{i - 1}
-         UNION ALL SELECT id, depth FROM n{i}),""")
+{p}v{i} AS (SELECT id, depth FROM {p}v{i - 1}
+         UNION ALL SELECT id, depth FROM {p}n{i}),""")
+    return "\n".join(parts)
+
+
+def _sql_crawl_depth(seeds_mod: int = 64, max_hops: int = 4) -> str:
     url = _SQL_PAGE_URL.format(x="v.id")
-    parts.append(f"""final AS (
+    return "\n".join([
+        f"WITH links AS ({_SQL_LINK_SLOTS}),",
+        _SQL_INTERNAL_EDGES,
+        _sql_bfs_chain("", seeds_mod, max_hops, "src_id", "dst_id"),
+        f"""final AS (
   SELECT {url} AS url, v.depth FROM v{max_hops} v
 )
-SELECT url, depth FROM final""")
-    return "\n".join(parts)
+SELECT url, depth FROM final""",
+    ])
+
+
+def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-relative bow-tie decomposition (Broder et al. 2000):
+    forward + reverse frontier BFS from the seed set over the SAME
+    resolved edge relation, classifying every page core/in/out/
+    disconnected within the hop horizon."""
+    from .operators.webpages import bowtie_classes, synthetic_linked_pages
+
+    return bowtie_classes(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_bowtie_classes(seeds_mod: int = 64, max_hops: int = 4) -> str:
+    url = _SQL_PAGE_URL.format(x="d.doc_id")
+    return "\n".join([
+        f"WITH links AS ({_SQL_LINK_SLOTS}),",
+        _SQL_INTERNAL_EDGES,
+        _sql_bfs_chain("f", seeds_mod, max_hops, "src_id", "dst_id"),
+        _sql_bfs_chain("b", seeds_mod, max_hops, "dst_id", "src_id"),
+        f"""final AS (
+  SELECT {url} AS url, f.depth AS fwd_depth, b.depth AS bwd_depth,
+         CASE WHEN f.depth IS NOT NULL AND b.depth IS NOT NULL
+                THEN 'core'
+              WHEN b.depth IS NOT NULL THEN 'in'
+              WHEN f.depth IS NOT NULL THEN 'out'
+              ELSE 'disconnected' END AS cls
+  FROM documents d
+  LEFT JOIN fv{max_hops} f ON f.id = d.doc_id
+  LEFT JOIN bv{max_hops} b ON b.id = d.doc_id
+)
+SELECT url, fwd_depth, bwd_depth, cls FROM final""",
+    ])
 
 
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6075,6 +6120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_chains": q_pagination_chains,
         "crawl_budget": q_crawl_budget,
         "mirror_hosts": q_mirror_hosts,
+        "bowtie_classes": q_bowtie_classes,
     }
 
 
@@ -6192,6 +6238,7 @@ def oracle_sql() -> dict[str, str]:
         "pagination_chains": _sql_pagination_chains(),
         "crawl_budget": _sql_crawl_budget(),
         "mirror_hosts": _sql_mirror_hosts(),
+        "bowtie_classes": _sql_bowtie_classes(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

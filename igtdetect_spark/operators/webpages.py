@@ -667,14 +667,29 @@ def crawl_depth(
     consumer's outer-join decides their fate, not this operator.
     """
     ids, edges = _internal_edges(pages)
-    seeds = (
-        pages.filter((F.col("doc_id") % seeds_mod) == 0)
-        .select(
-            F.col("doc_id").alias("id"),
-            F.lit(0).cast("long").alias("depth"),
-        )
+    seeds = pages.filter((F.col("doc_id") % seeds_mod) == 0).select(
+        F.col("doc_id").alias("id")
     )
-    frontiers = [seeds.persist()]
+    visited, frontiers = _bfs_depths(edges, seeds, max_hops)
+    out = visited.join(ids, visited.id == ids._nid).select("url", "depth")
+    from .dedup import attach_plan_cache
+
+    for f in frontiers:
+        attach_plan_cache(out, f)
+    return out
+
+
+def _bfs_depths(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared frontier-BFS kernel (the hop loop of :func:`crawl_depth`,
+    reused by :func:`bowtie_classes` on both edge directions).
+    ``edges`` is (src_id, dst_id), ``seeds`` is (id).  Returns the
+    visited (id, depth) relation plus the per-hop persisted frontier
+    handles the caller must attach for release."""
+    frontiers = [
+        seeds.select("id", F.lit(0).cast("long").alias("depth")).persist()
+    ]
     visited = frontiers[0]
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -690,11 +705,67 @@ def crawl_depth(
         )
         frontiers.append(nxt)
         visited = visited.unionByName(nxt)
-    out = visited.join(ids, visited.id == ids._nid).select("url", "depth")
+    return visited, frontiers
+
+
+def bowtie_classes(
+    pages: DataFrame, seeds_mod: int = 64, max_hops: int = 4
+) -> DataFrame:
+    """Seed-relative bow-tie decomposition of the crawl graph (Broder
+    et al., WWW 2000 — the IN/SCC/OUT map of the web): classify every
+    page by whether it is REACHED FROM the seed set (forward BFS) and
+    whether it REACHES the seed set (the same BFS over reversed
+    edges):
+
+    - ``core`` — both: with the seeds in the giant component, the
+      crawl's well-connected middle;
+    - ``in``   — reaches seeds but is not reached (upstream feeders:
+      new content linking into the known web);
+    - ``out``  — reached but does not reach back (downstream leaves:
+      where crawl frontier mass accumulates);
+    - ``disconnected`` — neither, within the hop horizon.
+
+    This is the SEED-RELATIVE variant (Broder's original is relative
+    to the giant SCC; a crawl planner's operational question is
+    relative to its seed list), bounded at ``max_hops`` like
+    :func:`crawl_depth` — both choices disclosed, not hidden.
+
+    Scale shape: exactly two runs of the shared BFS kernel — the
+    reverse pass swaps the edge columns, reusing the SAME resolved
+    edge relation (no second extraction); the classifier is two left
+    joins of the page table against the two (id, depth) relations.
+
+    Output: (url, fwd_depth, bwd_depth, cls) — depths NULL when
+    unreached in that direction.
+    """
+    ids, edges = _internal_edges(pages)
+    seeds = pages.filter((F.col("doc_id") % seeds_mod) == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    fwd, f_handles = _bfs_depths(edges, seeds, max_hops)
+    rev_edges = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    bwd, b_handles = _bfs_depths(rev_edges, seeds, max_hops)
+    out = (
+        ids.join(fwd.withColumnRenamed("depth", "fwd_depth"),
+                 ids._nid == fwd.id, "left")
+        .drop("id")
+        .join(bwd.withColumnRenamed("depth", "bwd_depth"),
+              ids._nid == bwd.id, "left")
+        .select(
+            "url", "fwd_depth", "bwd_depth",
+            F.when(F.col("fwd_depth").isNotNull()
+                   & F.col("bwd_depth").isNotNull(), F.lit("core"))
+            .when(F.col("bwd_depth").isNotNull(), F.lit("in"))
+            .when(F.col("fwd_depth").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("disconnected")).alias("cls"),
+        )
+    )
     from .dedup import attach_plan_cache
 
-    for f in frontiers:
-        attach_plan_cache(out, f)
+    for h in f_handles + b_handles:
+        attach_plan_cache(out, h)
     return out
 
 

@@ -2428,3 +2428,58 @@ class TestMirrorHosts:
         r = rows[0]
         assert (r["host_a"], r["host_b"]) == ("a.org", "b.org")
         assert r["jaccard_e6"] == 1_000_000
+
+
+class TestBowtieClasses:
+    """Seed-relative bow-tie decomposition (forward ∧ reverse BFS)."""
+
+    def test_matches_hand_model(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import (
+            bowtie_classes,
+            synthetic_linked_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        edges = sorted(set(TestAnchorText()._hand_model(ids)[1]))
+        fwd = TestCrawlDepth()._bfs(ids)
+
+        radj = {}
+        for s, d in edges:
+            radj.setdefault(d, set()).add(s)
+        bwd = {i: 0 for i in ids if i % 64 == 0}
+        frontier = set(bwd)
+        for hop in range(1, 5):
+            nxt = set()
+            for n in frontier:
+                nxt |= radj.get(n, set())
+            nxt -= set(bwd)
+            for n in nxt:
+                bwd[n] = hop
+            frontier = nxt
+
+        out = bowtie_classes(synthetic_linked_pages(docs))
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r for r in out.collect()
+        }
+        assert set(got) == set(ids)
+        for i in ids:
+            r = got[i]
+            assert r["fwd_depth"] == fwd.get(i), i
+            assert r["bwd_depth"] == bwd.get(i), i
+            exp = ("core" if i in fwd and i in bwd
+                   else "in" if i in bwd
+                   else "out" if i in fwd
+                   else "disconnected")
+            assert r["cls"] == exp, i
+        # the fixture populates every class: seeds are core by
+        # definition (depth 0 both ways); the mod-256 target funnel
+        # guarantees out-pages; high ids that link INTO the funnel
+        # but are never targets give in/disconnected
+        classes = {r["cls"] for r in got.values()}
+        assert classes == {"core", "in", "out", "disconnected"}
+        # 2 BFS runs × (seeds + 4 frontiers) persisted
+        assert release_plan_caches(out) == 10
