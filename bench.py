@@ -118,7 +118,7 @@ def main():
         "hreflang_symmetry", "link_resolve", "domain_rollup",
         "crawl_depth", "hits_scores", "adaptive_revisit",
         "keyword_stuffing", "trustrank", "pagination_chains",
-        "crawl_budget", "mirror_hosts",
+        "crawl_budget", "mirror_hosts", "bowtie_classes",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 
