@@ -3017,28 +3017,30 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) on fixed seeded centroids: cluster
     the embeddings, then inside each cluster drop the closer-to-centroid
     member of every pair above the cosine threshold (keep-the-outlier).
+    k = 64 ~ sqrt(n) at sf0.1 (the paper's sizing), with centroids
+    SAMPLED FROM THE DATA (the 64 smallest vec_ids — a bounded 64-row
+    collect at plan build, the same class as a model load): seeded
+    random centroids sat nowhere near the embedding distribution, so
+    every vector fell into ONE cluster and the pair stage ran the full
+    n²/2 — the measured 50 s round-5 wall. Data-sampled centroids make
+    the quantizer actually split, which is the whole point of
+    quantizer-as-salt; both engines read the same 64 seed rows.
     Fixed quantizer → the ENTIRE verdict (assignment, pair gate,
     dominance, survivor flags) is deterministic and gets a full DuckDB
     oracle; the k-means-trained quantizer is the same code path via
     ``kmeans_centroids`` (pytest-covered)."""
-    from .operators.similarity import seeded_centroids, semdedup
+    import numpy as np
 
-    return semdedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35,
-        n_lists=8, centroids=seeded_centroids(8, 64),
-    )
+    from .operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.orderBy("vec_id").limit(64).select("embedding").collect()
+    C = np.array([r["embedding"] for r in seeds], dtype=float)
+    return semdedup(emb, threshold=0.35, n_lists=len(C), centroids=C)
 
 
-def _sql_semdedup(threshold: float = 0.35, n_lists: int = 8,
-                  dim: int = 64, seed: int = 7) -> str:
-    from .operators.similarity import seeded_centroids
-
-    C = seeded_centroids(n_lists, dim, seed)
-    values = ", ".join(
-        "(" + str(cid) + ", ["
-        + ", ".join(repr(float(x)) for x in c) + "])"
-        for cid, c in enumerate(C)
-    )
+def _sql_semdedup(threshold: float = 0.35, n_lists: int = 64,
+                  dim: int = 64) -> str:
     d2 = (f"list_sum(list_transform(generate_series(1, {dim}), "
           f"i -> (v[i] - c[i]) * (v[i] - c[i])))")
     thr_e6 = int(threshold * 1e6)
@@ -3047,7 +3049,12 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-cents(cid, c) AS (VALUES {values}),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_lists})
+),
 d AS (
   SELECT e.vec_id, e.v, cents.cid, {d2} AS d2
   FROM e CROSS JOIN cents

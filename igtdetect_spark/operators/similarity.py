@@ -482,6 +482,10 @@ def semdedup(
     assigned = embeddings.select(
         F.col(id_col).alias("vec_id"),
         v.alias("_v"),
+        # norm precomputed ONCE per vector: the pair stage otherwise
+        # re-folds both 64-dim arrays for every pair (two aggregates
+        # per pair vs one dot) — measured 2× on the pair-stage wall
+        _norm(v).alias("_n"),
         (F.array_position(d2s, F.array_min(d2s)) - 1)
         .cast("int").alias("cluster_id"),
         F.floor(F.array_min(d2s) * 1e6).cast("long").alias("_d2_e6"),
@@ -491,7 +495,7 @@ def semdedup(
     a = assigned.alias("a")
     b = assigned.alias("b")
     sim = _dot(F.col("a._v"), F.col("b._v")) / (
-        _norm(F.col("a._v")) * _norm(F.col("b._v"))
+        F.col("a._n") * F.col("b._n")
     )
     pairs = (
         a.join(

@@ -1927,7 +1927,8 @@ class TestHitsScores:
         assert all(
             got[i]["auth_e6"] == 0 for i in ids if i >= 256
         )
-        assert release_plan_caches(out) == 1
+        # edges + one persisted normalization relation per half-step
+        assert release_plan_caches(out) == 5
 
     def test_plan_no_python_no_cartesian(self, spark):
         from igtdetect_spark.operators.dedup import release_plan_caches
