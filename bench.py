@@ -119,6 +119,7 @@ def main():
         "crawl_depth", "hits_scores", "adaptive_revisit",
         "keyword_stuffing", "trustrank", "pagination_chains",
         "crawl_budget", "mirror_hosts", "bowtie_classes",
+        "triangle_count", "landmark_closeness", "bm25_rank",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

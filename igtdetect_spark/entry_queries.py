@@ -3355,14 +3355,21 @@ _SQL_PAGE_URL = (
 
 #: DuckDB fragment: outlink slots of ``documents d`` (j, tgt), 1-3 per
 #: page by md5 nibble 2 — mirror of ``webpages.synthetic_linked_pages``.
-_SQL_LINK_SLOTS = """
+def _sql_link_slots(mod: int = 256) -> str:
+    """Oracle mirror of ``synthetic_linked_pages``' link slots,
+    parameterized on ``targets_mod`` (the graph-density knob — the
+    triangle/closeness queries use a denser mod-48 hub graph)."""
+    return f"""
   SELECT d.doc_id AS src_id, j.j,
-         (d.doc_id * 31 + j.j * 97) % 256 AS tgt
+         (d.doc_id * 31 + j.j * 97) % {mod} AS tgt
   FROM documents d,
        (SELECT unnest([1, 2, 3]) AS j) j
   WHERE j.j <= 1 + (strpos('0123456789abcdef',
         substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) % 3
 """
+
+
+_SQL_LINK_SLOTS = _sql_link_slots()
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6013,6 +6020,191 @@ FROM s
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (degree-ordered compact-forward
+    orientation — oriented out-degree bounded O(√m), total wedge work
+    O(m^{3/2}) regardless of celebrity-page skew) over a denser mod-48
+    hub variant of the synthetic link graph."""
+    from .operators.webpages import synthetic_linked_pages, triangle_counts
+
+    return triangle_counts(
+        synthetic_linked_pages(
+            _t(spark, sf_dir, "documents"), targets_mod=48
+        )
+    )
+
+
+def _sql_triangle_count(mod: int = 48) -> str:
+    url = _SQL_PAGE_URL.format(x="deg.id")
+    return "\n".join([
+        f"WITH links AS ({_sql_link_slots(mod)}),",
+        _SQL_INTERNAL_EDGES,
+        f"""und AS (
+  SELECT DISTINCT least(src_id, dst_id) AS a,
+         greatest(src_id, dst_id) AS b
+  FROM edges WHERE src_id <> dst_id),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+  GROUP BY id),
+o AS (
+  SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS v,
+         CASE WHEN da.deg <= db.deg THEN db.deg ELSE da.deg END AS dv
+  FROM und u
+  JOIN deg da ON da.id = u.a
+  JOIN deg db ON db.id = u.b),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM o e1
+  JOIN o e2 ON e1.u = e2.u
+   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+per_node AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+    UNION ALL SELECT z AS id FROM tri)
+  GROUP BY id)
+SELECT {url} AS url, CAST(deg.deg AS BIGINT) AS degree,
+       CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles
+FROM deg LEFT JOIN per_node p ON p.id = deg.id""",
+    ])
+
+
+def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-based harmonic closeness: ONE multi-source reverse BFS
+    from a constant-size landmark set (hop distance page → landmark),
+    folded to an integer-exact Σ 10⁶ div d score — the scalable
+    centrality estimator for graphs where exact closeness is Θ(n·m)."""
+    from .operators.webpages import (
+        landmark_closeness,
+        synthetic_linked_pages,
+    )
+
+    return landmark_closeness(
+        synthetic_linked_pages(
+            _t(spark, sf_dir, "documents"), targets_mod=48
+        )
+    )
+
+
+def _sql_bfs_chain_lm(
+    p: str, landmarks: tuple, max_hops: int, src: str, dst: str
+) -> str:
+    """Unrolled MULTI-SOURCE frontier-BFS CTE chain: like
+    :func:`_sql_bfs_chain` but keyed (lm, id) so each landmark's sweep
+    stays independent — the oracle mirror of ``_bfs_depths_multi``."""
+    lms = ", ".join(str(int(x)) for x in landmarks)
+    parts = [f"""{p}n0 AS (
+  SELECT doc_id AS lm, doc_id AS id, CAST(0 AS BIGINT) AS depth
+  FROM documents WHERE doc_id IN ({lms})
+),
+{p}v0 AS (SELECT lm, id, depth FROM {p}n0),"""]
+    for i in range(1, max_hops + 1):
+        parts.append(f"""{p}n{i} AS (
+  SELECT DISTINCT f.lm, e.{dst} AS id, CAST({i} AS BIGINT) AS depth
+  FROM edges e JOIN {p}n{i - 1} f ON f.id = e.{src}
+  WHERE NOT EXISTS (SELECT 1 FROM {p}v{i - 1} v
+                    WHERE v.lm = f.lm AND v.id = e.{dst})
+),
+{p}v{i} AS (SELECT lm, id, depth FROM {p}v{i - 1}
+         UNION ALL SELECT lm, id, depth FROM {p}n{i}),""")
+    return "\n".join(parts)
+
+
+def _sql_landmark_closeness(mod: int = 48, max_hops: int = 4) -> str:
+    from .operators.webpages import CLOSENESS_LANDMARKS
+
+    url = _SQL_PAGE_URL.format(x="g.id")
+    return "\n".join([
+        f"WITH links AS ({_sql_link_slots(mod)}),",
+        _SQL_INTERNAL_EDGES,
+        _sql_bfs_chain_lm(
+            "", CLOSENESS_LANDMARKS, max_hops, "dst_id", "src_id"
+        ),
+        f"""g AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_landmarks,
+         CAST(SUM(1000000 // depth) AS BIGINT) AS closeness_e6
+  FROM v{max_hops} WHERE depth > 0 GROUP BY id
+)
+SELECT {url} AS url, n_landmarks, closeness_e6 FROM g""",
+    ])
+
+
+#: The BM25 benchmark query workload — (query_id, term) rows over the
+#: synthetic corpus vocabulary.  Tiny by construction (it is the graded
+#: workload, not user traffic), which is what licenses the broadcast in
+#: ``bm25_topk``.
+BM25_QUERY_TERMS = (
+    (1, "spark"), (1, "window"), (1, "agg"),
+    (2, "customer"), (2, "query"),
+    (3, "fast"), (3, "scan"), (3, "filter"),
+    (4, "stream"), (4, "batch"), (4, "merge"),
+)
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query over the documents corpus — the scoring
+    half of the search tier next to ``inverted_index``.  Per-term
+    contributions are e6-floored BEFORE the per-(query, doc) sum so
+    the score is an order-independent BIGINT sum; exact df/dl over the
+    full corpus, query relation broadcast (a LocalRelation literal,
+    real stats)."""
+    from .operators.indexing import bm25_topk
+
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
+    qrel = spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
+    )
+    return bm25_topk(_t(spark, sf_dir, "documents"), qrel)
+
+
+def _sql_bm25_rank(
+    k1: float = 1.2, b: float = 0.75, top_k: int = 10
+) -> str:
+    # float constants rendered in e-notation: a bare decimal literal is
+    # DECIMAL in DuckDB (exact arithmetic) where Spark folds DOUBLEs —
+    # e-notation forces DOUBLE so both engines run the same IEEE ops
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
+    return ("WITH " + _SQL_CLEAN_TOKS + f""",
+terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM terms GROUP BY term, doc_id),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       FROM tf GROUP BY doc_id),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS BIGINT) AS tok FROM dl),
+dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+q AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(1e6
+           * ln(1.0e0 + (CAST(nd.n AS DOUBLE) - dfr.df + 0.5e0)
+                        / (dfr.df + 0.5e0))
+           * (tf.tf * ({k1}e0 + 1.0e0))
+           / (tf.tf + {k1}e0 * ((1.0e0 - {b}e0) + {b}e0 * dl.dl
+              / (CAST(nd.tok AS DOUBLE) / nd.n)))) AS BIGINT) AS c
+  FROM tf
+  JOIN q ON q.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfr ON dfr.term = tf.term
+  CROSS JOIN nd),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS matched_terms,
+         CAST(SUM(c) AS BIGINT) AS score_e6
+  FROM scored GROUP BY query_id, doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(rank AS BIGINT) AS rank, doc_id, matched_terms, score_e6
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY score_e6 DESC, doc_id) AS rank
+      FROM agg)
+WHERE rank <= {top_k}
+""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -6128,6 +6320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "mirror_hosts": q_mirror_hosts,
         "bowtie_classes": q_bowtie_classes,
+        "triangle_count": q_triangle_count,
+        "landmark_closeness": q_landmark_closeness,
+        "bm25_rank": q_bm25_rank,
     }
 
 
@@ -6246,6 +6441,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _sql_crawl_budget(),
         "mirror_hosts": _sql_mirror_hosts(),
         "bowtie_classes": _sql_bowtie_classes(),
+        "triangle_count": _sql_triangle_count(),
+        "landmark_closeness": _sql_landmark_closeness(),
+        "bm25_rank": _sql_bm25_rank(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

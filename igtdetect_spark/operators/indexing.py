@@ -49,6 +49,100 @@ def term_frequencies(docs: DataFrame) -> DataFrame:
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a bounded query workload —
+    the scoring half of the search tier, consuming the same (term,
+    doc_id, tf) grain :func:`inverted_index` builds.  ``queries`` is a
+    (query_id, term) relation with unique rows (a query repeating a
+    term should pre-aggregate its weight; this operator treats each
+    row as one query term).
+
+    Scoring is Robertson/Lucene BM25:
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``w(t,d) = idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Cross-engine exactness: each TERM contribution is floored to e6
+    micro-units FIRST and the per-(query, doc) score is the BIGINT sum
+    of those integers — summing doubles would hash-differ between
+    engines in summation order alone.  Inside one contribution every
+    multiply/divide is correctly-rounded IEEE and the expression tree
+    is written congruently on both engines; ``ln`` may differ in the
+    last ulp, which the e6 floor absorbs (same argument as
+    ``tfidf_top_terms``).  Ties break on doc_id.
+
+    Scale shape: the query relation is TINY BY CONSTRUCTION (a
+    benchmark workload, not user traffic) and is broadcast; the
+    corpus-side (term, doc_id, tf) relation is filtered by that
+    broadcast join BEFORE anything per-document joins it, so the
+    expensive relations (doc lengths, df) only meet query-relevant
+    rows.  df and dl stay EXACT over the full corpus: df is one
+    map-side-combinable aggregate on term immediately reduced by the
+    query-term join; dl is one aggregate on doc_id joined against the
+    already-filtered hit set (AQE broadcasts the small side).  The
+    global (N, Σdl) pair is a 1-row broadcast cross join.
+
+    Output: (query_id, rank, doc_id, matched_terms, score_e6),
+    ``rank ≤ top_k`` per query by (score desc, doc_id).
+    """
+    tf = term_frequencies(docs)
+    qt = F.broadcast(queries)
+    hits = tf.join(qt, "term")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    nd = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_tok")
+    )
+    qdf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(qt.select("term").distinct(), "term")
+    )
+    avgdl = F.col("_tok").cast("double") / F.col("_n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = F.floor(
+        F.lit(1e6) * idf * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+    ).cast("long")
+    scored = (
+        hits.join(dl, "doc_id")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(nd))
+        .select("query_id", "doc_id", contrib.alias("_c"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum("_c").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            F.col("matched_terms").cast("long").alias("matched_terms"),
+            F.col("score_e6").cast("long").alias("score_e6"),
+        )
+    )
+
+
 def inverted_index(
     docs: DataFrame, min_df: int = 2, top_postings: int = 16
 ) -> DataFrame:

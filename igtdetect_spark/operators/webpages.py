@@ -814,6 +814,200 @@ def hits_scores(pages: DataFrame, iterations: int = 2) -> DataFrame:
     return out
 
 
+def triangle_counts(pages: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the UNDIRECTED view of the
+    crawl's internal link graph — the local-clustering signal link-spam
+    and community analyses start from (a page whose neighbors also
+    link each other sits inside a template ring or a genuine
+    community; a high-degree page with zero triangles is a directory).
+
+    Algorithm: degree-ordered edge orientation ("compact-forward").
+    Every undirected edge is stored ONCE, oriented from its lower
+    endpoint to its higher endpoint under the total order
+    ``(degree, id)``.  Wedges are then built only at the LOW end
+    (``o(u,v) ⋈ o(u,w)`` on ``u`` with ``rank(v) < rank(w)``) and a
+    wedge closes into a triangle iff the oriented edge ``(v, w)``
+    exists — each triangle is found exactly once, at its
+    minimum-degree corner.
+
+    Scale shape — why the orientation matters at 10¹² pages: a
+    celebrity page with in-degree d would contribute d² wedges under
+    naive node-iteration, but under degree orientation every node's
+    ORIENTED out-degree is O(√m) (it only keeps edges toward
+    higher-degree endpoints), so total wedge work is the optimal
+    O(m^{3/2}) and the self-join key ``u`` cannot host a quadratic hot
+    spot.  Plan: one distinct on the canonical edge (one exchange),
+    one degree aggregate, the wedge self-join on ``u``, the closing
+    equi-join on ``(v, w)``, then an explode of each triangle's three
+    corners into one hash aggregate.
+
+    Output: (url, degree, triangles) for every node of the undirected
+    graph — ``triangles`` is 0 for nodes in none (left join), so the
+    degree distribution rides along for free.
+    """
+    ids, edges = _internal_edges(pages)
+    und = (
+        edges.filter(F.col("src_id") != F.col("dst_id"))
+        .select(
+            F.least("src_id", "dst_id").alias("a"),
+            F.greatest("src_id", "dst_id").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("id").alias("a"),
+                            F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"),
+                         F.col("deg").alias("db")), "b")
+    )
+    # a < b always, so a degree tie keeps the a→b direction — the
+    # (degree, id) order needs no explicit id comparison here
+    low = F.col("da") <= F.col("db")
+    o = e.select(
+        F.when(low, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u"))
+        & (
+            (F.col("e1.dv") < F.col("e2.dv"))
+            | (
+                (F.col("e1.dv") == F.col("e2.dv"))
+                & (F.col("e1.v") < F.col("e2.v"))
+            )
+        ),
+    ).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedge.join(closing, ["y", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .join(ids, deg.id == ids._nid)
+        .select(
+            "url",
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long").alias("triangles"),
+        )
+    )
+
+
+def _bfs_depths_multi(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Multi-source variant of :func:`_bfs_depths`: the frontier and
+    visited relations are keyed ``(lm, id)`` so each landmark's BFS
+    runs independently inside ONE set of joins (the landmark id rides
+    along as a grouping column — |landmarks| × the single-source work,
+    not |landmarks| sequential jobs).  ``seeds`` is (lm, id)."""
+    frontiers = [
+        seeds.select(
+            "lm", "id", F.lit(0).cast("long").alias("depth")
+        ).persist()
+    ]
+    visited = frontiers[0]
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontiers[-1].select(
+                    "lm", F.col("id").alias("src_id")
+                ),
+                "src_id",
+            )
+            .select("lm", F.col("dst_id").alias("id"))
+            .distinct()
+            .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
+            .select("lm", "id", F.lit(hop).cast("long").alias("depth"))
+            .persist()
+        )
+        frontiers.append(nxt)
+        visited = visited.unionByName(nxt)
+    return visited, frontiers
+
+
+#: Fixed landmark page ids for :func:`landmark_closeness` — a
+#: CONSTANT-SIZE set by construction (a real deployment samples a few
+#: hundred well-connected pages once), unlike a ``doc_id % k`` seed
+#: rule whose cardinality grows with the corpus.  Chosen inside the
+#: synthetic hub range so they exist at every SF.
+CLOSENESS_LANDMARKS = (0, 7, 21, 35)
+
+
+def landmark_closeness(
+    pages: DataFrame,
+    landmarks: tuple[int, ...] = CLOSENESS_LANDMARKS,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Landmark-based harmonic closeness (the scalable stand-in for
+    exact closeness centrality — exact all-pairs BFS is Θ(n·m) and
+    dead at web scale; BFS from a small fixed landmark set is the
+    standard estimator, cf. the pivoting scheme HyperBall replaces
+    with sketches): for every page, the hop distance TO each landmark
+    (how quickly a crawler starting at that page reaches the known
+    core — the reverse direction of :func:`crawl_depth`), folded into
+    ``closeness_e6 = Σ_lm 10⁶ div d(page → lm)``.
+
+    Integral ``div`` keeps the score a BIGINT sum of integers, so the
+    unrolled SQL oracle matches bit-for-bit (harmonic closeness over
+    floats would hash-differ in summation order alone).  Distances are
+    bounded at ``max_hops``, like every BFS here — disclosed, and what
+    a crawl planner wants anyway.
+
+    Scale shape: ONE multi-source BFS over the reversed edge relation
+    (:func:`_bfs_depths_multi` — landmark id rides as a key column, so
+    |landmarks| sweeps share each hop's single shuffle join); state is
+    (lm, id, depth) with |landmarks| constant by construction. The
+    final fold is one hash aggregate on ``id``.
+
+    Output: (url, n_landmarks, closeness_e6) for pages that reach ≥1
+    landmark within the horizon (unreached pages are absent — the
+    consumer's outer join decides their score, not this operator).
+    """
+    ids, edges = _internal_edges(pages)
+    rev = edges.select(
+        F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
+    )
+    seeds = pages.filter(
+        F.col("doc_id").isin(*[int(x) for x in landmarks])
+    ).select(F.col("doc_id").alias("lm"), F.col("doc_id").alias("id"))
+    visited, handles = _bfs_depths_multi(rev, seeds, max_hops)
+    agg = (
+        visited.filter(F.col("depth") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_landmarks"),
+            F.sum(F.expr("1000000L div depth")).alias("closeness_e6"),
+        )
+    )
+    out = agg.join(ids, agg.id == ids._nid).select(
+        "url",
+        F.col("n_landmarks").cast("long").alias("n_landmarks"),
+        F.col("closeness_e6").cast("long").alias("closeness_e6"),
+    )
+    from .dedup import attach_plan_cache
+
+    for h in handles:
+        attach_plan_cache(out, h)
+    return out
+
+
 def _pagerank_iter(
     er: DataFrame, nodes: DataFrame, ranks: DataFrame,
     damping_ppm: int, teleport: int,

@@ -510,3 +510,42 @@ def test_domain_rollup_plan_is_broadcast_then_one_exchange(spark):
     # then domain grain — both map-side combinable); BroadcastExchange
     # nodes also contain the substring, so count hash exchanges only
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_triangle_count_wedge_join_is_equi_keyed(spark):
+    """The degree-orientation guarantees the wedge self-join runs on
+    the equi key ``u`` (the rank comparison is a post-join filter, not
+    a join strategy): no cartesian, no nested-loop wedge explosion,
+    and no Python anywhere."""
+    from igtdetect_spark.entry_queries import q_triangle_count
+
+    plan = _plan(q_triangle_count(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_landmark_closeness_is_anti_joined_bfs(spark):
+    """Multi-source BFS: each hop anti-joins the frontier against the
+    visited set (LeftAnti in the plan) so settled (lm, id) pairs never
+    re-expand; the landmark key rides as a column — ONE set of joins,
+    not |landmarks| jobs — and nothing runs in Python."""
+    from igtdetect_spark.entry_queries import q_landmark_closeness
+
+    plan = _plan(q_landmark_closeness(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bm25_query_join_is_broadcast(spark):
+    """The query workload joins the corpus tf relation as a BROADCAST
+    hash join (tiny by construction — it gates the corpus rows before
+    the dl/df joins); the only nested-loop is the 1-row (N, Σdl)
+    scalar cross join, and nothing runs in Python."""
+    from igtdetect_spark.entry_queries import q_bm25_rank
+
+    plan = _plan(q_bm25_rank(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -2484,3 +2484,145 @@ class TestBowtieClasses:
         assert classes == {"core", "in", "out", "disconnected"}
         # 2 BFS runs × (seeds + 4 frontiers) persisted
         assert release_plan_caches(out) == 10
+
+
+def _planted_pages(spark, edges, n):
+    """Tiny explicit page table: node i's html carries one href per
+    out-edge (i, j) — the minimal input _internal_edges understands."""
+    rows = []
+    for i in range(n):
+        links = "".join(
+            f'<a href="https://t.example.org/{d}">x</a>'
+            for s, d in edges
+            if s == i
+        )
+        rows.append(
+            (i, f"https://t.example.org/{i}",
+             bytearray(f"<html>{links}</html>".encode()))
+        )
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, html binary"
+    )
+
+
+class TestTriangleCounts:
+    """Degree-oriented triangle counting."""
+
+    def test_clique_plus_pendant(self, spark):
+        from igtdetect_spark.operators.webpages import triangle_counts
+
+        # directed 4-clique (i→j for i<j) + pendant 4→0; undirected
+        # view: K4 with a degree-1 tail hanging off node 0
+        edges = [(i, j) for i in range(4) for j in range(4) if i < j]
+        edges.append((4, 0))
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): (r["degree"], r["triangles"])
+            for r in triangle_counts(
+                _planted_pages(spark, edges, 5)
+            ).collect()
+        }
+        assert got == {
+            0: (4, 3), 1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (1, 0)
+        }
+
+    def test_reciprocal_and_self_edges_collapse(self, spark):
+        from igtdetect_spark.operators.webpages import triangle_counts
+
+        # both directions of each triangle edge + a self loop: the
+        # undirected distinct view must count the triangle ONCE and
+        # the self loop must not inflate any degree
+        edges = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (0, 0)]
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): (r["degree"], r["triangles"])
+            for r in triangle_counts(
+                _planted_pages(spark, edges, 3)
+            ).collect()
+        }
+        assert got == {0: (2, 1), 1: (2, 1), 2: (2, 1)}
+
+
+class TestLandmarkCloseness:
+    """Multi-source reverse-BFS harmonic closeness."""
+
+    def test_path_graph_two_landmarks(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import landmark_closeness
+
+        # chain 3→2→1→0; landmarks {0, 2}; distances follow OUTLINKS
+        edges = [(3, 2), (2, 1), (1, 0)]
+        out = landmark_closeness(
+            _planted_pages(spark, edges, 4), landmarks=(0, 2)
+        )
+        got = {
+            int(r["url"].rsplit("/", 1)[1]):
+                (r["n_landmarks"], r["closeness_e6"])
+            for r in out.collect()
+        }
+        release_plan_caches(out)
+        assert got == {
+            3: (2, 1_000_000 // 3 + 1_000_000),  # 0 at d=3, 2 at d=1
+            2: (1, 500_000),                     # 0 at d=2 (self d=0 skipped)
+            1: (1, 1_000_000),                   # 0 at d=1; cannot reach 2
+            # node 0 has no outlinks → reaches no landmark → absent
+        }
+
+    def test_horizon_bounds_distance(self, spark):
+        from igtdetect_spark.operators.dedup import release_plan_caches
+        from igtdetect_spark.operators.webpages import landmark_closeness
+
+        edges = [(3, 2), (2, 1), (1, 0)]
+        out = landmark_closeness(
+            _planted_pages(spark, edges, 4), landmarks=(0,), max_hops=2
+        )
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r["closeness_e6"]
+            for r in out.collect()
+        }
+        release_plan_caches(out)
+        assert got == {1: 1_000_000, 2: 500_000}  # node 3 beyond horizon
+
+
+class TestBm25TopK:
+    """BM25 scoring against a hand-computed planted corpus."""
+
+    def test_matches_hand_model(self, spark):
+        import math
+
+        from igtdetect_spark.operators.indexing import bm25_topk
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana"),
+                (2, "apple banana banana cherry"),
+                (3, "banana cherry"),
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(1, "apple"), (1, "cherry"), (2, "banana")],
+            "query_id int, term string",
+        )
+        rows = {
+            (r["query_id"], r["doc_id"]): r
+            for r in bm25_topk(docs, queries).collect()
+        }
+
+        def w(tf, df, dl, n=3, avgdl=3.0, k1=1.2, b=0.75):
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            return math.floor(
+                1e6 * idf * (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+            )
+
+        # q1 = {apple, cherry}: d2 matches both
+        assert rows[(1, 2)]["matched_terms"] == 2
+        exp_d2 = w(1, 2, 4) + w(1, 2, 4)  # apple tf=1 + cherry tf=1
+        assert abs(rows[(1, 2)]["score_e6"] - exp_d2) <= 1
+        exp_d1 = w(2, 2, 3)  # apple tf=2 only
+        assert abs(rows[(1, 1)]["score_e6"] - exp_d1) <= 1
+        assert rows[(1, 1)]["matched_terms"] == 1
+        # q2 = {banana}: all three docs match; d3 (short doc) ranks
+        # above d1 despite equal tf — the length normalization at work
+        assert rows[(2, 3)]["rank"] < rows[(2, 1)]["rank"]
+        ranks = [rows[(2, d)]["rank"] for d in (1, 2, 3)]
+        assert sorted(ranks) == [1, 2, 3]
