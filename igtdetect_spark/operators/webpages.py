@@ -649,6 +649,8 @@ def crawl_depth(
     consumer's outer-join decides their fate, not this operator.
     """
     ids, edges = _internal_edges(pages)
+    # resolve the two url joins ONCE — every hop re-joins this relation
+    edges = edges.persist()
     seeds = pages.filter((F.col("doc_id") % seeds_mod) == 0).select(
         F.col("doc_id").alias("id")
     )
@@ -656,7 +658,7 @@ def crawl_depth(
     out = visited.join(ids, visited.id == ids._nid).select("url", "depth")
     from .dedup import attach_plan_cache
 
-    for f in frontiers:
+    for f in frontiers + [edges]:
         attach_plan_cache(out, f)
     return out
 
@@ -721,6 +723,8 @@ def bowtie_classes(
     unreached in that direction.
     """
     ids, edges = _internal_edges(pages)
+    # resolved ONCE, consumed by 2 × max_hops hop joins
+    edges = edges.persist()
     seeds = pages.filter((F.col("doc_id") % seeds_mod) == 0).select(
         F.col("doc_id").alias("id")
     )
@@ -746,7 +750,7 @@ def bowtie_classes(
     )
     from .dedup import attach_plan_cache
 
-    for h in f_handles + b_handles:
+    for h in f_handles + b_handles + [edges]:
         attach_plan_cache(out, h)
     return out
 
@@ -853,12 +857,14 @@ def triangle_counts(pages: DataFrame) -> DataFrame:
             F.greatest("src_id", "dst_id").alias("b"),
         )
         .distinct()
+        .persist()  # consumed by the degree agg AND the orientation join
     )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()  # consumed by two orientation joins + the output join
     )
     e = (
         und.join(deg.select(F.col("id").alias("a"),
@@ -873,7 +879,7 @@ def triangle_counts(pages: DataFrame) -> DataFrame:
         F.when(low, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(low, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(low, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist()  # consumed THREE times: both wedge sides + closing join
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedge = e1.join(
         e2,
@@ -897,7 +903,7 @@ def triangle_counts(pages: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    out = (
         deg.join(per_node, "id", "left")
         .join(ids, deg.id == ids._nid)
         .select(
@@ -907,6 +913,11 @@ def triangle_counts(pages: DataFrame) -> DataFrame:
             .cast("long").alias("triangles"),
         )
     )
+    from .dedup import attach_plan_cache
+
+    for h in (und, deg, o):
+        attach_plan_cache(out, h)
+    return out
 
 
 def _bfs_depths_multi(
@@ -981,13 +992,15 @@ def landmark_closeness(
     consumer's outer join decides their score, not this operator).
     """
     ids, edges = _internal_edges(pages)
+    # resolved ONCE, consumed by every hop join
     rev = edges.select(
         F.col("dst_id").alias("src_id"), F.col("src_id").alias("dst_id")
-    )
+    ).persist()
     seeds = pages.filter(
         F.col("doc_id").isin(*[int(x) for x in landmarks])
     ).select(F.col("doc_id").alias("lm"), F.col("doc_id").alias("id"))
     visited, handles = _bfs_depths_multi(rev, seeds, max_hops)
+    handles = handles + [rev]
     agg = (
         visited.filter(F.col("depth") > 0)
         .groupBy("id")

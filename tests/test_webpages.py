@@ -1824,8 +1824,8 @@ class TestCrawlDepth:
         assert all(got[i] == 0 for i in ids if i % 64 == 0)
         assert 1 in set(got.values())
         assert max(got.values()) <= 4
-        # seeds + 4 per-hop frontiers were persisted
-        assert release_plan_caches(out) == 5
+        # seeds + 4 per-hop frontiers + the resolved edge relation
+        assert release_plan_caches(out) == 6
 
     def test_min_depth_not_last_write(self, spark):
         # a page reachable at hops 2 AND 3 must report 2 — the
@@ -2482,8 +2482,8 @@ class TestBowtieClasses:
         # but are never targets give in/disconnected
         classes = {r["cls"] for r in got.values()}
         assert classes == {"core", "in", "out", "disconnected"}
-        # 2 BFS runs × (seeds + 4 frontiers) persisted
-        assert release_plan_caches(out) == 10
+        # 2 BFS runs × (seeds + 4 frontiers) + the shared edge relation
+        assert release_plan_caches(out) == 11
 
 
 def _planted_pages(spark, edges, n):
