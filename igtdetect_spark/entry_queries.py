@@ -6205,6 +6205,83 @@ WHERE rank <= {top_k}
 """)
 
 
+def q_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list d-gap / compression-size statistics: per-term gap
+    distribution + delta-coded bit cost over the inverted-index tf
+    grain; bits via length(bin(gap)) (integer-exact on both engines,
+    unlike floor(log2)); top-50 by df via TakeOrderedAndProject."""
+    from .operators.indexing import postings_gap_stats
+
+    return postings_gap_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_postings_stats(min_df: int = 2, top_terms: int = 50) -> str:
+    return ("WITH " + _SQL_CLEAN_TOKS + f""",
+terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT term, doc_id FROM terms GROUP BY term, doc_id),
+g AS (
+  SELECT term,
+         coalesce(doc_id - lag(doc_id) OVER (
+           PARTITION BY term ORDER BY doc_id), doc_id + 1) AS gap
+  FROM tf),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(MAX(gap) AS BIGINT) AS max_gap,
+         CAST((SUM(gap) * 1000000) // COUNT(*) AS BIGINT) AS avg_gap_e6,
+         CAST(SUM(length(bin(gap))) AS BIGINT) AS delta_bits
+  FROM g GROUP BY term)
+SELECT term, df, max_gap, avg_gap_e6, delta_bits
+FROM stats WHERE df >= {min_df}
+ORDER BY df DESC, term LIMIT {top_terms}
+""")
+
+
+def q_search_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: BM25 candidate generation (20 per query)
+    fused with a query-independent quality prior by integer-exact
+    reciprocal-rank fusion — the prior ranks WITHIN each candidate
+    set (never a global corpus sort), final top-10 per query."""
+    from .operators.indexing import search_rank_fusion
+
+    vals = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_TERMS)
+    qrel = spark.sql(
+        f"SELECT * FROM VALUES {vals} AS t(query_id, term)"
+    )
+    return search_rank_fusion(_t(spark, sf_dir, "documents"), qrel)
+
+
+def _sql_search_rank_fusion(
+    candidates: int = 20, top_k: int = 10, rrf_k: int = 60
+) -> str:
+    qual = SQL_QUALITY_SCORES.replace("{SW}", _sql_stopwords())
+    return f"""
+WITH bm AS ({_sql_bm25_rank(top_k=candidates)}),
+qual AS ({qual}),
+j AS (
+  SELECT bm.query_id, bm.doc_id, bm.rank AS text_rank,
+         q.quality, q.distinct_ratio_e6
+  FROM bm JOIN qual q ON q.doc_id = bm.doc_id),
+p AS (
+  SELECT query_id, doc_id, text_rank,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY quality DESC, distinct_ratio_e6 DESC, doc_id
+         ) AS BIGINT) AS prior_rank
+  FROM j),
+r AS (
+  SELECT query_id, doc_id, text_rank, prior_rank,
+         CAST(1000000 // ({rrf_k} + text_rank)
+            + 1000000 // ({rrf_k} + prior_rank) AS BIGINT) AS rrf_e6
+  FROM p)
+SELECT query_id, final_rank, doc_id, text_rank, prior_rank, rrf_e6
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id
+      ) AS BIGINT) AS final_rank
+      FROM r)
+WHERE final_rank <= {top_k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -6323,6 +6400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "landmark_closeness": q_landmark_closeness,
         "bm25_rank": q_bm25_rank,
+        "postings_stats": q_postings_stats,
+        "search_rank_fusion": q_search_rank_fusion,
     }
 
 
@@ -6444,6 +6523,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _sql_triangle_count(),
         "landmark_closeness": _sql_landmark_closeness(),
         "bm25_rank": _sql_bm25_rank(),
+        "postings_stats": _sql_postings_stats(),
+        "search_rank_fusion": _sql_search_rank_fusion(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -143,6 +143,128 @@ def bm25_topk(
     )
 
 
+def postings_gap_stats(
+    docs: DataFrame, min_df: int = 2, top_terms: int = 50
+) -> DataFrame:
+    """Posting-list d-gap statistics — the index-SIZE estimation a
+    search tier runs before choosing a posting compression (delta +
+    varint/Elias-style codes store ``bits(gap)`` per posting, so the
+    gap distribution IS the index size): per term, exact df, the max
+    and mean doc-id gap, and the total delta-coded bit cost.
+
+    Integer-exact across engines: ``bits(gap) = length(bin(gap))`` —
+    the binary-string length both engines produce, not
+    ``floor(log2())`` whose last-ulp behavior at exact powers of two
+    differs; the mean gap is an integral-division e6 fixed-point.  The
+    first posting's gap is ``doc_id + 1`` (delta from the standard -1
+    base) so every gap is ≥ 1 and ``bin`` is defined.
+
+    Scale shape: the gap lag runs in the SAME term-partitioned window
+    pass the index build uses (one term exchange, reused by the
+    following per-term aggregate), and the top-``top_terms`` cut
+    compiles to TakeOrderedAndProject — Spark's distributed top-k
+    (per-partition heads merged on the driver), NOT a global sort
+    shuffle.  Ties at the cut break on the term string, so the output
+    set is deterministic.
+
+    Output: (term, df, max_gap, avg_gap_e6, delta_bits), the
+    ``top_terms`` highest-df terms.
+    """
+    tf = term_frequencies(docs)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = F.coalesce(
+        F.col("doc_id") - F.lag("doc_id").over(w),
+        F.col("doc_id") + F.lit(1),
+    )
+    g = tf.select("term", gap.alias("gap"))
+    stats = g.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.max("gap").alias("max_gap"),
+        F.sum("gap").alias("_gap_sum"),
+        F.sum(F.length(F.bin("gap"))).alias("delta_bits"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("max_gap").cast("long").alias("max_gap"),
+            F.expr("(_gap_sum * 1000000L) div df").alias("avg_gap_e6"),
+            F.col("delta_bits").cast("long").alias("delta_bits"),
+        )
+        .orderBy(F.desc("df"), F.col("term"))
+        .limit(top_terms)
+    )
+
+
+def search_rank_fusion(
+    docs: DataFrame,
+    queries: DataFrame,
+    candidates: int = 20,
+    top_k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Retrieve-then-rerank with reciprocal-rank fusion (RRF,
+    Cormack et al. 2009): BM25 generates each query's candidate set,
+    a query-independent quality prior re-ranks WITHIN that set, and
+    the two rankings fuse as
+    ``rrf_e6 = 10⁶ div (k + text_rank) + 10⁶ div (k + prior_rank)``
+    — integral division keeps the fused score a BIGINT so the oracle
+    matches bit-for-bit (float RRF would differ in the last ulp).
+
+    Scale shape — the part that matters at 10¹² docs: the prior
+    ranking happens INSIDE each query's ≤``candidates`` candidate set
+    (a window partitioned by query_id over a few dozen rows), never as
+    a global quality sort of the corpus; the quality join touches only
+    candidate doc_ids.  Candidate generation inherits
+    :func:`bm25_topk`'s shape (broadcast query workload gating the
+    corpus before any per-doc join).
+
+    Output: (query_id, final_rank, doc_id, text_rank, prior_rank,
+    rrf_e6), ``final_rank ≤ top_k`` per query by (rrf desc, doc_id).
+    """
+    from .text_analysis import quality_scores
+
+    cands = bm25_topk(docs, queries, top_k=candidates).select(
+        "query_id", "doc_id", F.col("rank").alias("text_rank")
+    )
+    qual = quality_scores(docs).select(
+        "doc_id", "quality", "distinct_ratio_e6"
+    )
+    j = cands.join(qual, "doc_id")
+    prior_w = Window.partitionBy("query_id").orderBy(
+        F.desc("quality"), F.desc("distinct_ratio_e6"), F.col("doc_id")
+    )
+    scored = j.select(
+        "query_id",
+        "doc_id",
+        "text_rank",
+        F.row_number().over(prior_w).cast("long").alias("prior_rank"),
+    ).select(
+        "query_id",
+        "doc_id",
+        "text_rank",
+        "prior_rank",
+        F.expr(
+            f"1000000L div ({rrf_k} + text_rank)"
+            f" + 1000000L div ({rrf_k} + prior_rank)"
+        ).alias("rrf_e6"),
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e6"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "final_rank", F.row_number().over(final_w).cast("long")
+        )
+        .filter(F.col("final_rank") <= top_k)
+        .select(
+            "query_id", "final_rank", "doc_id",
+            "text_rank", "prior_rank", "rrf_e6",
+        )
+    )
+
+
 def inverted_index(
     docs: DataFrame, min_df: int = 2, top_postings: int = 16
 ) -> DataFrame:

@@ -549,3 +549,34 @@ def test_bm25_query_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_postings_stats_topk_is_take_ordered(spark):
+    """The top-50-by-df cut compiles to TakeOrderedAndProject (Spark's
+    distributed top-k: per-partition heads merged on the driver), NOT
+    a single-partition global sort; no Python anywhere."""
+    from igtdetect_spark.entry_queries import q_postings_stats
+
+    plan = _plan(q_postings_stats(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_search_rank_fusion_windows_stay_query_partitioned(spark):
+    """Every window in the fusion runs partitioned by query_id over
+    the bounded candidate set — no global (unpartitioned) sort of the
+    corpus by quality; the BM25 candidate stage keeps its broadcast
+    query join."""
+    from igtdetect_spark.entry_queries import q_search_rank_fusion
+
+    plan = _plan(q_search_rank_fusion(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # every Window node must name a partition spec (the unpartitioned
+    # form renders as "Window [..., windowspecdefinition(... ORDER BY"
+    # with no partition expressions — match on the spec text)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "query_id" in m.group(1), m.group(0)

@@ -2626,3 +2626,95 @@ class TestBm25TopK:
         assert rows[(2, 3)]["rank"] < rows[(2, 1)]["rank"]
         ranks = [rows[(2, d)]["rank"] for d in (1, 2, 3)]
         assert sorted(ranks) == [1, 2, 3]
+
+
+class TestPostingsGapStats:
+    """d-gap statistics over a planted posting list."""
+
+    def test_hand_gaps_and_bits(self, spark):
+        from igtdetect_spark.operators.indexing import postings_gap_stats
+
+        docs = spark.createDataFrame(
+            [(0, "zz aa"), (1, "zz"), (5, "zz aa"), (12, "zz bb")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["term"]: r
+            for r in postings_gap_stats(docs, min_df=2).collect()
+        }
+        # zz postings [0,1,5,12] → gaps [1,1,4,7] (first = doc_id+1)
+        z = got["zz"]
+        assert (z["df"], z["max_gap"]) == (4, 7)
+        assert z["avg_gap_e6"] == 13 * 1_000_000 // 4
+        assert z["delta_bits"] == 1 + 1 + 3 + 3  # bin lengths 1,1,100,111
+        # aa postings [0,5] → gaps [1,5] → bits 1+3
+        a = got["aa"]
+        assert (a["df"], a["max_gap"], a["delta_bits"]) == (2, 5, 4)
+        assert "bb" not in got  # hapax dropped by min_df
+
+    def test_top_terms_cut_is_deterministic(self, spark):
+        from igtdetect_spark.operators.indexing import postings_gap_stats
+
+        docs = spark.createDataFrame(
+            [(i, "aa bb cc") for i in range(4)],
+            "doc_id long, text string",
+        )
+        got = [r["term"] for r in
+               postings_gap_stats(docs, top_terms=2).collect()]
+        assert got == ["aa", "bb"]  # df ties break on the term string
+
+
+class TestSearchRankFusion:
+    """RRF re-ranking within the BM25 candidate set."""
+
+    def test_rrf_tie_and_convexity(self, spark):
+        from igtdetect_spark.operators.indexing import search_rank_fusion
+
+        # two docs with swapped (text, prior) ranks: doc 1 text-first,
+        # doc 2 prior-first (richer vocabulary → higher distinct_ratio)
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple apple apple"),
+                (2, "apple nice short clean"),
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(1, "apple")], "query_id int, term string"
+        )
+        rows = {r["doc_id"]: r
+                for r in search_rank_fusion(docs, queries).collect()}
+        assert rows[1]["text_rank"] == 1 and rows[2]["text_rank"] == 2
+        assert rows[2]["prior_rank"] == 1 and rows[1]["prior_rank"] == 2
+        # a pure rank swap is RRF-SYMMETRIC: both fuse to the same
+        # integer score and doc_id breaks the tie — pinned, because a
+        # float RRF would make this tie engine-dependent
+        tie = 1_000_000 // 61 + 1_000_000 // 62
+        assert rows[1]["rrf_e6"] == tie and rows[2]["rrf_e6"] == tie
+        assert rows[1]["final_rank"] == 1 and rows[2]["final_rank"] == 2
+
+    def test_rrf_middle_doc_loses_to_extremes(self, spark):
+        from igtdetect_spark.operators.indexing import search_rank_fusion
+
+        # three docs: d1 text-best/prior-worst, d3 prior-best/text-
+        # worst, d2 middle in BOTH — RRF's convexity ranks the
+        # consistent middle LAST behind both extremes (a known RRF
+        # property worth pinning: 1/(60+1)+1/(60+3) > 2/(60+2))
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple apple apple apple apple"),
+                (2, "apple apple nice pie"),
+                (3, "apple nice short clean fresh joy"),
+            ],
+            "doc_id long, text string",
+        )
+        queries = spark.createDataFrame(
+            [(1, "apple")], "query_id int, term string"
+        )
+        rows = {r["doc_id"]: r
+                for r in search_rank_fusion(docs, queries).collect()}
+        assert [rows[d]["text_rank"] for d in (1, 2, 3)] == [1, 2, 3]
+        assert [rows[d]["prior_rank"] for d in (1, 2, 3)] == [3, 2, 1]
+        assert rows[2]["final_rank"] == 3
+        assert rows[1]["final_rank"] == 1  # extremes tie; doc_id breaks
+        assert rows[3]["final_rank"] == 2
