@@ -120,7 +120,7 @@ def main():
         "keyword_stuffing", "trustrank", "pagination_chains",
         "crawl_budget", "mirror_hosts", "bowtie_classes",
         "triangle_count", "landmark_closeness", "bm25_rank",
-        "postings_stats", "search_rank_fusion",
+        "postings_stats", "search_rank_fusion", "dust_rules",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -6282,6 +6282,72 @@ WHERE final_rank <= {top_k}
 """
 
 
+def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (Bar-Yossef 2007): learn per (host, query
+    parameter) whether stripping the parameter preserves page content
+    — md5 fingerprints, variant↔base equi-join on the base url, one
+    (host, param) aggregate; planted params cover droppable
+    (utm/sess/sort), content-bearing (page) and mixed (ref) cases."""
+    from .operators.webpages import dust_rules, synthetic_param_pages
+
+    return dust_rules(
+        synthetic_param_pages(_t(spark, sf_dir, "documents"))
+    )
+
+
+def _sql_dust_rules() -> str:
+    url = _SQL_PAGE_URL.format(x="doc_id")
+    return rf"""
+WITH h AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         (strpos('0123456789abcdef',
+            substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS nib4
+  FROM documents),
+pages AS (
+  SELECT {url} AS url, text FROM h
+  UNION ALL
+  SELECT {url} || '?utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR),
+         text FROM h
+  UNION ALL
+  SELECT {url} || '?sess=s' || CAST(doc_id AS VARCHAR), text
+  FROM h WHERE nib4 % 2 = 0
+  UNION ALL
+  SELECT {url} || '?page=2', text || ' :: page two tail'
+  FROM h WHERE nib4 % 4 = 1
+  UNION ALL
+  SELECT {url} || '?sort=asc', text FROM h WHERE nib4 % 8 = 3
+  UNION ALL
+  SELECT {url} || '?ref=partner',
+         CASE WHEN nib4 % 2 = 0 THEN text
+              ELSE text || ' :: referral banner' END
+  FROM h),
+parsed AS (
+  SELECT regexp_replace(url, '\?.*$', '') AS base,
+         regexp_extract(url, '\?(.*)$', 1) AS qs,
+         md5(text) AS fp
+  FROM pages
+  WHERE strpos(regexp_extract(url, '\?(.*)$', 1), '&') = 0),
+bases AS (SELECT base, fp AS fp_base FROM parsed WHERE qs = ''),
+variants AS (
+  SELECT base, regexp_extract(qs, '^([^=&]+)', 1) AS param, fp
+  FROM parsed WHERE qs <> ''),
+pairs AS (
+  SELECT regexp_extract(v.base, '^https://([^/]+)', 1) AS host,
+         v.param,
+         CASE WHEN v.fp = b.fp_base THEN 1 ELSE 0 END AS same
+  FROM variants v JOIN bases b ON b.base = v.base),
+agg AS (
+  SELECT host, param,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(same) AS BIGINT) AS n_same
+  FROM pairs GROUP BY host, param)
+SELECT host, param, n_pairs,
+       CAST((n_same * 1000000) // n_pairs AS BIGINT) AS preserved_ppm,
+       (n_same * 1000000) // n_pairs = 1000000 AS droppable
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -6402,6 +6468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "postings_stats": q_postings_stats,
         "search_rank_fusion": q_search_rank_fusion,
+        "dust_rules": q_dust_rules,
     }
 
 
@@ -6525,6 +6592,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": _sql_bm25_rank(),
         "postings_stats": _sql_postings_stats(),
         "search_rank_fusion": _sql_search_rank_fusion(),
+        "dust_rules": _sql_dust_rules(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -141,6 +141,126 @@ def canonical_url(url) -> "F.Column":
     )
 
 
+def synthetic_param_pages(docs: DataFrame) -> DataFrame:
+    """(url, text) rows for DUST-rule mining: every document yields its
+    parameterless base page plus 1-4 single-parameter variants whose
+    CONTENT behavior is planted —
+
+    - ``utm_campaign`` (always emitted) and ``sort`` (md5-nibble-gated)
+      preserve the text exactly → droppable;
+    - ``sess`` (nibble-gated) preserves text with a per-doc VALUE
+      (session ids look unique but don't change content — the classic
+      DUST catch);
+    - ``page`` (nibble-gated) APPENDS content → a real content param;
+    - ``ref`` preserves for even-nibble docs only → a mixed param whose
+      preserved fraction must land strictly between 0 and 10⁶.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    base_url = _page_url(F.col("doc_id"))
+    text = F.coalesce(F.col("text"), F.lit(""))
+    nib4 = _nib(h, 4)
+
+    def variant(cond, qs: "F.Column", body: "F.Column") -> DataFrame:
+        return docs.filter(cond).select(
+            F.concat(base_url, F.lit("?"), qs).alias("url"),
+            body.alias("text"),
+        )
+
+    base = docs.select(base_url.alias("url"), text.alias("text"))
+    always = F.lit(True)
+    parts = [
+        base,
+        variant(
+            always,
+            F.concat(F.lit("utm_campaign=c"),
+                     (F.col("doc_id") % 3).cast("string")),
+            text,
+        ),
+        variant(
+            nib4 % 2 == 0,
+            F.concat(F.lit("sess=s"), F.col("doc_id").cast("string")),
+            text,
+        ),
+        variant(
+            nib4 % 4 == 1,
+            F.lit("page=2"),
+            F.concat(text, F.lit(" :: page two tail")),
+        ),
+        variant(nib4 % 8 == 3, F.lit("sort=asc"), text),
+        variant(
+            always,
+            F.lit("ref=partner"),
+            F.when(nib4 % 2 == 0, text).otherwise(
+                F.concat(text, F.lit(" :: referral banner"))
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dust_rules(pages: DataFrame) -> DataFrame:
+    """DUST rule mining (Bar-Yossef et al., WWW 2007 — "Do Not Crawl
+    in the DUST: different URLs with similar text"): learn, per (host,
+    query-parameter), whether stripping the parameter preserves page
+    content — the rules a crawler then applies to collapse its
+    frontier.  Complementary to :func:`canonical_url`, which strips a
+    STATIC tracking-param list; this LEARNS the list from fetched
+    content, host by host (``sess`` may be content-bearing on one site
+    and a pure session marker on another).
+
+    Grain: single-parameter variants (``base?p=v`` vs ``base``) — the
+    pairwise rule grain of the paper; multi-param urls are out of
+    scope here and filtered (disclosed, and at the frontier they are
+    handled by applying learned single-param rules iteratively).
+
+    Scale shape: one narrow projection parses base/param and
+    fingerprints content (md5 — no text leaves the scan); variants
+    equi-join their base's fingerprint on the base url (both sides
+    hash-partition on the SAME key); one hash aggregate to (host,
+    param).  Preserved fraction in integer ppm.
+
+    Output: (host, param, n_pairs, preserved_ppm, droppable).
+    """
+    qs = F.regexp_extract("url", r"\?(.*)$", 1)
+    parsed = pages.select(
+        F.regexp_replace("url", r"\?.*$", "").alias("base"),
+        qs.alias("_qs"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_fp"),
+    ).filter(~F.col("_qs").contains("&"))
+    bases = parsed.filter(F.col("_qs") == "").select(
+        F.col("base"), F.col("_fp").alias("_fp_base")
+    )
+    variants = parsed.filter(F.col("_qs") != "").select(
+        "base",
+        F.regexp_extract("_qs", r"^([^=&]+)", 1).alias("param"),
+        "_fp",
+    )
+    pairs = variants.join(bases, "base").select(
+        F.regexp_extract("base", r"^https://([^/]+)", 1).alias("host"),
+        "param",
+        (F.col("_fp") == F.col("_fp_base")).cast("int").alias("_same"),
+    )
+    return (
+        pairs.groupBy("host", "param")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_same").alias("_n_same"),
+        )
+        .select(
+            "host",
+            "param",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr("(_n_same * 1000000L) div n_pairs")
+            .alias("preserved_ppm"),
+            (F.expr("(_n_same * 1000000L) div n_pairs") == 1_000_000)
+            .alias("droppable"),
+        )
+    )
+
+
 def url_dedup(
     pages: DataFrame,
     id_col: str = "doc_id",

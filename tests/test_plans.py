@@ -580,3 +580,15 @@ def test_search_rank_fusion_windows_stay_query_partitioned(spark):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "query_id" in m.group(1), m.group(0)
+
+
+def test_dust_rules_is_one_equi_join_one_aggregate(spark):
+    """Fingerprints are md5 projections fused into the scan; the
+    variant↔base pairing is an equi join on the base url (no
+    cartesian, no Python), then one hash aggregate to (host, param)."""
+    from igtdetect_spark.entry_queries import q_dust_rules
+
+    plan = _plan(q_dust_rules(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

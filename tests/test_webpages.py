@@ -2718,3 +2718,57 @@ class TestSearchRankFusion:
         assert rows[2]["final_rank"] == 3
         assert rows[1]["final_rank"] == 1  # extremes tie; doc_id breaks
         assert rows[3]["final_rank"] == 2
+
+
+class TestDustRules:
+    """Learned droppable-parameter rules from planted content."""
+
+    def test_per_host_divergence_and_multiparam_scope(self, spark):
+        from igtdetect_spark.operators.webpages import dust_rules
+
+        rows = [
+            # host a: sess preserves content (pure session marker)
+            ("https://a.org/p/1", "body one"),
+            ("https://a.org/p/1?sess=x", "body one"),
+            ("https://a.org/p/2", "body two"),
+            ("https://a.org/p/2?sess=y", "body two"),
+            # host b: sess CHANGES content (content-bearing)
+            ("https://b.org/p/1", "body"),
+            ("https://b.org/p/1?sess=x", "body for session x"),
+            # multi-param url: out of the single-param rule grain
+            ("https://a.org/p/1?sess=x&page=2", "whatever"),
+            # variant with no base page: no pair, must not crash/count
+            ("https://c.org/p/9?sess=z", "orphan"),
+        ]
+        pages = spark.createDataFrame(rows, "url string, text string")
+        got = {(r["host"], r["param"]): r
+               for r in dust_rules(pages).collect()}
+        a = got[("a.org", "sess")]
+        assert (a["n_pairs"], a["preserved_ppm"], a["droppable"]) == (
+            2, 1_000_000, True)
+        b = got[("b.org", "sess")]
+        assert (b["n_pairs"], b["preserved_ppm"], b["droppable"]) == (
+            1, 0, False)
+        assert ("a.org", "page") not in got  # multi-param filtered
+        assert not any(h == "c.org" for h, _ in got)  # orphan variant
+
+    def test_synthetic_planted_param_classes(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            dust_rules,
+            synthetic_param_pages,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        got = {(r["host"], r["param"]): r
+               for r in dust_rules(synthetic_param_pages(docs)).collect()}
+        hosts = {h for h, _ in got}
+        assert len(hosts) == 4
+        for h in hosts:
+            assert got[(h, "utm_campaign")]["droppable"]
+            assert got[(h, "sess")]["droppable"]
+            assert got[(h, "sort")]["droppable"]
+            assert got[(h, "page")]["preserved_ppm"] == 0
+            ref = got[(h, "ref")]["preserved_ppm"]
+            assert 0 < ref < 1_000_000  # the mixed param stays mixed
