@@ -6295,10 +6295,12 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dust_rules() -> str:
+def _sql_param_pages() -> str:
+    """Oracle mirror of ``synthetic_param_pages`` as a CTE-chain
+    fragment (``h`` + ``pages``), shared by the dust-rule and
+    crawl-trap oracles."""
     url = _SQL_PAGE_URL.format(x="doc_id")
-    return rf"""
-WITH h AS (
+    return f"""h AS (
   SELECT doc_id, coalesce(text, '') AS text,
          (strpos('0123456789abcdef',
             substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS nib4
@@ -6320,7 +6322,12 @@ pages AS (
   SELECT {url} || '?ref=partner',
          CASE WHEN nib4 % 2 = 0 THEN text
               ELSE text || ' :: referral banner' END
-  FROM h),
+  FROM h)"""
+
+
+def _sql_dust_rules() -> str:
+    return rf"""
+WITH {_sql_param_pages()},
 parsed AS (
   SELECT regexp_replace(url, '\?.*$', '') AS base,
          regexp_extract(url, '\?(.*)$', 1) AS qs,
@@ -6346,6 +6353,90 @@ SELECT host, param, n_pairs,
        (n_same * 1000000) // n_pairs = 1000000 AS droppable
 FROM agg
 """
+
+
+def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap screen: per host, distinct urls vs distinct content
+    fingerprints — the param-variant hosts (URL space explodes, content
+    doesn't) must flag trap while a clean per-doc-content corpus on
+    separate hosts must not."""
+    from .operators.webpages import (
+        crawl_trap_hosts,
+        synthetic_param_pages,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = docs.select(
+        F.concat(
+            F.lit("https://clean"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    return crawl_trap_hosts(
+        synthetic_param_pages(docs).unionByName(clean)
+    )
+
+
+def _sql_crawl_trap_hosts(
+    min_urls: int = 20, trap_ppm_threshold: int = 300_000
+) -> str:
+    return rf"""
+WITH {_sql_param_pages()},
+all_pages AS (
+  SELECT url, text FROM pages
+  UNION ALL
+  SELECT 'https://clean' || CAST(doc_id % 4 AS VARCHAR)
+         || '.example.com/d/' || CAST(doc_id AS VARCHAR),
+         coalesce(text, '')
+  FROM documents),
+parsed AS (
+  SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+         url, md5(text) AS fp
+  FROM all_pages),
+agg AS (
+  SELECT host,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_content
+  FROM parsed GROUP BY host)
+SELECT host, n_urls, n_content,
+       CAST(((n_urls - n_content) * 1000000) // n_urls AS BIGINT)
+         AS dup_ratio_ppm,
+       ((n_urls - n_content) * 1000000) // n_urls
+         >= {trap_ppm_threshold} AND n_urls >= {min_urls} AS trap
+FROM agg
+"""
+
+
+def q_index_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hashed term→shard assignment balance (8 shards):
+    argmax over constant-size md5 weights as a native higher-order
+    expression, one aggregate to K rows — the serving-side partition
+    check after the index build."""
+    from .operators.indexing import index_shard_balance
+
+    return index_shard_balance(_t(spark, sf_dir, "documents"))
+
+
+def _sql_index_shard_balance(n_shards: int = 8) -> str:
+    return ("WITH " + _SQL_CLEAN_TOKS + f""",
+terms AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT term, doc_id FROM terms GROUP BY term, doc_id),
+dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+sh AS (
+  SELECT list_position(l, list_aggregate(l, 'max')) - 1 AS shard, df
+  FROM (SELECT df,
+          list_transform(range({n_shards}),
+            s -> md5(term || ':' || CAST(s AS VARCHAR))) AS l
+        FROM dfr))
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS n_postings
+FROM sh GROUP BY shard
+""")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6469,6 +6560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_stats": q_postings_stats,
         "search_rank_fusion": q_search_rank_fusion,
         "dust_rules": q_dust_rules,
+        "crawl_trap_hosts": q_crawl_trap_hosts,
+        "index_shard_balance": q_index_shard_balance,
     }
 
 
@@ -6593,6 +6686,8 @@ def oracle_sql() -> dict[str, str]:
         "postings_stats": _sql_postings_stats(),
         "search_rank_fusion": _sql_search_rank_fusion(),
         "dust_rules": _sql_dust_rules(),
+        "crawl_trap_hosts": _sql_crawl_trap_hosts(),
+        "index_shard_balance": _sql_index_shard_balance(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -265,6 +265,54 @@ def search_rank_fusion(
     )
 
 
+def index_shard_balance(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Term→shard assignment balance under rendezvous (highest-random-
+    weight) hashing — the serving-side question after the index is
+    built: does the partitioning scheme spread terms AND posting mass
+    evenly, and does it stay stable when a shard is added (rendezvous'
+    defining property vs mod-hashing: only ~1/K of keys move)?
+
+    Assignment: ``shard(t) = argmax_s md5(t ‖ ':' ‖ s)`` — hex md5
+    strings compare identically as ASCII on both engines, so the
+    argmax (via array_position of the array max) is engine-exact with
+    no float weights.  The argmax runs as a native higher-order
+    expression over a constant K-element array, fused into the term
+    scan — no per-shard row fan-out.
+
+    Scale shape: one (term, df) relation (the inverted index's own
+    aggregate), one narrow projection computing the shard id, ONE hash
+    aggregate to K rows.  Skew cannot exist on the output key by
+    construction (K constant); the input key skew (stopword df) is
+    already collapsed to one row per term.
+
+    Output: (shard, n_terms, n_postings) — one row per shard.
+    """
+    tf = term_frequencies(docs)
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(n_shards - 1)),
+        lambda s: F.md5(
+            F.concat(F.col("term"), F.lit(":"), s.cast("string"))
+        ),
+    )
+    shard = (
+        F.array_position(weights, F.array_max(weights)) - 1
+    ).cast("long")
+    return (
+        dfr.select(shard.alias("shard"), "df")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+        )
+        .select(
+            "shard",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("n_postings").cast("long").alias("n_postings"),
+        )
+    )
+
+
 def inverted_index(
     docs: DataFrame, min_df: int = 2, top_postings: int = 16
 ) -> DataFrame:

@@ -261,6 +261,50 @@ def dust_rules(pages: DataFrame) -> DataFrame:
     )
 
 
+def crawl_trap_hosts(
+    pages: DataFrame,
+    min_urls: int = 20,
+    trap_ppm_threshold: int = 300_000,
+) -> DataFrame:
+    """Crawl-trap detection (the Heritrix/Nutch operational screen):
+    a host whose URL space explodes while its CONTENT does not —
+    calendars, session-id mazes, faceted-search grids — shows many
+    distinct urls per distinct content fingerprint.  Per host:
+    distinct urls, distinct content md5s, the duplicate-url fraction
+    in integer ppm, and the trap verdict (fraction ≥ threshold AND
+    enough urls to matter — a 3-url host is never evidence).
+
+    Scale shape: one narrow projection (host parse + md5 fingerprint,
+    fused into the scan), ONE hash aggregate on host with two distinct
+    counts (partial aggregation applies; a pathological host
+    concentrates one aggregate cell, not a join).  This is the
+    host-grain summary OF the same signal :func:`dust_rules` mines at
+    parameter grain — the two run off one scan in practice.
+
+    Output: (host, n_urls, n_content, dup_ratio_ppm, trap).
+    """
+    parsed = pages.select(
+        F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"),
+        F.col("url"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_fp"),
+    )
+    agg = parsed.groupBy("host").agg(
+        F.count_distinct("url").alias("n_urls"),
+        F.count_distinct("_fp").alias("n_content"),
+    )
+    ratio = F.expr("((n_urls - n_content) * 1000000L) div n_urls")
+    return agg.select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_content").cast("long").alias("n_content"),
+        ratio.alias("dup_ratio_ppm"),
+        (
+            (ratio >= trap_ppm_threshold)
+            & (F.col("n_urls") >= min_urls)
+        ).alias("trap"),
+    )
+
+
 def url_dedup(
     pages: DataFrame,
     id_col: str = "doc_id",

@@ -592,3 +592,28 @@ def test_dust_rules_is_one_equi_join_one_aggregate(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_crawl_trap_hosts_is_one_aggregate(spark):
+    """Host parse + md5 fingerprint fuse into the scan; the whole
+    screen is ONE hash aggregate on host (distinct counts expand to
+    the standard two-phase plan) — no join, no Python."""
+    from igtdetect_spark.entry_queries import q_crawl_trap_hosts
+
+    plan = _plan(q_crawl_trap_hosts(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_index_shard_balance_argmax_is_native(spark):
+    """The rendezvous argmax runs as a native higher-order expression
+    over a constant K-array — no per-shard row fan-out (no Generate
+    beyond the token explode), no join, no Python."""
+    from igtdetect_spark.entry_queries import q_index_shard_balance
+
+    plan = _plan(q_index_shard_balance(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exactly ONE Generate: the token explode; the shard argmax must
+    # not add another
+    assert plan.count("Generate explode") == 1

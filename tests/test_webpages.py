@@ -2772,3 +2772,71 @@ class TestDustRules:
             assert got[(h, "page")]["preserved_ppm"] == 0
             ref = got[(h, "ref")]["preserved_ppm"]
             assert 0 < ref < 1_000_000  # the mixed param stays mixed
+
+
+class TestCrawlTrapHosts:
+    """URL-explosion trap screen thresholds."""
+
+    def test_threshold_and_min_urls_gates(self, spark):
+        from igtdetect_spark.operators.webpages import crawl_trap_hosts
+
+        rows = []
+        # host small.org: 100% dup ratio but only 4 urls — below
+        # min_urls, must NOT flag
+        for i in range(4):
+            rows.append((f"https://small.org/p?x={i}", "same body"))
+        # host big.org: 40 urls, 10 distinct contents → 75% dup → trap
+        for i in range(40):
+            rows.append((f"https://big.org/p?x={i}", f"body {i % 10}"))
+        # host fine.org: 30 urls all distinct content → 0 → clean
+        for i in range(30):
+            rows.append((f"https://fine.org/p/{i}", f"unique {i}"))
+        pages = spark.createDataFrame(rows, "url string, text string")
+        got = {r["host"]: r
+               for r in crawl_trap_hosts(pages, min_urls=20).collect()}
+        assert not got["small.org"]["trap"]
+        assert got["small.org"]["dup_ratio_ppm"] == 750_000
+        assert got["big.org"]["trap"]
+        assert got["big.org"]["dup_ratio_ppm"] == 750_000
+        assert not got["fine.org"]["trap"]
+        assert got["fine.org"]["dup_ratio_ppm"] == 0
+
+
+class TestIndexShardBalance:
+    """Rendezvous term→shard assignment."""
+
+    def test_conservation_and_hand_assignment(self, spark):
+        import hashlib
+
+        from igtdetect_spark.operators.indexing import (
+            index_shard_balance,
+            term_frequencies,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "aa bb cc aa"), (1, "aa dd"), (2, "bb aa aa")],
+            "doc_id long, text string",
+        )
+        out = index_shard_balance(docs, n_shards=4).collect()
+        # conservation: every term lands somewhere exactly once, and
+        # posting mass is preserved (Σdf = 4 terms' doc counts)
+        assert sum(r["n_terms"] for r in out) == 4
+        dfr = (
+            term_frequencies(docs)
+            .groupBy("term").count().collect()
+        )
+        assert sum(r["n_postings"] for r in out) == sum(
+            r["count"] for r in dfr
+        )
+
+        # hand rendezvous: argmax_s md5(term:s), first-max on ties
+        def shard(term, k=4):
+            ws = [hashlib.md5(f"{term}:{s}".encode()).hexdigest()
+                  for s in range(k)]
+            return ws.index(max(ws))
+
+        from collections import Counter
+
+        exp = Counter(shard(t) for t in ("aa", "bb", "cc", "dd"))
+        got = {r["shard"]: r["n_terms"] for r in out}
+        assert got == dict(exp)
