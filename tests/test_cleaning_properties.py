@@ -165,3 +165,89 @@ def test_c4_clean_output_lines_all_satisfy_the_keep_rule(spark, texts):
             assert re.search(TERMINAL_PUNCT_RE, line)
             assert len(line.split()) >= 5
         assert "lorem ipsum" not in t.lower() and "{" not in t
+
+
+url_pages = st.lists(
+    st.tuples(
+        st.sampled_from(["a.org", "b.org"]),
+        st.integers(min_value=0, max_value=3),          # page id
+        st.sampled_from(["", "sess", "page", "ref"]),   # param (''=base)
+        st.booleans(),                                  # content flips?
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(url_pages)
+def test_dust_rules_ppm_bounds_and_droppable_iff_saturated(spark, rows):
+    from igtdetect_spark.operators.webpages import dust_rules
+
+    data = []
+    for host, pid, param, flip in rows:
+        base = f"https://{host}/p/{pid}"
+        body = f"content {host} {pid}"
+        if param == "":
+            data.append((base, body))
+        else:
+            data.append((
+                f"{base}?{param}=v",
+                body + (" changed" if flip else ""),
+            ))
+    pages = spark.createDataFrame(
+        data, "url string, text string"
+    ).distinct()
+    out = dust_rules(pages).collect()
+    for r in out:
+        assert 0 <= r["preserved_ppm"] <= 1_000_000
+        assert r["droppable"] == (r["preserved_ppm"] == 1_000_000)
+        assert 1 <= r["n_pairs"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["h1.org", "h2.org"]),
+              st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=5)),
+    min_size=1, max_size=40,
+))
+def test_crawl_trap_ratio_bounds_and_content_subset(spark, rows):
+    from igtdetect_spark.operators.webpages import crawl_trap_hosts
+
+    # one row per url (the crawl-snapshot grain): a url drawn twice
+    # with different content would make n_content exceed n_urls
+    by_url = {f"https://{h}/p/{u}": f"body {c}" for h, u, c in rows}
+    pages = spark.createDataFrame(
+        list(by_url.items()), "url string, text string"
+    )
+    out = crawl_trap_hosts(pages, min_urls=5).collect()
+    for r in out:
+        # content fingerprints can never outnumber distinct urls...
+        # except when distinct urls collide on text — here content is
+        # a function of the row, so n_content <= n_urls must hold
+        assert 1 <= r["n_content"] <= r["n_urls"]
+        assert 0 <= r["dup_ratio_ppm"] < 1_000_000
+        if r["trap"]:
+            assert r["n_urls"] >= 5
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "tok"]),
+    min_size=1, max_size=12).map(" ".join))
+def test_shard_balance_conserves_terms_and_postings(spark, text):
+    from igtdetect_spark.operators.indexing import (
+        index_shard_balance,
+        term_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, text), (1, text + " beta")], "doc_id long, text string"
+    )
+    out = index_shard_balance(docs, n_shards=4).collect()
+    tf = term_frequencies(docs)
+    n_terms = tf.select("term").distinct().count()
+    n_postings = tf.count()
+    assert sum(r["n_terms"] for r in out) == n_terms
+    assert sum(r["n_postings"] for r in out) == n_postings
+    assert all(0 <= r["shard"] <= 3 for r in out)
