@@ -121,7 +121,7 @@ def main():
         "crawl_budget", "mirror_hosts", "bowtie_classes",
         "triangle_count", "landmark_closeness", "bm25_rank",
         "postings_stats", "search_rank_fusion", "dust_rules",
-        "crawl_trap_hosts", "index_shard_balance",
+        "crawl_trap_hosts", "index_shard_balance", "robots_rfc9309",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

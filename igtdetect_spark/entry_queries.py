@@ -6439,6 +6439,62 @@ FROM sh GROUP BY shard
 """)
 
 
+def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RFC 9309 robots matching — wildcard/anchored patterns,
+    longest-pattern precedence with Allow winning length ties —
+    applied per page via a broadcast per-host rule array and an
+    integer-encoded precedence max; patterns precompiled to regexes in
+    Python so both engines evaluate identical literals."""
+    from .operators.webpages import (
+        rfc9309_rules_df,
+        robots_rfc9309,
+        synthetic_linked_pages,
+    )
+
+    return robots_rfc9309(
+        synthetic_linked_pages(_t(spark, sf_dir, "documents")),
+        rfc9309_rules_df(spark),
+    )
+
+
+def _sql_robots_rfc9309() -> str:
+    from .operators.webpages import RFC9309_RULES, _robots_pattern_rx
+
+    rows = ", ".join(
+        f"('{h}', '{_robots_pattern_rx(p)}', '{p}',"
+        f" {2 * len(p) + int(a)})"
+        for h, p, a in RFC9309_RULES
+    )
+    url = _SQL_PAGE_URL.format(x="d.doc_id")
+    return f"""
+WITH pages AS (SELECT {url} AS url FROM documents d),
+rules AS (SELECT * FROM (VALUES {rows}) t(host, rx, pattern, score)),
+per_host AS (
+  SELECT host, list(struct_pack(rx := rx, pattern := pattern,
+                                score := score)) AS rl
+  FROM rules GROUP BY host),
+base AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+  FROM pages),
+j AS (
+  SELECT b.url, b.host,
+         list_filter(p.rl, r -> regexp_matches(b.path, r.rx)) AS hits
+  FROM base b LEFT JOIN per_host p ON p.host = b.host),
+k AS (
+  SELECT url, host, hits,
+         list_aggregate(list_transform(hits, r -> r.score), 'max')
+           AS best
+  FROM j)
+SELECT url, host, CAST(len(hits) AS BIGINT) AS n_match,
+       CASE WHEN len(hits) > 0
+            THEN list_filter(hits, r -> r.score = best)[1].pattern
+       END AS best_pattern,
+       (len(hits) = 0 OR best % 2 = 1) AS allowed
+FROM k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "igt_classify_lines": q_igt_classify_lines,
@@ -6562,6 +6618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": q_dust_rules,
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "index_shard_balance": q_index_shard_balance,
+        "robots_rfc9309": q_robots_rfc9309,
     }
 
 
@@ -6688,6 +6745,7 @@ def oracle_sql() -> dict[str, str]:
         "dust_rules": _sql_dust_rules(),
         "crawl_trap_hosts": _sql_crawl_trap_hosts(),
         "index_shard_balance": _sql_index_shard_balance(),
+        "robots_rfc9309": _sql_robots_rfc9309(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1630,6 +1630,122 @@ def robots_filter(pages: DataFrame, rules: DataFrame) -> DataFrame:
     )
 
 
+#: RFC 9309 rule set for the synthetic crawl: (host, pattern, allow).
+#: Patterns exercise every spec feature — ``*`` wildcards, ``$``
+#: end-anchors, Allow overrides, and the longest-match precedence
+#: (site2's blanket Disallow ``/`` is overridden by the longer Allow
+#: ``/p/`` for the whole page subtree, except the still-longer
+#: Disallow ``/p/9*``).
+RFC9309_RULES = (
+    ("site0.example.org", "/p/*7", False),
+    ("site0.example.org", "/p/*77", True),
+    ("site1.example.org", "/p/1*", False),
+    ("site1.example.org", "/p/12$", True),
+    ("site2.example.org", "/", False),
+    ("site2.example.org", "/p/", True),
+    ("site2.example.org", "/p/9*", False),
+    ("site3.example.org", "/p/*3$", False),
+)
+
+
+def _robots_pattern_rx(pattern: str) -> str:
+    """RFC 9309 pattern → anchored regex: ``*`` matches any run,
+    ``$`` anchors the end, everything else is literal.  Done in PYTHON
+    at plan build (rules are a bounded control relation), so BOTH
+    engines receive the identical precompiled regex literal — no
+    cross-engine translation code to diverge."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(
+        ".*" if ch == "*" else _re.escape(ch) for ch in body
+    )
+    return "^" + rx + ("$" if anchored else "")
+
+
+def rfc9309_rules_df(spark) -> DataFrame:
+    """(host, rx, pattern, score) rules relation as a VALUES
+    LocalRelation (real size stats, like :func:`robots_rules_df`).
+    ``score = 2·len(pattern) + allow`` encodes the RFC's precedence —
+    longest pattern wins, Allow wins length ties — as ONE integer max
+    (struct comparison differs between engines; integer max doesn't)."""
+    scores = [(h, 2 * len(p) + int(a)) for h, p, a in RFC9309_RULES]
+    assert len(set(scores)) == len(scores), (
+        "rule scores must be unique per host: the best-pattern pick "
+        "filters on score == max, which is only deterministic then"
+    )
+    rows = ", ".join(
+        f"('{h}', '{_robots_pattern_rx(p)}', '{p}',"
+        f" {2 * len(p) + int(allow)})"
+        for h, p, allow in RFC9309_RULES
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(host, rx, pattern, score)"
+    )
+
+
+def robots_rfc9309(pages: DataFrame, rules: DataFrame) -> DataFrame:
+    """Full RFC 9309 robots matching (the spec the prefix-only
+    :func:`robots_filter` approximates): every rule whose
+    wildcard/anchored pattern matches the url path counts, and the
+    verdict follows the MOST SPECIFIC match — longest pattern octets,
+    Allow beating Disallow on a length tie; no match → allowed.
+
+    Scale shape: identical to :func:`robots_filter` — rules
+    pre-grouped to one array row per host (size-aware broadcast), one
+    equi-join, then native higher-order filter/transform over the
+    per-host rule array with the path materialized as a named column
+    first.  The precedence fold is an integer ``array_max`` over the
+    encoded (2·len + allow) scores — no struct ordering, no second
+    pass, no Python.
+
+    Output: (url, host, n_match, best_pattern, allowed).
+    """
+    from .scale import maybe_broadcast, plan_size_bytes
+
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("rx", "pattern", "score")).alias("_rl")
+    )
+    small = maybe_broadcast(per_host, bound_bytes=plan_size_bytes(rules))
+    base = pages.select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^https?://[^/]+(/.*)$", 1).alias("_path"),
+    )
+    empty = F.array().cast(
+        "array<struct<rx:string,pattern:string,score:int>>"
+    )
+    joined = base.join(small, "host", "left").withColumn(
+        "_hits",
+        F.filter(
+            F.coalesce(F.col("_rl"), empty),
+            lambda r: F.regexp_like(F.col("_path"), r.rx),
+        ),
+    ).withColumn(
+        "_best",
+        F.array_max(F.transform(F.col("_hits"), lambda r: r.score)),
+    )
+    # unique (host, score) by construction (asserted in the rules
+    # builder), so this filter yields exactly one element and the
+    # collect_list order never matters; try_element_at is NULL-safe
+    # under ANSI for the no-match row
+    best_pat = F.try_element_at(
+        F.filter(
+            F.col("_hits"), lambda r: r.score == F.col("_best")
+        ),
+        F.lit(1),
+    ).pattern
+    return joined.select(
+        "url", "host",
+        F.size("_hits").cast("long").alias("n_match"),
+        F.when(F.size("_hits") > 0, best_pat).alias("best_pattern"),
+        (
+            (F.size("_hits") == 0) | (F.col("_best") % 2 == 1)
+        ).alias("allowed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # host-graph rollup
 # ---------------------------------------------------------------------------

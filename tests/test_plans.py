@@ -617,3 +617,15 @@ def test_index_shard_balance_argmax_is_native(spark):
     # exactly ONE Generate: the token explode; the shard argmax must
     # not add another
     assert plan.count("Generate explode") == 1
+
+
+def test_robots_rfc9309_is_broadcast_array_eval(spark):
+    """Per-host rule arrays join broadcast (bounded control relation);
+    the wildcard evaluation is a native higher-order filter — no
+    per-rule row fan-out (single Generate-free page side), no Python."""
+    from igtdetect_spark.entry_queries import q_robots_rfc9309
+
+    plan = _plan(q_robots_rfc9309(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

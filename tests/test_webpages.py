@@ -2840,3 +2840,51 @@ class TestIndexShardBalance:
         exp = Counter(shard(t) for t in ("aa", "bb", "cc", "dd"))
         got = {r["shard"]: r["n_terms"] for r in out}
         assert got == dict(exp)
+
+
+class TestRobotsRfc9309:
+    """Wildcard/anchor patterns + longest-match precedence."""
+
+    def test_spec_features_on_planted_paths(self, spark):
+        from igtdetect_spark.operators.webpages import (
+            rfc9309_rules_df,
+            robots_rfc9309,
+        )
+
+        urls = [
+            "https://site0.example.org/p/7",    # *7 disallow
+            "https://site0.example.org/p/77",   # *77 allow wins (longer)
+            "https://site0.example.org/p/177",  # both match → allow
+            "https://site1.example.org/p/12",   # /p/12$ allow beats /p/1*
+            "https://site1.example.org/p/120",  # $ anchor misses → disallow
+            "https://site2.example.org/p/5",    # Allow /p/ beats Disallow /
+            "https://site2.example.org/p/91",   # /p/9* longest → disallow
+            "https://site3.example.org/p/13",   # *3$ disallow
+            "https://site3.example.org/p/130",  # anchor misses → no match
+            "https://nowhere.example.net/p/1",  # unknown host → allowed
+        ]
+        pages = spark.createDataFrame(
+            [(u, bytearray(b"<html></html>")) for u in urls],
+            "url string, html binary",
+        )
+        got = {r["url"]: r for r in robots_rfc9309(
+            pages, rfc9309_rules_df(spark)).collect()}
+
+        def check(u, allowed, best=None, n=None):
+            r = got[u]
+            assert r["allowed"] == allowed, (u, dict(r.asDict()))
+            if best is not None:
+                assert r["best_pattern"] == best, (u, r["best_pattern"])
+            if n is not None:
+                assert r["n_match"] == n
+
+        check("https://site0.example.org/p/7", False, "/p/*7", 1)
+        check("https://site0.example.org/p/77", True, "/p/*77", 2)
+        check("https://site0.example.org/p/177", True, "/p/*77", 2)
+        check("https://site1.example.org/p/12", True, "/p/12$", 2)
+        check("https://site1.example.org/p/120", False, "/p/1*", 1)
+        check("https://site2.example.org/p/5", True, "/p/", 2)
+        check("https://site2.example.org/p/91", False, "/p/9*", 3)
+        check("https://site3.example.org/p/13", False, "/p/*3$", 1)
+        check("https://site3.example.org/p/130", True, None, 0)
+        check("https://nowhere.example.net/p/1", True, None, 0)
