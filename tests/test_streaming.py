@@ -747,3 +747,93 @@ def test_streaming_snapshot_merge_matches_batch(spark, tmp_path_factory):
 
     got = {r[0]: (r[1], r[2], r[3], r[4]) for r in state["df"]}
     assert got == want
+
+
+def test_streaming_trending_terms_matches_batch_closed_windows(
+    spark, tmp_path_factory
+):
+    """The hopping-window term counts a stream emits (append mode —
+    only watermark-closed windows) must equal the batch computation of
+    the same expression over the same rows, restricted to windows the
+    final watermark closed; a too-late arrival is dropped by the
+    engine and must NOT appear in its already-closed window."""
+    from datetime import datetime
+
+    from igtdetect_spark.streaming.trending import trending_terms_stream
+
+    def row(minute, text):
+        return (f"u{minute}", datetime(2024, 1, 1, minute // 60,
+                                       minute % 60), text)
+
+    phase1 = [
+        [row(0, "spark rules spark"), row(4, "spark joins")],
+        [row(11, "rules alone"), row(14, "spark rules")],
+        # watermark jumps far ahead: every window over minutes 0-14
+        # closes when this run finishes
+        [row(60, "later words")],
+    ]
+    phase2 = [
+        # too late: minute 2 is 48 min behind the persisted 50-min
+        # watermark (horizon 10 min) — dropped, must not resurrect the
+        # already-emitted 0-10 windows
+        [row(2, "spark spark spark")],
+        [row(120, "closer words")],
+    ]
+    src = str(tmp_path_factory.mktemp("trend_src"))
+    schema = "url string, warc_ts timestamp, text string"
+    out = str(tmp_path_factory.mktemp("trend_out"))
+    ckpt = str(tmp_path_factory.mktemp("trend_ckpt"))
+
+    def run(files, base):
+        for i, rows in enumerate(files):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/f{base + i}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+        )
+        q = (
+            trending_terms_stream(stream, min_count=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # two sequential runs over ONE checkpoint: the watermark (50 min
+    # after phase 1) is persisted state, so phase 2's late replay is
+    # dropped regardless of intra-run file ordering
+    run(phase1, 0)
+    run(phase2, len(phase1))
+    files = phase1 + phase2
+
+    got = {
+        (r["window_start"], r["window_end"], r["term"]): r["n"]
+        for r in spark.read.schema(
+            "window_start timestamp, window_end timestamp, "
+            "term string, n long"
+        ).parquet(out).collect()
+    }
+
+    # batch reference over the NON-late rows (the engine dropped the
+    # minute-2 replay), restricted to windows closed by the final
+    # watermark (120 - 10 = minute 110)
+    batch_rows = [r for f in files for r in f][:-2] + [files[-1][0]]
+    batch_rows = [r for r in batch_rows if r[0] != "u2"]
+    batch = trending_terms_stream(
+        spark.createDataFrame(batch_rows, schema), min_count=2
+    )
+    wm = datetime(2024, 1, 1, 1, 50)
+    exp = {
+        (r["window_start"], r["window_end"], r["term"]): r["n"]
+        for r in batch.collect()
+        if r["window_end"] <= wm
+    }
+    assert got == exp
+    # the planted signal: 'spark' trends in both hops covering 0-14
+    n_spark = [n for (s, e, t), n in got.items() if t == "spark"]
+    assert n_spark and max(n_spark) >= 3
