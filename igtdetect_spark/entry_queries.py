@@ -6071,6 +6071,44 @@ FROM deg LEFT JOIN per_node p ON p.id = deg.id""",
     ])
 
 
+def q_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-bucketed local clustering coefficients — the web-graph
+    summary statistic on top of the triangle kernel: per node
+    ``cc_e6 = (2T·10⁶) div (d·(d−1))`` (integer-exact), then per
+    degree the node count and the integral mean — one extra aggregate
+    over :func:`triangle_counts`' output, nothing new shuffles."""
+    from .operators.webpages import synthetic_linked_pages, triangle_counts
+
+    tri = triangle_counts(
+        synthetic_linked_pages(
+            _t(spark, sf_dir, "documents"), targets_mod=48
+        )
+    )
+    per_node = tri.filter(F.col("degree") >= 2).select(
+        "degree",
+        F.expr(
+            "(2 * triangles * 1000000L) div (degree * (degree - 1))"
+        ).alias("cc_e6"),
+    )
+    return per_node.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(cc_e6) div count(1)").alias("mean_cc_e6"),
+    )
+
+
+def _sql_clustering_coeffs(mod: int = 48) -> str:
+    return f"""
+WITH tri_out AS ({_sql_triangle_count(mod)}),
+per_node AS (
+  SELECT degree,
+         (2 * triangles * 1000000) // (degree * (degree - 1)) AS cc_e6
+  FROM tri_out WHERE degree >= 2)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(cc_e6) // COUNT(*) AS BIGINT) AS mean_cc_e6
+FROM per_node GROUP BY degree
+"""
+
+
 def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-based harmonic closeness: ONE multi-source reverse BFS
     from a constant-size landmark set (hop distance page → landmark),
@@ -6619,6 +6657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_hosts": q_crawl_trap_hosts,
         "index_shard_balance": q_index_shard_balance,
         "robots_rfc9309": q_robots_rfc9309,
+        "clustering_coeffs": q_clustering_coeffs,
     }
 
 
@@ -6746,6 +6785,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trap_hosts": _sql_crawl_trap_hosts(),
         "index_shard_balance": _sql_index_shard_balance(),
         "robots_rfc9309": _sql_robots_rfc9309(),
+        "clustering_coeffs": _sql_clustering_coeffs(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

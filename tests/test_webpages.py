@@ -2888,3 +2888,25 @@ class TestRobotsRfc9309:
         check("https://site3.example.org/p/13", False, "/p/*3$", 1)
         check("https://site3.example.org/p/130", True, None, 0)
         check("https://nowhere.example.net/p/1", True, None, 0)
+
+
+class TestClusteringCoeffs:
+    """Integer clustering coefficient over the triangle kernel."""
+
+    def test_clique_values(self, spark):
+        from igtdetect_spark.entry_queries import q_clustering_coeffs
+        from igtdetect_spark.operators.webpages import triangle_counts
+
+        # K4 + pendant (see TestTriangleCounts): clique nodes of
+        # degree 3 have cc = 2·3/(3·2) = 1; node 0 (degree 4, 3
+        # triangles) has cc = 6/12 = 0.5; pendant (degree 1) excluded
+        edges = [(i, j) for i in range(4) for j in range(4) if i < j]
+        edges.append((4, 0))
+        tri = triangle_counts(_planted_pages(spark, edges, 5))
+        per = tri.filter("degree >= 2").selectExpr(
+            "degree",
+            "(2 * triangles * 1000000L) div (degree * (degree - 1))"
+            " AS cc_e6",
+        ).collect()
+        got = {(r["degree"], r["cc_e6"]) for r in per}
+        assert got == {(3, 1_000_000), (4, 500_000)}
