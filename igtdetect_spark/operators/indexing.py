@@ -90,7 +90,13 @@ def bm25_topk(
     Output: (query_id, rank, doc_id, matched_terms, score_e6),
     ``rank ≤ top_k`` per query by (score desc, doc_id).
     """
-    tf = term_frequencies(docs)
+    # tf is consumed by THREE branches (query hits, doc lengths, df):
+    # unpersisted, each one re-tokenizes the whole corpus — measured
+    # 3× the index-build wall at scale.  In production BM25 reads the
+    # PREBUILT index; for the self-contained query the persist plays
+    # that role (MEMORY_AND_DISK, released by the caller via
+    # release_plan_caches).
+    tf = term_frequencies(docs).persist()
     qt = F.broadcast(queries)
     hits = tf.join(qt, "term")
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -130,7 +136,7 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_e6"), F.col("doc_id")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(
@@ -141,6 +147,10 @@ def bm25_topk(
             F.col("score_e6").cast("long").alias("score_e6"),
         )
     )
+    from .dedup import attach_plan_cache
+
+    attach_plan_cache(out, tf)
+    return out
 
 
 def postings_gap_stats(
@@ -225,7 +235,8 @@ def search_rank_fusion(
     """
     from .text_analysis import quality_scores
 
-    cands = bm25_topk(docs, queries, top_k=candidates).select(
+    bm = bm25_topk(docs, queries, top_k=candidates)
+    cands = bm.select(
         "query_id", "doc_id", F.col("rank").alias("text_rank")
     )
     qual = quality_scores(docs).select(
@@ -253,7 +264,7 @@ def search_rank_fusion(
     final_w = Window.partitionBy("query_id").orderBy(
         F.desc("rrf_e6"), F.col("doc_id")
     )
-    return (
+    out = (
         scored.withColumn(
             "final_rank", F.row_number().over(final_w).cast("long")
         )
@@ -263,6 +274,13 @@ def search_rank_fusion(
             "text_rank", "prior_rank", "rrf_e6",
         )
     )
+    # carry bm25's persisted tf handle to THIS output (handles attach
+    # to DataFrame objects, not plans — bm's object is discarded here)
+    from .dedup import attach_plan_cache
+
+    for h in getattr(bm, "_plan_cache_handles", []):
+        attach_plan_cache(out, h)
+    return out
 
 
 def index_shard_balance(docs: DataFrame, n_shards: int = 8) -> DataFrame:
