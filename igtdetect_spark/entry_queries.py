@@ -6477,6 +6477,85 @@ FROM sh GROUP BY shard
 """)
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the Iceberg
+    ``rewrite_data_files`` bin-packing step — the table-maintenance
+    job every 10¹²-row table needs or its manifests drown in kilobyte
+    files): greedy size-ordered-by-id packing of data files into
+    target-size rewrite groups, WITHIN each partition.
+
+    Deterministic integer formulation both engines compute
+    identically: per partition, files in file_id order; a file's group
+    is ``exclusive_prefix_sum(bytes) div target`` — a file larger than
+    the target spills its group boundary naturally and oversized
+    files end up alone, greedy-first-fit semantics without any
+    iterative loop.
+
+    Scale shape: this runs over FILE METADATA (one row per data file —
+    a manifest-sized relation, millions of rows at 100 TB, not
+    billions), one window partitioned by the table partition key (the
+    unit a rewrite job actually locks), one aggregate to the plan
+    grain. The file relation is synthesized from the documents table
+    (file ≈ doc, partition ≈ source, bytes ≈ text octets + format
+    overhead).
+
+    Output: (part, group_id, n_files, group_bytes, first_file,
+    last_file) — one row per rewrite task.
+    """
+    target = 64 * 1024  # rewrite-group target bytes at sf scale
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        (
+            F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+            + F.lit(512)
+        ).cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = files.withColumn(
+        "_cum", F.sum("bytes").over(w)  # exclusive prefix (ends at -1)
+    ).select(
+        "part",
+        "file_id",
+        "bytes",
+        F.expr(f"coalesce(_cum, 0L) div {target}L").alias("group_id"),
+    )
+    return grouped.groupBy("part", "group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("group_bytes"),
+        F.min("file_id").cast("long").alias("first_file"),
+        F.max("file_id").cast("long").alias("last_file"),
+    )
+
+
+def _sql_compaction_plan(target: int = 64 * 1024) -> str:
+    return f"""
+WITH files AS (
+  SELECT source AS part, doc_id AS file_id,
+         CAST(octet_length(encode(coalesce(text, ''))) + 512
+              AS BIGINT) AS bytes
+  FROM documents),
+grouped AS (
+  SELECT part, file_id, bytes,
+         CAST(coalesce(SUM(bytes) OVER (
+            PARTITION BY part ORDER BY file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {target} AS BIGINT) AS group_id
+  FROM files)
+SELECT part, group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+       CAST(MIN(file_id) AS BIGINT) AS first_file,
+       CAST(MAX(file_id) AS BIGINT) AS last_file
+FROM grouped GROUP BY part, group_id
+"""
+
+
 def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full RFC 9309 robots matching — wildcard/anchored patterns,
     longest-pattern precedence with Allow winning length ties —
@@ -6658,6 +6737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_shard_balance": q_index_shard_balance,
         "robots_rfc9309": q_robots_rfc9309,
         "clustering_coeffs": q_clustering_coeffs,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -6786,6 +6866,7 @@ def oracle_sql() -> dict[str, str]:
         "index_shard_balance": _sql_index_shard_balance(),
         "robots_rfc9309": _sql_robots_rfc9309(),
         "clustering_coeffs": _sql_clustering_coeffs(),
+        "compaction_plan": _sql_compaction_plan(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

@@ -1551,3 +1551,42 @@ class TestInvertedIndex:
         # group-by must reuse the window's term partitioning, so at
         # most 2 data exchanges appear.
         assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+class TestCompactionPlan:
+    """Greedy prefix-sum bin packing invariants."""
+
+    def test_oversize_file_isolates_and_groups_fill(self, spark, tmp_path):
+        import igtdetect_spark.entry_queries as eq
+
+        # reuse the query over a tiny planted documents table
+        docs = spark.createDataFrame(
+            [
+                # part a: three 30k files -> exclusive prefix 0/30k/60k
+                # with 512B overhead -> groups 0,0,0? target 64k:
+                # prefixes 0, 30512, 61024 -> 0,0,0 then file 4 prefix
+                # 91536 -> group 1
+                (0, "a", "x" * 30_000),
+                (1, "a", "y" * 30_000),
+                (2, "a", "z" * 30_000),
+                (3, "a", "w" * 30_000),
+                # part b: one oversized 200k file then a small one:
+                # small file's prefix jumps past 3 targets -> group 3
+                (10, "b", "q" * 200_000),
+                (11, "b", "r" * 100),
+            ],
+            "doc_id long, source string, text string",
+        )
+        sf = str(tmp_path)
+        docs.write.parquet(f"{sf}/documents.parquet")
+        got = {(r["part"], r["group_id"]): r
+               for r in eq.q_compaction_plan(spark, sf).collect()}
+        a0 = got[("a", 0)]
+        assert (a0["n_files"], a0["first_file"], a0["last_file"]) == (
+            3, 0, 2)
+        assert got[("a", 1)]["n_files"] == 1
+        assert got[("b", 0)]["n_files"] == 1          # oversize alone
+        assert got[("b", 0)]["group_bytes"] == 200_512
+        assert got[("b", 3)]["first_file"] == 11      # jumped groups
+        # conservation: every file in exactly one group
+        assert sum(r["n_files"] for r in got.values()) == 6
