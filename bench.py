@@ -122,7 +122,7 @@ def main():
         "triangle_count", "landmark_closeness", "bm25_rank",
         "postings_stats", "search_rank_fusion", "dust_rules",
         "crawl_trap_hosts", "index_shard_balance", "robots_rfc9309",
-        "clustering_coeffs", "compaction_plan",
+        "clustering_coeffs", "compaction_plan", "hard_negatives",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

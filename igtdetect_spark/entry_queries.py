@@ -1450,6 +1450,50 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the top-5 most-cosine-similar vectors of a DIFFERENT
+    label — the near-miss negatives that carry the gradient; same
+    broadcast-query brute-force baseline as ann_cosine_topk with the
+    label exclusion applied before ranking."""
+    from .operators.similarity import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5
+    )
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(label AS BIGINT) AS query_label,
+         embedding AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+         CAST(e.label AS BIGINT) AS neighbor_label,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+  FROM q, embeddings e WHERE CAST(e.label AS BIGINT) != q.query_label
+),
+r AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         CAST(floor(sim * 1e6) AS BIGINT) AS cos_sim_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor(sim * 1e6) DESC, neighbor_id)
+           AS rank
+  FROM s
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       CAST(rank AS INT) AS rank, cos_sim_e6
+FROM r WHERE rank <= 5
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN. The hyperplanes are deterministic (seeded numpy),
     so the oracle inlines them as SQL double literals and reproduces the
@@ -6738,6 +6782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc9309": q_robots_rfc9309,
         "clustering_coeffs": q_clustering_coeffs,
         "compaction_plan": q_compaction_plan,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -6867,6 +6912,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rfc9309": _sql_robots_rfc9309(),
         "clustering_coeffs": _sql_clustering_coeffs(),
         "compaction_plan": _sql_compaction_plan(),
+        "hard_negatives": SQL_HARD_NEGATIVES,
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

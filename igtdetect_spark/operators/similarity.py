@@ -71,6 +71,67 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the top-k most-similar vectors whose LABEL
+    differs — the semantically-close-but-wrong examples a contrastive
+    loss learns most from (random negatives are trivially separable;
+    the near-misses carry the gradient).
+
+    Shape: identical to :func:`cosine_topk` — the bounded query side
+    broadcasts against the corpus (exact brute-force baseline; swap in
+    :func:`lsh_bucketed_ann` / :func:`ivf_ann` candidates for the
+    10¹²-vector path, then apply the same label-exclusion rescore) —
+    plus the label inequality applied BEFORE ranking, so positives
+    never occupy candidate slots.  Similarity floored to e6 for
+    engine-stable comparison; ties break on neighbor id.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    rank, cos_sim_e6).
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("neighbor_label"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    queries = emb.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("neighbor_label").alias("query_label"),
+        F.col("_v").alias("_q"),
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("neighbor_label") != F.col("query_label")
+    )
+    sim = _dot(F.col("_q"), F.col("_v")) / (
+        _norm(F.col("_q")) * _norm(F.col("_v"))
+    )
+    scored = joined.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_e6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id",
+            "neighbor_label", "rank", "cos_sim_e6",
+        )
+    )
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,

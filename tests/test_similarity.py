@@ -298,3 +298,29 @@ class TestSemDedup:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestHardNegatives:
+    """Label-excluded nearest neighbors."""
+
+    def test_positives_never_rank_and_order_is_by_sim(self, spark):
+        from igtdetect_spark.operators.similarity import hard_negatives
+
+        # query 0 (label 1): vec 1 is its near-duplicate SAME-label
+        # positive and must never appear; vec 2 (opposite label, close)
+        # must outrank vec 3 (opposite label, orthogonal-ish)
+        rows = [
+            (0, [1.0, 0.0, 0.0], 1),
+            (1, [0.99, 0.1, 0.0], 1),    # positive — excluded
+            (2, [0.9, 0.2, 0.0], 2),     # hard negative
+            (3, [0.0, 1.0, 0.0], 2),     # easy negative
+            (4, [0.8, 0.0, 0.1], 1),     # same label — excluded
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        got = hard_negatives(emb, query_ids=[0], k=5).collect()
+        ids = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])]
+        assert ids == [2, 3]
+        assert all(r["neighbor_label"] != r["query_label"] for r in got)
+        assert got[0]["query_label"] == 1
