@@ -6600,6 +6600,67 @@ FROM grouped GROUP BY part, group_id
 """
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption sample prep: deterministic block-hash
+    masking (18.75% of tokens in mean-3 spans), gaps-and-islands span
+    assembly, ordinal sentinels interleaved into the input and paired
+    with span content in the target — all native expressions."""
+    from .operators.cleaning import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
+def _sql_span_corruption(
+    block_tokens: int = 3, mask_nibbles: int = 3
+) -> str:
+    return ("WITH " + _SQL_CLEAN_TOKS + f""",
+raw2 AS (
+  SELECT doc_id, unnest(tk) AS tok,
+         CAST(unnest(range(1, len(tk) + 1)) AS BIGINT) AS i
+  FROM toks),
+toks2 AS (
+  SELECT doc_id, i, tok,
+         (strpos('0123456789abcdef',
+            substring(md5(doc_id || ':' ||
+              CAST((i - 1) // {block_tokens} AS VARCHAR)), 1, 1)) - 1)
+           < {mask_nibbles} AS masked
+  FROM raw2),
+m AS (
+  SELECT doc_id, i, tok,
+         i - row_number() OVER (
+           PARTITION BY doc_id ORDER BY i) AS island
+  FROM toks2 WHERE masked),
+spans AS (
+  SELECT doc_id, island, MIN(i) AS first_i,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         string_agg(tok, ' ' ORDER BY i) AS content
+  FROM m GROUP BY doc_id, island),
+spans2 AS (
+  SELECT doc_id, first_i, n, content,
+         '<extra_id_' || CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY first_i) - 1 AS VARCHAR)
+           || '>' AS sentinel
+  FROM spans),
+input_rows AS (
+  SELECT doc_id, i, tok FROM toks2 WHERE NOT masked
+  UNION ALL
+  SELECT doc_id, first_i AS i, sentinel AS tok FROM spans2),
+inputs AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS inputs
+  FROM input_rows GROUP BY doc_id),
+targets AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(n) AS BIGINT) AS masked_tokens,
+         string_agg(sentinel || ' ' || content, ' '
+                    ORDER BY first_i) AS targets
+  FROM spans2 GROUP BY doc_id)
+SELECT i.doc_id, coalesce(t.n_spans, 0) AS n_spans,
+       coalesce(t.masked_tokens, 0) AS masked_tokens,
+       i.inputs, coalesce(t.targets, '') AS targets
+FROM inputs i LEFT JOIN targets t ON t.doc_id = i.doc_id
+""")
+
+
 def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full RFC 9309 robots matching — wildcard/anchored patterns,
     longest-pattern precedence with Allow winning length ties —
@@ -6783,6 +6844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeffs": q_clustering_coeffs,
         "compaction_plan": q_compaction_plan,
         "hard_negatives": q_hard_negatives,
+        "span_corruption": q_span_corruption,
     }
 
 
@@ -6913,6 +6975,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeffs": _sql_clustering_coeffs(),
         "compaction_plan": _sql_compaction_plan(),
         "hard_negatives": SQL_HARD_NEGATIVES,
+        "span_corruption": _sql_span_corruption(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

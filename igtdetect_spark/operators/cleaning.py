@@ -262,3 +262,120 @@ def pii_redact(docs: DataFrame, id_col: str = "doc_id",
         .cast("long")
         .alias("n_ips"),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    block_tokens: int = 3,
+    mask_nibbles: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption sample prep (Raffel et al. 2020):
+    mask token spans, replace each with an ordinal sentinel in the
+    INPUT, and emit sentinel+content pairs as the TARGET — the
+    denoising objective's data layout, built entirely from native
+    expressions.
+
+    Determinism instead of RNG (cross-engine bit-exactness): tokens
+    are grouped into fixed ``block_tokens``-token blocks and a whole
+    block masks iff ``md5(doc:block)``'s first nibble <
+    ``mask_nibbles`` (3/16 ≈ 18.75% of tokens, spans of mean length
+    ``block_tokens`` that naturally merge when adjacent blocks both
+    mask — the same span-length/mask-rate shape as the sampled
+    original, reproducible on any engine).  The closing no-content
+    sentinel T5 appends is omitted (disclosed; it is a constant the
+    tokenizer layer can add).
+
+    Scale shape: one token flat map, gaps-and-islands over the masked
+    tokens (one window pass partitioned by doc), one per-doc
+    assembly aggregate — the sort_array(collect_list(struct(i, tok)))
+    ordered-assembly idiom every sink here uses.  No Python, no
+    join against anything corpus-global.
+
+    Output: (doc_id, n_spans, masked_tokens, inputs, targets).
+    """
+    from pyspark.sql import Window
+
+    tk = tokenized(docs, id_col=id_col, text_col=text_col)
+    toks = tk.select(
+        "doc_id", F.posexplode("tk").alias("_p", "tok")
+    ).select(
+        "doc_id",
+        (F.col("_p") + 1).alias("i"),
+        "tok",
+        F.expr(
+            f"cast(conv(substring(md5(concat(doc_id, ':', "
+            f"_p div {block_tokens})), 1, 1), 16, 10) as int) "
+            f"< {mask_nibbles}"
+        ).alias("masked"),
+    )
+    mw = Window.partitionBy("doc_id").orderBy("i")
+    m = toks.filter("masked").withColumn(
+        "_island", F.col("i") - F.row_number().over(mw)
+    )
+    spans = m.groupBy("doc_id", "_island").agg(
+        F.min("i").alias("first_i"),
+        F.count(F.lit(1)).alias("_n"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("_content"),
+    ).withColumn(
+        "_ord",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("first_i")
+        ) - 1,
+    ).withColumn(
+        "_sentinel",
+        F.concat(F.lit("<extra_id_"), F.col("_ord"), F.lit(">")),
+    )
+    input_rows = toks.filter(~F.col("masked")).select(
+        "doc_id", "i", "tok"
+    ).unionByName(
+        spans.select(
+            "doc_id",
+            F.col("first_i").alias("i"),
+            F.col("_sentinel").alias("tok"),
+        )
+    )
+    inputs = input_rows.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("inputs"),
+    )
+    targets = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("_n").cast("long").alias("masked_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "first_i",
+                            F.concat_ws(
+                                " ", "_sentinel", "_content"
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s.t,
+            ),
+            " ",
+        ).alias("targets"),
+    )
+    return inputs.join(targets, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("masked_tokens", F.lit(0)).cast("long")
+        .alias("masked_tokens"),
+        "inputs",
+        F.coalesce("targets", F.lit("")).alias("targets"),
+    )

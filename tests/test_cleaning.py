@@ -526,3 +526,57 @@ class TestBlocklistFilter:
         assert "ArrowEvalPython" not in plan, plan
         # the token array is a named column: tokenizer appears ONCE
         assert plan.count("regexp_replace") <= 2, plan
+
+
+class TestSpanCorruption:
+    """T5 denoising layout invariants."""
+
+    def test_reconstruction_and_rates(self, spark):
+        import re
+
+        from igtdetect_spark.operators.cleaning import span_corruption
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}t{j}" for j in range(40)))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        rows = span_corruption(docs).collect()
+        assert len(rows) == 20
+        total_masked = sum(r["masked_tokens"] for r in rows)
+        assert 0 < total_masked < 800  # some masking, never all
+
+        for r in rows:
+            # targets carry one sentinel per span, in order
+            sentinels = re.findall(r"<extra_id_(\d+)>", r["targets"])
+            assert [int(s) for s in sentinels] == list(
+                range(r["n_spans"])
+            )
+            # RECONSTRUCTION: substituting each sentinel in the input
+            # with its target span rebuilds the original token stream
+            parts = re.split(r"<extra_id_\d+> ?", r["targets"])[1:]
+            rebuilt = r["inputs"]
+            for k, content in enumerate(parts):
+                rebuilt = rebuilt.replace(
+                    f"<extra_id_{k}>", content.strip(), 1
+                )
+            original = " ".join(
+                f"w{r['doc_id']}t{j}" for j in range(40)
+            )
+            assert rebuilt == original, r["doc_id"]
+
+    def test_unmasked_doc_passes_through(self, spark):
+        from igtdetect_spark.operators.cleaning import span_corruption
+
+        # single-token docs: token block 0 masks only when the doc:0
+        # hash nibble < 3 — find one that doesn't and pin pass-through
+        docs = spark.createDataFrame(
+            [(i, "solo") for i in range(8)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in span_corruption(docs).collect()}
+        passthrough = [r for r in rows.values() if r["n_spans"] == 0]
+        assert passthrough, "expected at least one unmasked doc"
+        for r in passthrough:
+            assert r["inputs"] == "solo" and r["targets"] == ""
+            assert r["masked_tokens"] == 0
