@@ -298,6 +298,11 @@ def span_corruption(
     from pyspark.sql import Window
 
     tk = tokenized(docs, id_col=id_col, text_col=text_col)
+    # toks feeds the masked branch AND the unmasked input rows; spans
+    # feeds the input interleave AND the target assembly — persist
+    # both or each consumer re-runs the per-token md5 flat map
+    # (2-3× the whole job, measured at ×64 scale).  Handles released
+    # by the caller via release_plan_caches.
     toks = tk.select(
         "doc_id", F.posexplode("tk").alias("_p", "tok")
     ).select(
@@ -309,7 +314,7 @@ def span_corruption(
             f"_p div {block_tokens})), 1, 1), 16, 10) as int) "
             f"< {mask_nibbles}"
         ).alias("masked"),
-    )
+    ).persist()
     mw = Window.partitionBy("doc_id").orderBy("i")
     m = toks.filter("masked").withColumn(
         "_island", F.col("i") - F.row_number().over(mw)
@@ -332,7 +337,7 @@ def span_corruption(
     ).withColumn(
         "_sentinel",
         F.concat(F.lit("<extra_id_"), F.col("_ord"), F.lit(">")),
-    )
+    ).persist()
     input_rows = toks.filter(~F.col("masked")).select(
         "doc_id", "i", "tok"
     ).unionByName(
@@ -371,7 +376,7 @@ def span_corruption(
             " ",
         ).alias("targets"),
     )
-    return inputs.join(targets, "doc_id", "left").select(
+    out = inputs.join(targets, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce("masked_tokens", F.lit(0)).cast("long")
@@ -379,3 +384,8 @@ def span_corruption(
         "inputs",
         F.coalesce("targets", F.lit("")).alias("targets"),
     )
+    from .dedup import attach_plan_cache
+
+    for h in (toks, spans):
+        attach_plan_cache(out, h)
+    return out
