@@ -6600,6 +6600,115 @@ FROM grouped GROUP BY part, group_id
 """
 
 
+def q_revisit_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record export (CC's archive-side dedup): fetches
+    whose payload digest matches the previous crawl's digest store
+    emit ``WARC-Type: revisit`` records with EMPTY payload +
+    Refers-To provenance; new urls and changed content emit full
+    responses. One url equi-join + native render; parsed BACK through
+    parse_warc with the revisit headers recovered in the same pass."""
+    from .operators.webpages import _page_url
+    from .sources.warc import (
+        parse_warc,
+        revisit_records,
+        synthetic_digest_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fetches = docs.select(
+        "doc_id", _page_url(F.col("doc_id")).alias("url"), "text"
+    )
+    rec = revisit_records(fetches, synthetic_digest_store(docs))
+    return parse_warc(
+        rec,
+        extra_headers=(
+            "WARC-Refers-To", "WARC-Refers-To-Date", "WARC-Profile"
+        ),
+    )
+
+
+def _sql_revisit_export() -> str:
+    url = _SQL_PAGE_URL.format(x="doc_id")
+    crlf = "chr(13) || chr(10)"
+    return f"""
+WITH h AS (
+  SELECT doc_id, coalesce(text, '') AS cur,
+         {url} AS url,
+         (strpos('0123456789abcdef',
+            substring(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) AS nib5,
+         (strpos('0123456789abcdef',
+            substring(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) AS nib6
+  FROM documents),
+store AS (
+  SELECT url,
+         CASE WHEN nib6 % 2 = 0 THEN md5(cur)
+              ELSE md5(cur || ' [stale revision]') END AS seen_md5,
+         '<urn:md5:' || md5(CAST(doc_id AS VARCHAR) || ':prev')
+           || '>' AS orig_id,
+         1735603200 + (doc_id * 7919) % 8640000 AS orig_ts
+  FROM h WHERE nib5 % 2 = 0),
+j AS (
+  SELECT f.doc_id, f.url, f.cur,
+         s.seen_md5, s.orig_id, s.orig_ts,
+         s.seen_md5 IS NOT NULL AND s.seen_md5 = md5(f.cur)
+           AS is_revisit
+  FROM h f LEFT JOIN store s ON s.url = f.url),
+rec AS (
+  SELECT 'WARC/1.0' || {crlf}
+    || 'WARC-Type: '
+    || CASE WHEN is_revisit THEN 'revisit' ELSE 'response' END
+    || {crlf}
+    || 'WARC-Target-URI: ' || url || {crlf}
+    || 'WARC-Date: '
+    || strftime(make_timestamp(
+         (1735689600 + (doc_id * 7919) % 8640000) * 1000000),
+         '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+    || 'WARC-Record-ID: <urn:md5:'
+    || md5(CAST(doc_id AS VARCHAR)) || '>' || {crlf}
+    || CASE WHEN is_revisit THEN
+         'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/'
+         || 'identical-payload-digest' || {crlf}
+         || 'WARC-Refers-To: ' || orig_id || {crlf}
+         || 'WARC-Refers-To-Date: '
+         || strftime(make_timestamp(orig_ts * 1000000),
+                     '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+         || 'WARC-Payload-Digest: md5:' || seen_md5 || {crlf}
+       ELSE '' END
+    || 'Content-Type: application/http; msgtype=response' || {crlf}
+    || 'Content-Length: '
+    || CAST(octet_length(encode(
+         CASE WHEN is_revisit THEN '' ELSE cur END)) AS VARCHAR)
+    || {crlf} || {crlf}
+    || CASE WHEN is_revisit THEN '' ELSE cur END AS s
+  FROM j),
+sp AS (
+  SELECT substring(s, 1, strpos(s, chr(13)||chr(10)||chr(13)||chr(10))
+                   - 1) AS head,
+         substring(s, strpos(s, chr(13)||chr(10)||chr(13)||chr(10))
+                   + 4) AS payload
+  FROM rec)
+SELECT regexp_extract(head, 'WARC-Target-URI: ([^\r]+)', 1) AS url,
+       regexp_extract(head, 'WARC-Type: ([^\r]+)', 1) AS warc_type,
+       CAST(epoch(strptime(
+         regexp_extract(head, 'WARC-Date: ([^\r]+)', 1),
+         '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS warc_date_ts,
+       CAST(regexp_extract(head, 'Content-Length: ([^\r]+)', 1)
+            AS BIGINT) AS content_length,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_octets,
+       md5(payload) AS payload_md5,
+       regexp_extract(head, 'WARC-Refers-To: ([^\r]+)', 1)
+         AS warc_refers_to,
+       regexp_extract(head, 'WARC-Refers-To-Date: ([^\r]+)', 1)
+         AS warc_refers_to_date,
+       regexp_extract(head, 'WARC-Profile: ([^\r]+)', 1)
+         AS warc_profile,
+       octet_length(encode(payload)) = CAST(
+         regexp_extract(head, 'Content-Length: ([^\r]+)', 1) AS BIGINT)
+         AS length_ok
+FROM sp
+"""
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span-corruption sample prep: deterministic block-hash
     masking (18.75% of tokens in mean-3 spans), gaps-and-islands span
@@ -6845,6 +6954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "hard_negatives": q_hard_negatives,
         "span_corruption": q_span_corruption,
+        "revisit_export": q_revisit_export,
     }
 
 
@@ -6976,6 +7086,7 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": _sql_compaction_plan(),
         "hard_negatives": SQL_HARD_NEGATIVES,
         "span_corruption": _sql_span_corruption(),
+        "revisit_export": _sql_revisit_export(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

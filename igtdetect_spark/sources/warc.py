@@ -77,7 +77,11 @@ def synthetic_warc_records(
     )
 
 
-def parse_warc(records: DataFrame, with_payload: bool = False) -> DataFrame:
+def parse_warc(
+    records: DataFrame,
+    with_payload: bool = False,
+    extra_headers: tuple = (),
+) -> DataFrame:
     """Split WARC records back into typed columns + payload integrity
     evidence.
 
@@ -95,6 +99,10 @@ def parse_warc(records: DataFrame, with_payload: bool = False) -> DataFrame:
     payload bytes themselves. ``with_payload=True`` additionally keeps
     the recovered ``payload`` string so downstream stages (HTTP split,
     content extraction) can chain without re-cutting the record.
+    ``extra_headers`` recovers additional named headers (snake_cased
+    column names) in the same single pass — e.g. the revisit chain's
+    ``WARC-Refers-To`` — empty string when absent, like every header
+    here.
     """
     s = F.decode(F.col("record"), "UTF-8")
     cut = F.instr(s, CRLF + CRLF)
@@ -114,6 +122,10 @@ def parse_warc(records: DataFrame, with_payload: bool = False) -> DataFrame:
         F.octet_length(payload).cast("long").alias("payload_octets"),
         F.md5(F.encode(payload, "utf-8")).alias("payload_md5"),
         *([payload.alias("payload")] if with_payload else []),
+        *[
+            hdr(name).alias(name.lower().replace("-", "_"))
+            for name in extra_headers
+        ],
     )
     return out.withColumn(
         "length_ok", F.col("payload_octets") == F.col("content_length")
@@ -387,4 +399,103 @@ def wat_records(pages: DataFrame) -> DataFrame:
         F.encode(
             F.concat(header, F.lit(CRLF), F.col("_payload")), "utf-8"
         ).alias("record"),
+    )
+
+
+def synthetic_digest_store(docs: DataFrame) -> DataFrame:
+    """(url, seen_md5, orig_id, orig_ts): the previous crawl's payload
+    digests — the store CC-style dedup consults before writing a new
+    response record.  Coverage and staleness are md5-nibble planted:
+    the prior crawl saw docs with nibble-5 even; of those, content is
+    UNCHANGED (digest equals the current payload's) when nibble-6 is
+    even, else the stored digest is of the old payload (current fetch
+    must re-emit a full response)."""
+    from ..operators.webpages import _nib, _page_url
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    cur = F.coalesce(F.col("text"), F.lit(""))
+    old = F.concat(cur, F.lit(" [stale revision]"))
+    return (
+        docs.filter(_nib(h, 5) % 2 == 0)
+        .select(
+            _page_url(F.col("doc_id")).alias("url"),
+            F.when(_nib(h, 6) % 2 == 0, F.md5(F.encode(cur, "utf-8")))
+            .otherwise(F.md5(F.encode(old, "utf-8")))
+            .alias("seen_md5"),
+            F.concat(
+                F.lit("<urn:md5:"),
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":prev"))),
+                F.lit(">"),
+            ).alias("orig_id"),
+            (F.lit(1735603200) + (F.col("doc_id") * 7919) % 8640000)
+            .alias("orig_ts"),
+        )
+    )
+
+
+def revisit_records(
+    fetches: DataFrame, store: DataFrame
+) -> DataFrame:
+    """Archive-side deduplication at the WARC layer (the
+    ``WARC-Type: revisit`` / ``identical-payload-digest`` mechanism
+    Common Crawl itself uses): a fetch whose payload digest matches
+    the digest store emits a REVISIT record — empty payload,
+    ``WARC-Profile``, ``WARC-Refers-To`` + ``WARC-Refers-To-Date``
+    naming the original capture — while new urls and changed content
+    emit full response records.  The storage saving IS the empty
+    payload; the provenance chain IS the Refers-To pair.
+
+    Scale shape: ONE left equi-join of the fetch table against the
+    digest store on url (both sides hash-partition on the same key —
+    the store is crawl-scale, never broadcast), then a pure native
+    record render; zero additional shuffles.
+
+    Input: fetches (doc_id, url, text); store (url, seen_md5,
+    orig_id, orig_ts).  Output: (doc_id, record BINARY).
+    """
+    from ..operators.webpages import _page_url  # noqa: F401 (doc xref)
+
+    cur = F.coalesce(F.col("text"), F.lit(""))
+    j = fetches.join(store, "url", "left")
+    is_revisit = F.col("seen_md5").isNotNull() & (
+        F.col("seen_md5") == F.md5(F.encode(cur, "utf-8"))
+    )
+    payload = F.when(is_revisit, F.lit("")).otherwise(cur)
+    header = F.concat(
+        F.lit("WARC/1.0" + CRLF),
+        F.lit("WARC-Type: "),
+        F.when(is_revisit, F.lit("revisit")).otherwise(
+            F.lit("response")
+        ),
+        F.lit(CRLF),
+        F.lit("WARC-Target-URI: "), F.col("url"), F.lit(CRLF),
+        F.lit("WARC-Date: "),
+        _warc_date(F.lit(1735689600) + (F.col("doc_id") * 7919)
+                   % 8640000),
+        F.lit(CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"),
+        F.md5(F.col("doc_id").cast("string")), F.lit(">" + CRLF),
+        F.when(
+            is_revisit,
+            F.concat(
+                F.lit("WARC-Profile: http://netpreserve.org/warc/1.0/"
+                      "revisit/identical-payload-digest" + CRLF),
+                F.lit("WARC-Refers-To: "), F.col("orig_id"),
+                F.lit(CRLF),
+                F.lit("WARC-Refers-To-Date: "),
+                _warc_date(F.col("orig_ts")), F.lit(CRLF),
+                F.lit("WARC-Payload-Digest: md5:"),
+                F.col("seen_md5"), F.lit(CRLF),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("Content-Type: application/http; msgtype=response"
+              + CRLF),
+        F.lit("Content-Length: "),
+        F.octet_length(payload).cast("string"), F.lit(CRLF),
+    )
+    return j.select(
+        F.col("doc_id"),
+        F.encode(F.concat(header, F.lit(CRLF), payload), "utf-8")
+        .alias("record"),
     )

@@ -629,3 +629,14 @@ def test_robots_rfc9309_is_broadcast_array_eval(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_revisit_export_is_one_join_native_render(spark):
+    """The digest-store lookup is ONE equi-join on url (never a
+    broadcast hint — the store is crawl-scale); render and parse-back
+    are fused native string maps, no Python."""
+    from igtdetect_spark.entry_queries import q_revisit_export
+
+    plan = _plan(q_revisit_export(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

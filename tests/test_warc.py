@@ -340,3 +340,50 @@ class TestWatRecords:
         # href stops at the attribute's closing quote, leaving a LONE
         # trailing backslash — which must not eat the JSON close-quote
         assert env["links"] == ["https://b.org/\\"]
+
+
+class TestRevisitRecords:
+    """Archive-side dedup: revisit vs response decisions."""
+
+    def test_decision_matrix_and_provenance(self, spark):
+        from igtdetect_spark.sources.warc import (
+            parse_warc,
+            revisit_records,
+        )
+
+        fetches = spark.createDataFrame(
+            [
+                (1, "https://a/1", "same body"),     # in store, unchanged
+                (2, "https://a/2", "new body v2"),   # in store, CHANGED
+                (3, "https://a/3", "fresh page"),    # not in store
+            ],
+            "doc_id long, url string, text string",
+        )
+        import hashlib
+
+        store = spark.createDataFrame(
+            [
+                ("https://a/1",
+                 hashlib.md5(b"same body").hexdigest(),
+                 "<urn:md5:orig1>", 1000),
+                ("https://a/2",
+                 hashlib.md5(b"old body v1").hexdigest(),
+                 "<urn:md5:orig2>", 2000),
+            ],
+            "url string, seen_md5 string, orig_id string, orig_ts long",
+        )
+        out = parse_warc(
+            revisit_records(fetches, store),
+            extra_headers=("WARC-Refers-To", "WARC-Profile"),
+        )
+        got = {r["url"]: r for r in out.collect()}
+        r1 = got["https://a/1"]
+        assert r1["warc_type"] == "revisit"
+        assert r1["payload_octets"] == 0 and r1["length_ok"]
+        assert r1["warc_refers_to"] == "<urn:md5:orig1>"
+        assert "identical-payload-digest" in r1["warc_profile"]
+        for u in ("https://a/2", "https://a/3"):
+            r = got[u]
+            assert r["warc_type"] == "response", u
+            assert r["payload_octets"] > 0 and r["length_ok"]
+            assert r["warc_refers_to"] == ""  # no provenance headers
