@@ -123,7 +123,7 @@ def main():
         "postings_stats", "search_rank_fusion", "dust_rules",
         "crawl_trap_hosts", "index_shard_balance", "robots_rfc9309",
         "clustering_coeffs", "compaction_plan", "hard_negatives",
-        "span_corruption", "revisit_export",
+        "span_corruption", "revisit_export", "spam_mass",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

@@ -6115,6 +6115,80 @@ FROM deg LEFT JOIN per_node p ON p.id = deg.id""",
     ])
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam mass (Gyöngyi et al., VLDB '06): the fraction of a page's
+    PageRank NOT backed by trusted sources — relative spam mass
+    ``1 − (trust_share / rank_share)`` — the canonical link-spam
+    demotion signal on top of the two rank kernels this registry
+    already grades.
+
+    Integer-exact composition: both scores are BIGINT micro-units;
+    shares normalize through two integral divisions applied in the
+    SAME order on both engines (``ratio = trust·10⁶ div rank``, then
+    ``× (Σrank·10⁶ div Σtrust) div 10⁶``), clipped to [0, 10⁶].
+    Magnitude bound: Σrank·10⁶ stays inside BIGINT below ~9·10¹²
+    pages; beyond that the global factor drops to e3 units (one
+    constant — the HITS note).  A page is a SUSPECT when its spam
+    mass is ≥ 0.5 AND its rank is above the teleport floor (an
+    unranked page's spam mass is noise, Gyöngyi's own caveat).
+
+    Scale shape: the two iterative kernels as graded, ONE url
+    equi-join between their outputs, a 1-row global-sum broadcast
+    cross join, then a narrow projection.
+    """
+    from .operators.webpages import (
+        pagerank,
+        synthetic_linked_pages,
+        trustrank,
+    )
+
+    pages = synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    pr = pagerank(pages).select("url", "rank_e6")
+    tr = trustrank(pages).select("url", "trust_e6")
+    j = pr.join(tr, "url")
+    totals = j.agg(
+        F.sum("rank_e6").alias("_sr"), F.sum("trust_e6").alias("_st")
+    )
+    scored = j.crossJoin(F.broadcast(totals)).select(
+        "url",
+        "rank_e6",
+        "trust_e6",
+        F.expr(
+            "greatest(0L, least(1000000L, 1000000L - "
+            "(((trust_e6 * 1000000L) div rank_e6)"
+            " * ((_sr * 1000000L) div _st)) div 1000000L))"
+        ).alias("spam_mass_ppm"),
+    )
+    return scored.withColumn(
+        "suspect",
+        (F.col("spam_mass_ppm") >= 500_000)
+        & (F.col("rank_e6") > 1_000_000),
+    )
+
+
+def _sql_spam_mass() -> str:
+    return f"""
+WITH pr AS ({_sql_pagerank()}),
+tr AS ({_sql_trustrank()}),
+j AS (
+  SELECT pr.url, pr.rank_e6, tr.trust_e6
+  FROM pr JOIN tr ON tr.url = pr.url),
+tot AS (
+  SELECT CAST(SUM(rank_e6) AS BIGINT) AS sr,
+         CAST(SUM(trust_e6) AS BIGINT) AS st
+  FROM j),
+s AS (
+  SELECT url, rank_e6, trust_e6,
+         greatest(0, least(1000000, 1000000 -
+           (((trust_e6 * 1000000) // rank_e6)
+            * ((sr * 1000000) // st)) // 1000000)) AS sm
+  FROM j CROSS JOIN tot)
+SELECT url, rank_e6, trust_e6, CAST(sm AS BIGINT) AS spam_mass_ppm,
+       sm >= 500000 AND rank_e6 > 1000000 AS suspect
+FROM s
+"""
+
+
 def q_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-bucketed local clustering coefficients — the web-graph
     summary statistic on top of the triangle kernel: per node
@@ -6955,6 +7029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "span_corruption": q_span_corruption,
         "revisit_export": q_revisit_export,
+        "spam_mass": q_spam_mass,
     }
 
 
@@ -7087,6 +7162,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": SQL_HARD_NEGATIVES,
         "span_corruption": _sql_span_corruption(),
         "revisit_export": _sql_revisit_export(),
+        "spam_mass": _sql_spam_mass(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }
