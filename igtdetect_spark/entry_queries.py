@@ -6844,6 +6844,85 @@ FROM inputs i LEFT JOIN targets t ON t.doc_id = i.doc_id
 """)
 
 
+def q_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry planning (Iceberg ``expire_snapshots`` — the
+    other half of table maintenance next to ``compaction_plan``):
+    with the last 2 of 5 snapshots retained, a data file is DELETABLE
+    iff every snapshot referencing it has expired — files still
+    reachable from a live snapshot survive, however old.
+
+    The input is the MANIFEST relation (snapshot_id, file_id) — the
+    grain Iceberg metadata actually stores — synthesized as an
+    interval per file (born at a nibble-chosen snapshot, surviving a
+    nibble-chosen span) and exploded; the plan is one hash aggregate
+    to file grain (min/max/count of referencing snapshots) and a
+    narrow verdict projection.  At 100 TB the manifest relation is
+    metadata-sized (one row per file per snapshot), and the aggregate
+    is map-side combinable on file_id.
+
+    Output: (file_id, first_snap, last_snap, n_snaps, deletable).
+    """
+    n_snapshots, retain_last = 5, 2
+    docs = _t(spark, sf_dir, "documents")
+    birth = 1 + F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 9, 1),"
+        " 16, 10) as int) % 5"
+    )
+    span = 1 + F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 11, 1),"
+        " 16, 10) as int) % 3"
+    )
+    manifest = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.explode(
+            F.sequence(
+                birth,
+                F.least(birth + span - 1, F.lit(n_snapshots)),
+            )
+        ).alias("snapshot_id"),
+    )
+    live_floor = n_snapshots - retain_last + 1
+    agg = manifest.groupBy("file_id").agg(
+        F.min("snapshot_id").cast("long").alias("first_snap"),
+        F.max("snapshot_id").cast("long").alias("last_snap"),
+        F.count(F.lit(1)).cast("long").alias("n_snaps"),
+    )
+    return agg.select(
+        "file_id", "first_snap", "last_snap", "n_snaps",
+        (F.col("last_snap") < live_floor).alias("deletable"),
+    )
+
+
+def _sql_snapshot_expire(
+    n_snapshots: int = 5, retain_last: int = 2
+) -> str:
+    live_floor = n_snapshots - retain_last + 1
+    return f"""
+WITH f AS (
+  SELECT doc_id AS file_id,
+         1 + (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 9, 1)) - 1) % 5
+           AS birth,
+         1 + (strpos('0123456789abcdef',
+              substring(md5(CAST(doc_id AS VARCHAR)), 11, 1)) - 1) % 3
+           AS span
+  FROM documents),
+manifest AS (
+  SELECT file_id, unnest(range(birth,
+           least(birth + span - 1, {n_snapshots}) + 1)) AS snapshot_id
+  FROM f),
+agg AS (
+  SELECT file_id,
+         CAST(MIN(snapshot_id) AS BIGINT) AS first_snap,
+         CAST(MAX(snapshot_id) AS BIGINT) AS last_snap,
+         CAST(COUNT(*) AS BIGINT) AS n_snaps
+  FROM manifest GROUP BY file_id)
+SELECT file_id, first_snap, last_snap, n_snaps,
+       last_snap < {live_floor} AS deletable
+FROM agg
+"""
+
+
 def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full RFC 9309 robots matching — wildcard/anchored patterns,
     longest-pattern precedence with Allow winning length ties —
@@ -7030,6 +7109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "revisit_export": q_revisit_export,
         "spam_mass": q_spam_mass,
+        "snapshot_expire": q_snapshot_expire,
     }
 
 
@@ -7163,6 +7243,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": _sql_span_corruption(),
         "revisit_export": _sql_revisit_export(),
         "spam_mass": _sql_spam_mass(),
+        "snapshot_expire": _sql_snapshot_expire(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }

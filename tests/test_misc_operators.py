@@ -1590,3 +1590,32 @@ class TestCompactionPlan:
         assert got[("b", 3)]["first_file"] == 11      # jumped groups
         # conservation: every file in exactly one group
         assert sum(r["n_files"] for r in got.values()) == 6
+
+
+class TestSnapshotExpire:
+    """Reachability-based deletability."""
+
+    def test_live_reference_protects_old_files(self, spark, tmp_path):
+        import igtdetect_spark.entry_queries as eq
+
+        docs = spark.createDataFrame(
+            [(i, "src", "t") for i in range(64)],
+            "doc_id long, source string, text string",
+        )
+        sf = str(tmp_path)
+        docs.write.parquet(f"{sf}/documents.parquet")
+        rows = eq.q_snapshot_expire(spark, sf).collect()
+        for r in rows:
+            # interval sanity: 1 <= first <= last <= 5, contiguous
+            assert 1 <= r["first_snap"] <= r["last_snap"] <= 5
+            assert r["n_snaps"] == r["last_snap"] - r["first_snap"] + 1
+            # the invariant: deletable iff NO live snapshot (4, 5)
+            # references the file — age alone never deletes
+            assert r["deletable"] == (r["last_snap"] < 4)
+        assert any(r["deletable"] for r in rows)
+        # a file born before the live window but surviving into it
+        # (birth 2, span 3 → last 4) must be protected; birth-1 files
+        # can never reach snapshot 4 (span ≤ 3), so use birth 2
+        assert any(
+            not r["deletable"] and r["first_snap"] == 2 for r in rows
+        ), "an old file kept alive by a live reference must exist"
