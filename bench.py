@@ -124,7 +124,7 @@ def main():
         "crawl_trap_hosts", "index_shard_balance", "robots_rfc9309",
         "clustering_coeffs", "compaction_plan", "hard_negatives",
         "span_corruption", "revisit_export", "spam_mass",
-        "snapshot_expire",
+        "snapshot_expire", "sitemap_robots_conflict",
     ]
     from igtdetect_spark.operators.dedup import release_plan_caches
 

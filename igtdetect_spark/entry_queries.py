@@ -6783,6 +6783,86 @@ FROM sp
 """
 
 
+def q_sitemap_robots_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-policy sanity report a crawler runs before trusting a
+    host's own metadata: sitemap-ADVERTISED urls that the host's
+    robots policy DISALLOWS (RFC 9309 wildcard matching) — each
+    conflict with how many sitemap documents advertise it and the
+    winning disallow pattern.  Composes the graded sitemap parser and
+    robots matcher: one distinct-url aggregate on the advertised
+    relation, then the broadcast rule-array evaluation — no new
+    kernel, one integration seam."""
+    from .operators.webpages import (
+        rfc9309_rules_df,
+        robots_rfc9309,
+        sitemap_entries,
+        synthetic_sitemaps,
+    )
+
+    ents = sitemap_entries(
+        synthetic_sitemaps(_t(spark, sf_dir, "documents"))
+    )
+    advertised = ents.groupBy(F.col("loc").alias("url")).agg(
+        F.count_distinct("sitemap_url").cast("long")
+        .alias("n_sitemaps")
+    )
+    verdicts = robots_rfc9309(
+        advertised.select("url"), rfc9309_rules_df(spark)
+    )
+    return (
+        verdicts.filter(~F.col("allowed"))
+        .join(advertised, "url")
+        .select("url", "host", "n_sitemaps", "best_pattern")
+    )
+
+
+def _sql_sitemap_robots_conflict() -> str:
+    from .operators.webpages import RFC9309_RULES, _robots_pattern_rx
+
+    rows = ", ".join(
+        f"('{h}', '{_robots_pattern_rx(p)}', '{p}',"
+        f" {2 * len(p) + int(a)})"
+        for h, p, a in RFC9309_RULES
+    )
+    loc = _SQL_PAGE_URL.format(x="(d.doc_id * 17 + j.j * 59) % 512")
+    return f"""
+WITH ents AS (
+  SELECT d.doc_id AS sitemap_doc, {loc} AS url
+  FROM documents d,
+       (SELECT unnest([1, 2, 3]) AS j) j
+  WHERE j.j <= 1 + (strpos('0123456789abcdef',
+        substring(md5(CAST(d.doc_id AS VARCHAR)), 10, 1)) - 1) % 3),
+advertised AS (
+  SELECT url, CAST(COUNT(DISTINCT sitemap_doc) AS BIGINT)
+           AS n_sitemaps
+  FROM ents GROUP BY url),
+rules AS (SELECT * FROM (VALUES {rows}) t(host, rx, pattern, score)),
+per_host AS (
+  SELECT host, list(struct_pack(rx := rx, pattern := pattern,
+                                score := score)) AS rl
+  FROM rules GROUP BY host),
+base AS (
+  SELECT url, n_sitemaps,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '^https?://[^/]+(/.*)$', 1) AS path
+  FROM advertised),
+j AS (
+  SELECT b.url, b.host, b.n_sitemaps,
+         list_filter(p.rl, r -> regexp_matches(b.path, r.rx)) AS hits
+  FROM base b LEFT JOIN per_host p ON p.host = b.host),
+k AS (
+  SELECT url, host, n_sitemaps, hits,
+         list_aggregate(list_transform(hits, r -> r.score), 'max')
+           AS best
+  FROM j)
+SELECT url, host, n_sitemaps,
+       list_filter(hits, r -> r.score = best)[1].pattern
+         AS best_pattern
+FROM k
+WHERE NOT (len(hits) = 0 OR best % 2 = 1)
+"""
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span-corruption sample prep: deterministic block-hash
     masking (18.75% of tokens in mean-3 spans), gaps-and-islands span
@@ -7110,6 +7190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_export": q_revisit_export,
         "spam_mass": q_spam_mass,
         "snapshot_expire": q_snapshot_expire,
+        "sitemap_robots_conflict": q_sitemap_robots_conflict,
     }
 
 
@@ -7244,6 +7325,7 @@ def oracle_sql() -> dict[str, str]:
         "revisit_export": _sql_revisit_export(),
         "spam_mass": _sql_spam_mass(),
         "snapshot_expire": _sql_snapshot_expire(),
+        "sitemap_robots_conflict": _sql_sitemap_robots_conflict(),
         # igt_classify_lines / igt_detect_spans: model scoring is
         # legitimately not SQL-expressible → rows-only checks.
     }
