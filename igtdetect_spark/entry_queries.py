@@ -6143,8 +6143,9 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = synthetic_linked_pages(_t(spark, sf_dir, "documents"))
-    pr = pagerank(pages).select("url", "rank_e6")
-    tr = trustrank(pages).select("url", "trust_e6")
+    pr0, tr0 = pagerank(pages), trustrank(pages)
+    pr = pr0.select("url", "rank_e6")
+    tr = tr0.select("url", "trust_e6")
     j = pr.join(tr, "url")
     totals = j.agg(
         F.sum("rank_e6").alias("_sr"), F.sum("trust_e6").alias("_st")
@@ -6159,11 +6160,20 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((_sr * 1000000L) div _st)) div 1000000L))"
         ).alias("spam_mass_ppm"),
     )
-    return scored.withColumn(
+    out = scored.withColumn(
         "suspect",
         (F.col("spam_mass_ppm") >= 500_000)
         & (F.col("rank_e6") > 1_000_000),
     )
+    # carry the kernels' persisted edge-relation handles to THIS
+    # output (handles attach to DataFrame objects; pr0/tr0 are
+    # discarded here) so bench/mirror release them per invocation
+    from .operators.dedup import attach_plan_cache
+
+    for src in (pr0, tr0):
+        for h in getattr(src, "_plan_cache_handles", []):
+            attach_plan_cache(out, h)
+    return out
 
 
 def _sql_spam_mass() -> str:
