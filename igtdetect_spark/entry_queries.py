@@ -2812,14 +2812,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, the full table plays the increment — so a third of the
     increment is flagged seen and the rest admitted. Seen-relation join
     is size-aware broadcast-XOR-shuffle (operators/scale.py)."""
-    from .operators.dedup import fingerprint_docs, incremental_dedup
+    from .operators.dedup import (
+        attach_plan_cache, fingerprint_docs, incremental_dedup,
+    )
     from .operators.scale import plan_size_bytes
 
     docs = _t(spark, sf_dir, "documents")
-    seen = fingerprint_docs(docs.filter(F.col("doc_id") % 3 == 0))
-    return incremental_dedup(
-        docs, seen, corpus_bound_bytes=plan_size_bytes(docs)
+    # ONE persisted fingerprint scan serves increment AND store: the
+    # doc_id filter commutes with the md5 projection, so filtering the
+    # fingerprinted relation yields exactly fingerprint_docs(filtered
+    # docs) — the normalize+md5 pass over the corpus runs once instead
+    # of three times (increment join, keep-first, store derivation).
+    fp = fingerprint_docs(docs).persist()
+    seen = fp.filter(F.col("doc_id") % 3 == 0).select("fingerprint")
+    out = incremental_dedup(
+        docs, seen, corpus_bound_bytes=plan_size_bytes(docs),
+        fingerprints=fp,
     )
+    return attach_plan_cache(out, fp)
 
 
 SQL_INCREMENTAL_DEDUP = f"""
@@ -2849,14 +2859,22 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     definitively new with no join at all. The false-positive rate costs
     extra join rows, never correctness (operators/dedup.py
     incremental_dedup_bloom)."""
-    from .operators.dedup import fingerprint_docs, incremental_dedup_bloom
+    from .operators.dedup import (
+        attach_plan_cache, fingerprint_docs, incremental_dedup_bloom,
+    )
     from .operators.scale import plan_size_bytes
 
     docs = _t(spark, sf_dir, "documents")
-    seen = fingerprint_docs(docs.filter(F.col("doc_id") % 3 == 0))
-    return incremental_dedup_bloom(
-        docs, seen, corpus_bound_bytes=plan_size_bytes(docs)
+    # Same single-persisted-fingerprint-scan shape as
+    # q_incremental_dedup; the Bloom bitset build also collects from
+    # the cached relation instead of re-hashing the corpus.
+    fp = fingerprint_docs(docs).persist()
+    seen = fp.filter(F.col("doc_id") % 3 == 0).select("fingerprint")
+    out = incremental_dedup_bloom(
+        docs, seen, corpus_bound_bytes=plan_size_bytes(docs),
+        fingerprints=fp,
     )
+    return attach_plan_cache(out, fp)
 
 
 def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6218,10 +6236,19 @@ def q_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(2 * triangles * 1000000L) div (degree * (degree - 1))"
         ).alias("cc_e6"),
     )
-    return per_node.groupBy("degree").agg(
+    out = per_node.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.expr("sum(cc_e6) div count(1)").alias("mean_cc_e6"),
     )
+    # Re-attach the triangle kernel's persist handles to the RETURNED
+    # frame — handles live on the DataFrame object, not the plan, so
+    # the filter/select/groupBy above would otherwise orphan them and
+    # leak 3 persisted frames per invocation (the spam_mass lesson).
+    from .operators.dedup import attach_plan_cache
+
+    for h in getattr(tri, "_plan_cache_handles", None) or []:
+        attach_plan_cache(out, h)
+    return out
 
 
 def _sql_clustering_coeffs(mod: int = 48) -> str:

@@ -341,7 +341,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     scheme: str = "affine",
 ) -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band."""
+    """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
+
+    NOTE (round 6): persisting the band relation before the self-join
+    was measured FLAT-to-slower at sf1.0 (8.4 → 9.1 s) — the band
+    signature pass is map-only whole-stage codegen and cheaper to
+    re-run than to cache-serialize, so both sides keep their own
+    scan."""
     bands = minhash_band_hashes(
         docs, n_perms, band_size, shingle_n, id_col, text_col, scheme
     )
@@ -656,13 +662,22 @@ def simhash_neardup_pairs(
     width = 64 // n_bands
     mask = (1 << width) - 1
 
-    sig = simhash_docs(docs, id_col, text_col)
+    # The signature relation feeds both self-join sides; persisted so
+    # the Arrow simhash kernel scans the corpus ONCE instead of once
+    # per branch (it previously also fed two rescore joins — 4 scans
+    # per evaluation; guide §2.4/§4). Narrow: (doc_id, simhash BIGINT).
+    # Callers release via release_plan_caches after their action.
+    sig = simhash_docs(docs, id_col, text_col).persist()
 
     # 4 rows/doc: (band, band value). Arithmetic shiftright + mask is
     # sign-extension-safe (the mask keeps only the band's own bits) and
-    # matches DuckDB's BIGINT >> semantics exactly.
+    # matches DuckDB's BIGINT >> semantics exactly. The full signature
+    # rides along (8 bytes/row), so the exact rescore is computed
+    # inline on the joined candidates — the two signature re-joins the
+    # rescore previously paid are gone from the plan.
     bands = sig.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(*[
                 F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
@@ -670,7 +685,7 @@ def simhash_neardup_pairs(
             ])
         ).alias("band", "band_val"),
     )
-    cand = (
+    out = (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -681,28 +696,17 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.join(sig.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("simhash", "sig_a")
-        .join(
-            sig.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("simhash").alias("sig_b"),
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
             F.bit_count(
-                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).cast("int").alias("hamming"),
         )
+        # hamming is functionally determined by (doc_a, doc_b), so the
+        # per-band duplicate candidates collapse to the same distinct
+        # set; filtering first shrinks the distinct's exchange.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    return attach_plan_cache(out, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -939,6 +943,7 @@ def incremental_dedup(
     corpus_bound_bytes: int = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW crawl increment against an EXISTING corpus: the
     production shape of exact dedup, where the historical corpus is not
@@ -964,7 +969,20 @@ def incremental_dedup(
 
     if corpus_bound_bytes is None:
         corpus_bound_bytes = plan_size_bytes(seen_fps)
-    fp = fingerprint_docs(new_docs, id_col, text_col)
+    # ``fingerprints``: optional precomputed (doc_id, fingerprint)
+    # relation for the increment — an optimization hook so a caller
+    # that already fingerprinted the increment (e.g. to derive the
+    # seen store from the same scan, or a persisted handle) avoids
+    # re-running the normalize+md5 corpus scan here. Without it the
+    # increment scan feeds two branches (membership join + keep-first
+    # aggregate), so it is persisted — narrow (id, 32-char hex) rows;
+    # callers release via release_plan_caches.
+    if fingerprints is not None:
+        fp = fingerprints
+        handles = []
+    else:
+        fp = fingerprint_docs(new_docs, id_col, text_col).persist()
+        handles = [fp]
     seen = seen_fps.select(
         F.col("fingerprint"), F.lit(1).alias("_seen")
     ).dropDuplicates(["fingerprint"])
@@ -989,6 +1007,8 @@ def incremental_dedup(
             ).cast("int").alias("is_new"),
         )
     )
+    for h in handles:
+        attach_plan_cache(out, h)
     return out
 
 
@@ -1034,6 +1054,7 @@ def incremental_dedup_bloom(
     corpus_bound_bytes: int = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` with a Bloom pre-filter on the
     historical store — EXACT output (bit-identical to the plain path;
@@ -1072,7 +1093,17 @@ def incremental_dedup_bloom(
             hit &= (bits[pv >> 3] >> (pv & 7) & 1).astype(bool)
         return pd.Series(hit)
 
-    fp = fingerprint_docs(new_docs, id_col, text_col)
+    # Same ``fingerprints`` hook + persist discipline as
+    # :func:`incremental_dedup`: the increment fingerprint relation
+    # feeds three branches here (hit probe, miss probe, keep-first
+    # aggregate) — without materialization the normalize+md5 corpus
+    # scan re-runs per branch.
+    if fingerprints is not None:
+        fp = fingerprints
+        handles = []
+    else:
+        fp = fingerprint_docs(new_docs, id_col, text_col).persist()
+        handles = [fp]
     probed = fp.withColumn(
         "_maybe",
         _probe(*[
@@ -1099,7 +1130,7 @@ def incremental_dedup_bloom(
     first = fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("_first_id")
     )
-    return merged.join(first, "fingerprint").select(
+    out = merged.join(first, "fingerprint").select(
         "doc_id", "fingerprint",
         F.col("_seen").isNotNull().cast("int").alias("seen_in_corpus"),
         (F.col("doc_id") == F.col("_first_id")).cast("int").alias(
@@ -1110,3 +1141,6 @@ def incremental_dedup_bloom(
             & (F.col("doc_id") == F.col("_first_id"))
         ).cast("int").alias("is_new"),
     )
+    for h in handles:
+        attach_plan_cache(out, h)
+    return out

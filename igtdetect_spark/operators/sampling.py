@@ -217,7 +217,19 @@ def dsir_weights(
             F.lit(B),
         ),
     )
-    stats = grams.groupBy("bucket").agg(
+    # Project the gram stream down to its 17-byte decision columns and
+    # persist: both consumers (per-bucket stats, per-doc weighting)
+    # derive from the SAME md5 gram scan, which previously re-ran once
+    # per branch — the dominant map cost (guide §2.3 "shuffle keys and
+    # metadata instead of payloads", §8 "decide with small rows"). The
+    # projection is map-only (no extra exchange; both aggregates below
+    # keep their map-side partial combine) and drops the gram string
+    # before the cache. At cluster scale write this relation to a temp
+    # table instead. Callers release via release_plan_caches.
+    from .dedup import attach_plan_cache
+
+    gb = grams.select("doc_id", "_is_target", "bucket").persist()
+    stats = gb.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.sum(F.col("_is_target").cast("long")).alias("_ct"),
     )
@@ -240,8 +252,8 @@ def dsir_weights(
         "bucket",
         F.floor(F.log(ratio) * 1e6).cast("long").alias("_w_e6"),
     )
-    return (
-        grams.join(F.broadcast(bucket_w), "bucket")
+    out = (
+        gb.join(F.broadcast(bucket_w), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -249,6 +261,7 @@ def dsir_weights(
         )
         .select("doc_id", "n_grams", "weight_e6")
     )
+    return attach_plan_cache(out, gb)
 
 
 def sequence_pack(
@@ -447,6 +460,15 @@ def budget_select(
     ).withColumn(
         "_bucket", F.expr(f"score_e6 div {int(bucket_width_e6)}L")
     )
+    # The per-doc stats relation feeds three branches (histogram, full
+    # buckets, boundary bucket); persist the narrow (doc_id, n_tokens,
+    # score_e6, _bucket) proxy so the tokenize + distinct + regexp scan
+    # runs once instead of once per branch (guide §8 "decide with small
+    # rows" — 4 integers/doc). At cluster scale checkpoint it to a temp
+    # table instead. Callers release via release_plan_caches.
+    from .dedup import attach_plan_cache
+
+    per_doc = per_doc.persist()
 
     hist = per_doc.groupBy("_bucket").agg(
         F.sum("n_tokens").alias("_mass")
@@ -488,4 +510,4 @@ def budget_select(
         .filter(F.col("_cum") <= F.col("_residual"))
         .select("doc_id", "n_tokens", "score_e6")
     )
-    return full.unionByName(boundary)
+    return attach_plan_cache(full.unionByName(boundary), per_doc)

@@ -526,66 +526,148 @@ def semdedup(
             embeddings, k=n_lists, id_col=id_col, vec_col=vec_col
         )
     )
-    v = F.col(vec_col).cast("array<double>")
-    cents = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in C
-    ])
-    d2s = F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    # argmin-first-on-ties — identical to ivf_ann's assignment so the
-    # two operators share one notion of "the cluster of x".
+    Cd = np.asarray(C, dtype=np.float64)
+
+    # Assignment as one vectorized numpy kernel per batch instead of a
+    # transform-over-centroids of interpreted aggregate/zip_with folds
+    # (higher-order functions do not whole-stage-codegen; the fold was
+    # measured 7.9 s of the 9.7 s query wall at sf1.0 — guide §4.2).
+    # Bit-exactness vs the expression form (and vs ivf_ann's identical
+    # assignment semantics): the per-dim loop performs the SAME IEEE
+    # adds in the SAME order as the Catalyst fold — d2 starts at 0.0
+    # and accumulates (v_i−c_i)² in dim order per (row, centroid), the
+    # norm accumulates v_i² then one sqrt, argmin takes the FIRST
+    # index attaining the exact double minimum (np.argmin ==
+    # array_position(d2s, array_min(d2s))), and _d2_e6 is one multiply
+    # + one floor of that minimum.
+    def _assign(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            V = (
+                np.stack([
+                    np.asarray(x, dtype=np.float64) for x in pdf[vec_col]
+                ])
+                if len(pdf)
+                else np.zeros((0, Cd.shape[1]))
+            )
+            n, dim = V.shape
+            D = np.zeros((n, len(Cd)))
+            nrm = np.zeros(n)
+            for i in range(dim):  # fold order == Catalyst aggregate
+                diff = V[:, i][:, None] - Cd[None, :, i]
+                D += diff * diff
+                nrm += V[:, i] * V[:, i]
+            yield _pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "_v": list(V),
+                "_n": np.sqrt(nrm),
+                "cluster_id": (
+                    np.argmin(D, axis=1).astype(np.int32)
+                    if len(Cd) else np.zeros(n, dtype=np.int32)
+                ),
+                "_d2_e6": np.floor(D.min(axis=1) * 1e6).astype(np.int64)
+                if len(Cd) else np.zeros(n, dtype=np.int64),
+            })
+
     assigned = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("_v"),
-        # norm precomputed ONCE per vector: the pair stage otherwise
-        # re-folds both 64-dim arrays for every pair (two aggregates
-        # per pair vs one dot) — measured 2× on the pair-stage wall
-        _norm(v).alias("_n"),
-        (F.array_position(d2s, F.array_min(d2s)) - 1)
-        .cast("int").alias("cluster_id"),
-        F.floor(F.array_min(d2s) * 1e6).cast("long").alias("_d2_e6"),
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(
+        _assign,
+        "vec_id long, _v array<double>, _n double, "
+        "cluster_id int, _d2_e6 long",
     )
 
     thr_e6 = int(threshold * 1e6)
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    sim = _dot(F.col("a._v"), F.col("b._v")) / (
-        F.col("a._n") * F.col("b._n")
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # The assigned relation feeds THREE plan branches (both self-join
+    # sides and the final verdict join); without materialization the
+    # n_lists-wide centroid-distance assignment re-runs per branch —
+    # 3× the dominant map cost (guide §2.4 "share one exchange" /
+    # ngram_jaccard's persist discipline). Narrow relation (id, vec,
+    # norm, cluster, d2) — corpus rows but no text. Callers release
+    # via release_plan_caches after their action (bench does).
+    from .dedup import attach_plan_cache
+
+    assigned = assigned.persist()
+
+    # Pair stage as ONE vectorized numpy kernel per cluster instead of
+    # a self-join evaluating interpreted zip_with/aggregate folds per
+    # pair (higher-order functions do not whole-stage-codegen; at
+    # Σ_c n_c² pairs × dim that interpreted fold was the measured wall
+    # — guide §4.2 "hand whole batches to vectorized native code").
+    # Bit-exactness: the per-dim accumulation loop below performs the
+    # SAME IEEE ops in the SAME order as the Catalyst fold — S starts
+    # at 0.0 and adds v_a[i]·v_b[i] elementwise in dim order, then one
+    # divide by (n_a·n_b), one multiply by 1e6, one floor — so every
+    # sim_e6 matches the expression engine bit-for-bit (NaN from
+    # zero-norm vectors fails the ≥ threshold exactly like the SQL
+    # NULL). Dominance (integer d2_e6/vec_id comparisons) is exact by
+    # construction. Chunked over row blocks to bound the similarity
+    # buffer at B×n_c doubles for mega-clusters.
+    def _cluster_removed(pdf: "pd.Series") -> "pd.DataFrame":
+        import numpy as _np
+        import pandas as _pd
+
+        n = len(pdf)
+        empty = _pd.DataFrame(
+            {"vec_id": _pd.Series([], dtype="int64"),
+             "dup_sim_e6": _pd.Series([], dtype="int64")}
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("a._d2_e6").alias("d2_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("b._d2_e6").alias("d2_b"),
-            F.floor(sim * 1e6).cast("long").alias("sim_e6"),
+        if n < 2:
+            return empty
+        order = _np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = _np.stack([
+            _np.asarray(v, dtype=_np.float64)
+            for v in pdf["_v"].iloc[order]
+        ])
+        norms = pdf["_n"].to_numpy(dtype=_np.float64)[order]
+        d2 = pdf["_d2_e6"].to_numpy(dtype=_np.int64)[order]
+        dim = V.shape[1]
+        out_ids, out_sims = [], []
+        B = 2048
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            blk = _np.zeros((s1 - s0, n))
+            for i in range(dim):  # fold order == Catalyst aggregate
+                blk += V[s0:s1, i][:, None] * V[None, :, i]
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                simf = _np.floor(
+                    blk / (norms[s0:s1, None] * norms[None, :]) * 1e6
+                )
+            # upper triangle in vec_id order: a < b (ids sorted)
+            r, c = _np.nonzero(
+                (_np.arange(n)[None, :] > _np.arange(s0, s1)[:, None])
+                & (simf >= thr_e6)  # NaN compares False, like SQL NULL
+            )
+            if not len(r):
+                continue
+            ga = r + s0
+            d2a, d2b = d2[ga], d2[c]
+            ia, ib = ids[ga], ids[c]
+            loser = _np.where(
+                d2a > d2b, ib,
+                _np.where(d2b > d2a, ia, _np.maximum(ia, ib)),
+            )
+            out_ids.append(loser)
+            out_sims.append(simf[r, c].astype(_np.int64))
+        if not out_ids:
+            return empty
+        return (
+            _pd.DataFrame({
+                "vec_id": _np.concatenate(out_ids),
+                "dup_sim_e6": _np.concatenate(out_sims),
+            })
+            .groupby("vec_id", as_index=False)["dup_sim_e6"].max()
         )
-        .filter(F.col("sim_e6") >= F.lit(thr_e6))
+
+    removed = assigned.groupBy("cluster_id").applyInPandas(
+        _cluster_removed, "vec_id long, dup_sim_e6 long"
     )
-    # Exactly one loser per qualifying pair: the member CLOSER to the
-    # centroid (smaller d2_e6); on a distance tie the larger vec_id.
-    loser = F.when(F.col("d2_a") > F.col("d2_b"), F.col("id_b")).when(
-        F.col("d2_b") > F.col("d2_a"), F.col("id_a")
-    ).otherwise(F.greatest("id_a", "id_b"))
-    removed = (
-        pairs.select(loser.alias("vec_id"), "sim_e6")
-        .groupBy("vec_id")
-        .agg(F.max("sim_e6").alias("dup_sim_e6"))
-    )
-    return assigned.join(removed, "vec_id", "left").select(
+    out = assigned.join(removed, "vec_id", "left").select(
         "vec_id",
         "cluster_id",
         F.col("dup_sim_e6").isNull().alias("kept"),
         "dup_sim_e6",
     )
+    return attach_plan_cache(out, assigned)

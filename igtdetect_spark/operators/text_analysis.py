@@ -572,6 +572,11 @@ def bigram_lm_scores(
     ).withColumn(
         "avg_nll_e6", F.expr("nll_e6 div n_bigrams").cast("long")
     )
+    # NOTE (round 6): a persisted per-(doc, bigram-type) proxy was
+    # measured SLOWER here (5.8 → 8.0 s at sf1.0) — the pre-aggregate
+    # shuffles the near-unique (doc, w1, w2) string keys corpus-wide,
+    # while the two consumers of the raw stream are map-side-reduced
+    # before any exchange, so re-running the cheap tokenize scan wins.
     return per_doc.select(
         "doc_id", "n_bigrams", "nll_e6", "avg_nll_e6",
         F.when(F.col("avg_nll_e6") < F.lit(int(head_below_e6)),
@@ -637,6 +642,11 @@ def nb_domain_scores(
     stream = tokenized.select(
         "doc_id", "_lab", F.explode("_tk").alias("term")
     )
+    # NOTE (round 6): persisting a per-(doc, label, term) tf proxy and
+    # deriving vocab/T_l/ctl from it was measured SLOWER (5.7 → 6.8 s
+    # at sf1.0): the proxy shuffles near-unique string keys corpus-wide
+    # while each branch below is map-side-reduced before its exchange,
+    # so re-running the cheap tokenize scan per branch wins.
     tf = stream.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
