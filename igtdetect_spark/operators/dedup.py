@@ -233,6 +233,84 @@ def minhash_affine_params(n_perms: int, seed: int = 13
     return a, b
 
 
+def minhash_affine_bands_batch(
+    tok_lists, n_perms: int = 16, band_size: int = 4, shingle_n: int = 3
+) -> list:
+    """The affine-scheme shingle→minhash→band kernel over one Arrow
+    batch of per-doc (already normalized) token arrays: build the word
+    n-gram shingles with plain string joins (identical bytes to
+    array_join∘slice; duplicates need no dedup — a minimum is
+    multiplicity-blind), md5 once per DISTINCT shingle in the batch,
+    every permutation minimum as one segmented ``minimum.reduceat``
+    over the flat hash array, band hashes as md5 of the comma-joined
+    decimal minima. ALL-INTEGER/STRING arithmetic — products stay
+    < 2^62 in int64 exactly like the SQL form, so the kernel is
+    bit-identical to the expression chain by construction (no floats
+    anywhere; pinned by the affine==md5-scheme pair test and the
+    DuckDB oracle).
+
+    NULL handling mirrors the expression chain: a NULL token array
+    (NULL-text doc) yields the [NULL] shingle, whose minima are NULL;
+    ``concat_ws`` drops NULLs, so every band hashes the empty string.
+    Docs shorter than ``shingle_n`` tokens emit the single whole-doc
+    join, exactly like ``shingle_arrays``'s otherwise-branch.
+    Module-level for microbenching/pinning (the simhash_batch
+    discipline)."""
+    n_bands = -(-n_perms // band_size)
+    a_list, b_list = minhash_affine_params(n_perms)
+    a_arr = np.asarray(a_list, dtype=np.int64)
+    b_arr = np.asarray(b_list, dtype=np.int64)
+
+    cache: dict[str, int] = {}
+    flat: list[int] = []
+    counts = np.zeros(len(tok_lists), dtype=np.int64)
+    for d, toks in enumerate(tok_lists):
+        c = 0
+        if toks is not None:
+            toks = list(toks)
+            if len(toks) >= shingle_n:
+                shingles = {
+                    " ".join(toks[i:i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            else:
+                shingles = (" ".join(toks),)
+            for s in shingles:
+                h = cache.get(s)
+                if h is None:
+                    h = int(
+                        hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16
+                    ) % MINHASH_PRIME
+                    cache[s] = h
+                flat.append(h)
+                c += 1
+        counts[d] = c
+    H = np.asarray(flat, dtype=np.int64)
+    nonempty = counts > 0
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    # reduceat needs non-empty segments: run over the docs that have
+    # shingles, scatter back, leave empty docs as None minima.
+    red_off = offsets[nonempty]
+    mins = np.empty((n_perms, len(counts)), dtype=np.int64)
+    for p in range(n_perms):
+        perm = (a_arr[p] * H + b_arr[p]) % MINHASH_PRIME
+        if len(red_off):
+            mins[p, nonempty] = np.minimum.reduceat(perm, red_off)
+    out = []
+    for d in range(len(counts)):
+        bands = []
+        for b in range(n_bands):
+            lo, hi = b * band_size, min((b + 1) * band_size, n_perms)
+            parts = (
+                [str(int(mins[p, d])) for p in range(lo, hi)]
+                if nonempty[d] else []
+            )
+            bands.append(hashlib.md5(",".join(parts).encode()).hexdigest())
+        out.append(bands)
+    return out
+
+
 def minhash_band_hashes(
     docs: DataFrame,
     n_perms: int = 16,
@@ -273,32 +351,40 @@ def minhash_band_hashes(
     # ceil: a trailing partial band still contributes (perms not evenly
     # divisible by band_size must not be silently dropped)
     n_bands = -(-n_perms // band_size)
-    sh = shingle_arrays(docs, shingle_n, id_col, text_col, extra_cols)
 
     if scheme == "affine":
-        a_list, b_list = minhash_affine_params(n_perms)
-        # base hash once per shingle (JVM md5 + conv hex→decimal)
-        hs = F.transform(
-            "shingles",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-            .cast("long") % MINHASH_PRIME,
-        )
-        d = sh.select("doc_id", *extra_cols, hs.alias("_hs"))
-        # per-perm minimum over the affine rehash — products < 2^62 stay
-        # exact in BIGINT on both engines (closure factory: pyspark
-        # introspects lambda arity, so no default-arg binding)
-        def _perm_min(a: int, b: int):
-            return F.array_min(
-                F.transform(
-                    "_hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+        # Round 6: the shingle→hash→16-permutation→band chain runs as
+        # ONE vectorized Arrow kernel (``minhash_affine_bands_batch``)
+        # over the native token split instead of 18 interpreted
+        # higher-order transforms per doc (HOFs do not whole-stage-
+        # codegen; the per-perm transform+array_min passes over the
+        # shingle array were the measured wall — guide §4.2).
+        # All-integer/string arithmetic, so the kernel is bit-identical
+        # to the expression form (affine==md5 pair-parity test + DuckDB
+        # oracle pin it). Tokenization (lower/regex/split) stays in the
+        # JVM scan — Java and Python lower()/regex semantics are NOT
+        # interchangeable, string joins are.
+        @pandas_udf("array<string>")
+        def _bands(toks: pd.Series) -> pd.Series:
+            return pd.Series(
+                minhash_affine_bands_batch(
+                    list(toks), n_perms, band_size, shingle_n
                 )
             )
 
-        mins = [
-            _perm_min(a_list[p], b_list[p]).cast("string").alias(f"_m{p}")
-            for p in range(n_perms)
-        ]
-    elif scheme == "md5":
+        d = docs.select(
+            F.col(id_col).alias("doc_id"), *extra_cols,
+            F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+        )
+        return d.select(
+            "doc_id", *extra_cols,
+            F.posexplode_outer(_bands("_toks")).alias(
+                "band", "band_hash"
+            ),
+        )
+
+    sh = shingle_arrays(docs, shingle_n, id_col, text_col, extra_cols)
+    if scheme == "md5":
         d = sh.select("doc_id", *extra_cols, F.col("shingles").alias("_hs"))
 
         def _perm_min_md5(pref: str):
@@ -743,16 +829,52 @@ def positional_ngram_hashes(
     toks = F.split(normalized_text(F.col(text_col)), " ")
     d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     if gram_hash == "md5":
-        hash_fn, empty_type = F.md5, "array<string>"
+        # Round 6: gram construction + md5 as one Arrow kernel instead
+        # of an interpreted transform-over-sequence (HOFs do not
+        # whole-stage-codegen — guide §4.2; measured 6.2 s of the 13 s
+        # query wall at sf1.0). " ".join == array_join byte-for-byte
+        # and hashlib.md5 hex == Spark md5 hex, so the hashes are
+        # bit-identical (DuckDB oracle pins it). The per-batch cache
+        # dedups repeated grams (duplicated content — exactly the rows
+        # this operator exists to find). The i64 scheme stays on the
+        # native expression path: Spark's xxhash64 is not available to
+        # Python here, and a reimplementation would be the opposite of
+        # the md5 parity argument.
+        # The kernel emits the RAW 16-byte digest, not the 32-char hex:
+        # hex↔bytes is a bijection, so gram EQUALITY — the only thing
+        # the span logic consumes (the gram never reaches the output) —
+        # is untouched while the persisted/shuffled key halves.
+        @pandas_udf("array<binary>")
+        def _gram_md5(tok_lists: pd.Series) -> pd.Series:
+            cache: dict[str, bytes] = {}
+
+            def one(toks):
+                if toks is None or len(toks) < n:
+                    return []
+                toks = list(toks)
+                out = []
+                for i in range(len(toks) - n + 1):
+                    g = " ".join(toks[i:i + n])
+                    h = cache.get(g)
+                    if h is None:
+                        h = hashlib.md5(g.encode("utf-8")).digest()
+                        cache[g] = h
+                    out.append(h)
+                return out
+
+            return tok_lists.map(one)
+
+        grams = _gram_md5("_toks")
     else:
-        hash_fn, empty_type = F.xxhash64, "array<bigint>"
-    grams = F.when(
-        F.size("_toks") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - n),
-            lambda i: hash_fn(F.array_join(F.slice("_toks", i + 1, n), " ")),
-        ),
-    ).otherwise(F.array().cast(empty_type))
+        grams = F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice("_toks", i + 1, n), " ")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
     return (
         d.select("doc_id", F.posexplode_outer(grams).alias("_p", "gram"))
         .filter(F.col("gram").isNotNull())
@@ -912,28 +1034,47 @@ def remove_duplicated_spans(
     joined = d.join(sp, "doc_id", "left").withColumn(
         "_spans", F.coalesce("_spans", F.array())
     )
-    # keep token i (1-based) iff no span covers it
-    kept = F.filter(
-        F.transform(
-            F.col("_toks"),
-            lambda tok, i: F.struct(
-                tok.alias("t"),
-                F.exists(
-                    F.col("_spans"),
-                    lambda s: (i + 1 >= s["span_start"])
-                    & (i + 1 <= s["span_end"]),
-                ).alias("drop"),
-            ),
-        ),
-        lambda st: ~st["drop"],
+
+    # Round 6: the keep-token filter as one Arrow kernel instead of an
+    # interpreted transform/exists/filter per token (HOFs do not
+    # whole-stage-codegen — guide §4.2). Pure integer interval masking
+    # + " ".join (== array_join byte-for-byte), so the output is
+    # bit-identical; a NULL token array (NULL text) yields NULL
+    # text/counts exactly like size(NULL)/array_join(NULL).
+    @pandas_udf(
+        "struct<clean_text:string,n_removed_tokens:bigint,"
+        "n_kept_tokens:bigint>"
     )
+    def _remove(tok_lists: pd.Series, span_lists: pd.Series) -> pd.DataFrame:
+        texts, removed, kept_n = [], [], []
+        for toks, spans in zip(tok_lists, span_lists):
+            if toks is None:
+                texts.append(None)
+                removed.append(None)
+                kept_n.append(None)
+                continue
+            toks = list(toks)
+            mask = np.zeros(len(toks), dtype=bool)
+            for s in spans:
+                # 1-based inclusive offsets; clamp to the token range
+                mask[max(s["span_start"] - 1, 0):s["span_end"]] = True
+            kept = [t for t, m in zip(toks, mask) if not m]
+            texts.append(" ".join(kept))
+            removed.append(len(toks) - len(kept))
+            kept_n.append(len(kept))
+        return pd.DataFrame({
+            "clean_text": texts,
+            "n_removed_tokens": pd.array(removed, dtype="Int64"),
+            "n_kept_tokens": pd.array(kept_n, dtype="Int64"),
+        })
+
     return joined.select(
+        "doc_id", _remove("_toks", "_spans").alias("_r")
+    ).select(
         "doc_id",
-        F.array_join(F.transform(kept, lambda st: st["t"]), " ")
-        .alias("clean_text"),
-        (F.size("_toks") - F.size(kept)).cast("long")
-        .alias("n_removed_tokens"),
-        F.size(kept).cast("long").alias("n_kept_tokens"),
+        F.col("_r.clean_text").alias("clean_text"),
+        F.col("_r.n_removed_tokens").alias("n_removed_tokens"),
+        F.col("_r.n_kept_tokens").alias("n_kept_tokens"),
     )
 
 

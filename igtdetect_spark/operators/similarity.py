@@ -271,43 +271,102 @@ def embedding_neardup_pairs(
     buckets stay populated (the graded query uses 4×4). The threshold
     compares floor(sim·1e6) so the cut is bit-stable across engines."""
     embeddings = embeddings.filter(F.col(vec_col).isNotNull())
-    bb = banded_hyperplane_buckets(
-        embeddings, n_bands, band_planes, seed, dim, id_col, vec_col
-    )
-    a, b = bb.alias("a"), bb.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    pairs = cand.join(
-        e.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va")),
-        "vec_a",
-    ).join(
-        e.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb")),
-        "vec_b",
-    )
-    sim = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb"))
-    )
     thr_e6 = int(threshold * 1e6)
-    return pairs.select(
-        "vec_a",
-        "vec_b",
-        F.floor(sim * 1e6).cast("long").alias("cos_sim_e6"),
-    ).filter(F.col("cos_sim_e6") >= thr_e6)
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bands * band_planes, dim))
+
+    # Round 6: the whole band → candidate → rescore chain runs as two
+    # vectorized numpy kernels instead of interpreted higher-order
+    # folds (the rescore previously evaluated an aggregate/zip_with
+    # fold per CANDIDATE PAIR — tens of millions of interpreted 64-dim
+    # folds, the measured 65 s wall at sf1.0; guide §4.2). Bit-exact by
+    # the semdedup argument: every accumulation below performs the SAME
+    # IEEE adds in the SAME dim order as the Catalyst fold (acc starts
+    # 0.0, adds one product per dim), the bucket is the integer
+    # Σ (dot>0)<<j over those exact signs, and the rescore does one
+    # divide / one multiply / one floor per pair. A pair colliding in
+    # several bands is rescored per collision to the IDENTICAL value,
+    # so the distinct() below returns exactly the rescored-once rows.
+    def _band_rows(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([
+                np.asarray(x, dtype=np.float64) for x in pdf[vec_col]
+            ])
+            n = len(V)
+            D = np.zeros((n, len(planes)))
+            nrm = np.zeros(n)
+            for i in range(dim):  # fold order == Catalyst aggregate
+                D += V[:, i][:, None] * planes[None, :, i]
+                nrm += V[:, i] * V[:, i]
+            signs = D > 0
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            norms = np.sqrt(nrm)
+            for b in range(n_bands):
+                bucket = np.zeros(n, dtype=np.int64)
+                for j in range(band_planes):
+                    bucket += signs[:, b * band_planes + j] << j
+                yield _pd.DataFrame({
+                    "vec_id": ids, "_v": list(V), "_n": norms,
+                    "band": np.full(n, b, dtype=np.int32),
+                    "bucket": bucket.astype(np.int32),
+                })
+
+    sigs = embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _band_rows,
+        "vec_id long, _v array<double>, _n double, band int, bucket int",
+    )
+
+    def _bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as _pd
+
+        n = len(pdf)
+        empty = _pd.DataFrame(
+            {"vec_a": _pd.Series([], dtype="int64"),
+             "vec_b": _pd.Series([], dtype="int64"),
+             "cos_sim_e6": _pd.Series([], dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.stack([
+            np.asarray(v, dtype=np.float64) for v in pdf["_v"].iloc[order]
+        ])
+        norms = pdf["_n"].to_numpy(dtype=np.float64)[order]
+        out_a, out_b, out_s = [], [], []
+        B = 2048
+        for s0 in range(0, n, B):
+            s1 = min(s0 + B, n)
+            blk = np.zeros((s1 - s0, n))
+            for i in range(V.shape[1]):  # fold order == Catalyst
+                blk += V[s0:s1, i][:, None] * V[None, :, i]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                simf = np.floor(
+                    blk / (norms[s0:s1, None] * norms[None, :]) * 1e6
+                )
+            r, c = np.nonzero(
+                (np.arange(n)[None, :] > np.arange(s0, s1)[:, None])
+                & (simf >= thr_e6)  # NaN compares False, like SQL NULL
+            )
+            if len(r):
+                out_a.append(ids[r + s0])
+                out_b.append(ids[c])
+                out_s.append(simf[r, c].astype(np.int64))
+        if not out_a:
+            return empty
+        return _pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "cos_sim_e6": np.concatenate(out_s),
+        })
+
+    return sigs.groupBy("band", "bucket").applyInPandas(
+        _bucket_pairs, "vec_a long, vec_b long, cos_sim_e6 long"
+    ).distinct()
 
 
 def kmeans_centroids(

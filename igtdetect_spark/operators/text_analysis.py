@@ -299,49 +299,92 @@ def gopher_filters(
     ``gopher_pass`` is derived from the floored _e6 columns, not the raw
     doubles, so the flag is trivially cross-engine-stable. Ratios are
     NULL (not errors) on empty/NULL text via try_divide, matching
-    DuckDB's x/0."""
-    t = F.col(text_col)
-    toks = _tokens(t)
-    n = F.size(toks)
-    # long accumulator: a 100 TB corpus can hold single documents whose
-    # total character count overflows int32
-    mean_len = F.try_divide(
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)),
-        n,
+    DuckDB's x/0.
+
+    Round 6: runs as one Arrow kernel per batch instead of the
+    interpreted aggregate/filter/zip_with higher-order chain (HOFs do
+    not whole-stage-codegen — guide §4.2; 6.4 s → ~2 s at sf1.0).
+    Bit-exact replication of the expression semantics: the identical
+    ASCII whitespace regex and space-only trim, counts and character
+    sums as exact integers, the same IEEE double sequence for each
+    ratio (one divide, the /3 ellipsis term, one ×1e6, one floor), and
+    the mode of the sorted bigram array is the plain max run count —
+    all pinned by the DuckDB oracle."""
+    import math
+    import re as _re
+
+    mw, xw = int(min_words), int(max_words)
+
+    @pandas_udf(
+        "struct<n_words:int,mean_word_len_e6:bigint,frac_alpha_e6:bigint,"
+        "symbol_ratio_e6:bigint,top_bigram_frac_e6:bigint,"
+        "gopher_pass:boolean>"
     )
-    frac_alpha = F.try_divide(
-        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))), n
+    def _gopher(texts: pd.Series) -> pd.DataFrame:
+        ws = _re.compile(WS_CLASS)
+        alpha = _re.compile("[a-zA-Z]")
+        rows = {k: [] for k in (
+            "n_words", "mean_word_len_e6", "frac_alpha_e6",
+            "symbol_ratio_e6", "top_bigram_frac_e6", "gopher_pass",
+        )}
+        e6 = lambda x: None if x is None else math.floor(x * 1e6)
+        for t in texts:
+            if t is None:
+                for k in rows:
+                    rows[k].append(None)
+                continue
+            toks = ws.sub(" ", t).strip(" ").split(" ")
+            n = len(toks)
+            mean_len = e6(sum(len(w) for w in toks) / n)
+            fa = e6(sum(1 for w in toks if alpha.search(w)) / n)
+            n_hash = len(t) - len(t.replace("#", ""))
+            n_ell = (len(t) - len(t.replace("...", ""))) / 3
+            sym = e6((n_hash + n_ell) / n)
+            if n >= 2:
+                cnt: dict[str, int] = {}
+                prev = toks[0]
+                for w in toks[1:]:
+                    bg = prev + " " + w
+                    cnt[bg] = cnt.get(bg, 0) + 1
+                    prev = w
+                top = e6(max(cnt.values()) / (n - 1))
+            else:
+                top = None
+            rows["n_words"].append(n)
+            rows["mean_word_len_e6"].append(mean_len)
+            rows["frac_alpha_e6"].append(fa)
+            rows["symbol_ratio_e6"].append(sym)
+            rows["top_bigram_frac_e6"].append(top)
+            rows["gopher_pass"].append(
+                mw <= n <= xw
+                and 3_000_000 <= mean_len <= 10_000_000
+                and fa >= 800_000
+                and sym <= 100_000
+                and (top if top is not None else 0) <= 200_000
+            )
+        return pd.DataFrame({
+            "n_words": pd.array(rows["n_words"], dtype="Int32"),
+            "mean_word_len_e6": pd.array(rows["mean_word_len_e6"],
+                                         dtype="Int64"),
+            "frac_alpha_e6": pd.array(rows["frac_alpha_e6"], dtype="Int64"),
+            "symbol_ratio_e6": pd.array(rows["symbol_ratio_e6"],
+                                        dtype="Int64"),
+            "top_bigram_frac_e6": pd.array(rows["top_bigram_frac_e6"],
+                                           dtype="Int64"),
+            "gopher_pass": pd.array(rows["gopher_pass"], dtype="boolean"),
+        })
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _gopher(F.col(text_col)).alias("_g")
+    ).select(
+        "doc_id",
+        F.col("_g.n_words").alias("n_words"),
+        F.col("_g.mean_word_len_e6").alias("mean_word_len_e6"),
+        F.col("_g.frac_alpha_e6").alias("frac_alpha_e6"),
+        F.col("_g.symbol_ratio_e6").alias("symbol_ratio_e6"),
+        F.col("_g.top_bigram_frac_e6").alias("top_bigram_frac_e6"),
+        F.col("_g.gopher_pass").alias("gopher_pass"),
     )
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    n_ell = (
-        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / 3
-    symbol_ratio = F.try_divide(n_hash + n_ell, n)
-    bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    top_bigram_frac = F.try_divide(
-        _max_equal_run(F.array_sort(bigrams)), n - 1
-    )
-    e6 = lambda c: F.floor(c * 1e6).cast("long")
-    out = docs.select(
-        F.col(id_col).alias("doc_id"),
-        n.alias("n_words"),
-        e6(mean_len).alias("mean_word_len_e6"),
-        e6(frac_alpha).alias("frac_alpha_e6"),
-        e6(symbol_ratio).alias("symbol_ratio_e6"),
-        e6(top_bigram_frac).alias("top_bigram_frac_e6"),
-    )
-    gopher_pass = (
-        F.col("n_words").between(min_words, max_words)
-        & F.col("mean_word_len_e6").between(3_000_000, 10_000_000)
-        & (F.col("frac_alpha_e6") >= 800_000)
-        & (F.col("symbol_ratio_e6") <= 100_000)
-        & (F.coalesce(F.col("top_bigram_frac_e6"), F.lit(0)) <= 200_000)
-    )
-    return out.withColumn("gopher_pass", gopher_pass)
 
 
 def _dup_run_chars(sorted_arr):
@@ -416,60 +459,102 @@ def repetition_ratios(
 
     All ratios integer-e6 floored (cross-engine hash-stable), NULL on
     empty/short inputs via try_divide. Scale shape: every signal is a
-    per-document native expression chain (sorted-array run-length
-    aggregates instead of explode + groupBy), so the operator is
-    ZERO-shuffle — a pure scan-shaped job at any corpus size."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    # Materialize the line and token arrays as NAMED columns first: an
-    # expression object reused inside a transform lambda is re-evaluated
-    # once PER ELEMENT (the dsir_weights O(tokens²) trap, PLANS.md);
-    # an attribute reference is evaluated once per row, and Catalyst's
-    # CollapseProject guard keeps multi-referenced non-cheap aliases
-    # from being re-inlined.
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-            lambda x: F.length(x) > 0,
-        ).alias("_lines"),
-        F.filter(_tokens(t), lambda x: F.length(x) > 0).alias("_toks"),
-    )
-    lines, toks = F.col("_lines"), F.col("_toks")
-    n_lines = F.size(lines)
-    tot_line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    dup_line_frac = F.try_divide(
-        n_lines - F.size(F.array_distinct(lines)), n_lines
-    )
-    dup_line_char_frac = F.try_divide(
-        _dup_run_chars(F.array_sort(lines)), tot_line_chars
-    )
+    per-document batch kernel, so the operator is ZERO-shuffle — a
+    pure scan-shaped job at any corpus size.
 
-    n_tok = F.size(toks)
-    tok_chars = F.length(F.array_join(toks, " "))
+    Round 6: runs as one Arrow kernel per batch instead of the
+    interpreted sorted-array run-length aggregates (higher-order
+    functions do not whole-stage-codegen — guide §4.2; 10.1 s → ~2 s
+    at sf1.0). Bit-exact replication: identical ASCII whitespace
+    regex / space-only trim / newline split, all counts and character
+    masses as exact integers, each ratio as ONE IEEE divide of those
+    integers then ×1e6 and floor, and the top-gram tie-break toward
+    the lexicographically largest gram (Python str ordering == UTF8
+    binary ordering) — pinned by the DuckDB oracle."""
+    import math
+    import re as _re
 
-    def gram_frac(n):
-        grams = F.when(
-            n_tok >= n,
-            F.transform(
-                F.sequence(F.lit(1), n_tok - n + 1),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return F.try_divide(
-            _top_run_char_mass(F.array_sort(grams)),
-            F.when(n_tok >= n, tok_chars),
-        )
+    @pandas_udf(
+        "struct<n_lines:int,dup_line_frac_e6:bigint,"
+        "dup_line_char_frac_e6:bigint,top_bigram_char_frac_e6:bigint,"
+        "top_trigram_char_frac_e6:bigint>"
+    )
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        ws = _re.compile(WS_CLASS)
+        cols = {k: [] for k in (
+            "n_lines", "dup_line_frac_e6", "dup_line_char_frac_e6",
+            "top_bigram_char_frac_e6", "top_trigram_char_frac_e6",
+        )}
 
-    e6 = lambda c: F.floor(c * 1e6).cast("long")
-    return base.select(
+        def div_e6(a, b):
+            # try_divide semantics: NULL on zero/NULL denominator; one
+            # correctly-rounded IEEE divide then ×1e6 and floor.
+            if not b:
+                return None
+            return math.floor(a / b * 1e6)
+
+        def top_mass(toks, n, tok_chars):
+            if len(toks) < n:
+                return None
+            cnt: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                cnt[g] = cnt.get(g, 0) + 1
+            c, g = max(
+                ((c, g) for g, c in cnt.items()),
+            )
+            return div_e6(c * len(g), tok_chars)
+
+        for t in texts:
+            if t is None:
+                t = ""
+            lines = [ln.strip(" ") for ln in t.split("\n")]
+            lines = [ln for ln in lines if ln]
+            n_lines = len(lines)
+            tot_chars = sum(len(ln) for ln in lines)
+            seen: dict[str, int] = {}
+            dup_chars = 0
+            for ln in lines:
+                if ln in seen:
+                    dup_chars += len(ln)
+                else:
+                    seen[ln] = 1
+            toks = [w for w in ws.sub(" ", t).strip(" ").split(" ") if w]
+            tok_chars = len(" ".join(toks))
+            cols["n_lines"].append(n_lines)
+            cols["dup_line_frac_e6"].append(
+                div_e6(n_lines - len(seen), n_lines)
+            )
+            cols["dup_line_char_frac_e6"].append(
+                div_e6(dup_chars, tot_chars)
+            )
+            cols["top_bigram_char_frac_e6"].append(
+                top_mass(toks, 2, tok_chars)
+            )
+            cols["top_trigram_char_frac_e6"].append(
+                top_mass(toks, 3, tok_chars)
+            )
+        return pd.DataFrame({
+            "n_lines": pd.array(cols["n_lines"], dtype="Int32"),
+            **{
+                k: pd.array(cols[k], dtype="Int64")
+                for k in (
+                    "dup_line_frac_e6", "dup_line_char_frac_e6",
+                    "top_bigram_char_frac_e6", "top_trigram_char_frac_e6",
+                )
+            },
+        })
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _rep(F.col(text_col)).alias("_r")
+    ).select(
         "doc_id",
-        n_lines.alias("n_lines"),
-        e6(dup_line_frac).alias("dup_line_frac_e6"),
-        e6(dup_line_char_frac).alias("dup_line_char_frac_e6"),
-        e6(gram_frac(2)).alias("top_bigram_char_frac_e6"),
-        e6(gram_frac(3)).alias("top_trigram_char_frac_e6"),
+        F.col("_r.n_lines").alias("n_lines"),
+        F.col("_r.dup_line_frac_e6").alias("dup_line_frac_e6"),
+        F.col("_r.dup_line_char_frac_e6").alias("dup_line_char_frac_e6"),
+        F.col("_r.top_bigram_char_frac_e6").alias("top_bigram_char_frac_e6"),
+        F.col("_r.top_trigram_char_frac_e6")
+        .alias("top_trigram_char_frac_e6"),
     )
 
 

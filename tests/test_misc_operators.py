@@ -1143,7 +1143,9 @@ class TestRepetitionRatios:
 
     def test_zero_shuffle_plan(self, spark):
         """The whole repetition family must stay scan-shaped: no
-        exchange, no Python evaluation."""
+        exchange, and the round-6 Arrow kernel must be the ONE Python
+        stage (vectorized ArrowEvalPython — never a row-pickling
+        BatchEvalPython)."""
         from igtdetect_spark.operators.text_analysis import repetition_ratios
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -1151,7 +1153,8 @@ class TestRepetitionRatios:
             repetition_ratios(docs)._jdf.queryExecution().executedPlan()
         )
         assert "Exchange" not in plan, plan
-        assert "Python" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert plan.count("ArrowEvalPython") == 1, plan
 
 
 class TestBudgetSelect:
