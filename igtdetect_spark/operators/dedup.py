@@ -97,15 +97,43 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
+    Round 6: the shingle array is built by one Arrow kernel over the
+    native token split instead of the interpreted transform-over-
+    sequence + array_distinct chain (HOFs do not whole-stage-codegen —
+    guide §4.2; the shingle pass alone measured 4.3 s at sf1.0).
+    " ".join == array_join byte-for-byte and a Python dict preserves
+    first-occurrence order exactly like array_distinct, so the
+    exploded row multiset is bit-identical (DuckDB oracle pins it).
+    NULL text yields the [NULL] shingle and short docs the single
+    whole-doc join, matching ``shingle_arrays``'s branches.
+
     ``explode_outer``, deliberately: plain explode triggers the
     InferFiltersFromGenerate optimizer rule, which injects a
-    non-codegen Filter whose pushed-down predicate re-evaluates the
-    ENTIRE shingle expression (split + 2 regexp_replace + transform)
-    several more times per row — measured 13× slower at sf0.1. The
-    shingles array is never null/empty by construction (the otherwise
+    non-codegen Filter re-evaluating the generator input — and the
+    kernel's array is never null/empty by construction (the short-doc
     branch emits a 1-element array), so outer semantics are identical."""
-    return shingle_arrays(docs, n, id_col, text_col).select(
-        "doc_id", F.explode_outer("shingles").alias("shingle")
+
+    @pandas_udf("array<string>")
+    def _shingles(tok_lists: pd.Series) -> pd.Series:
+        def one(toks):
+            if toks is None:
+                return [None]
+            toks = list(toks)
+            if len(toks) < n:
+                return [" ".join(toks)]
+            return list(dict.fromkeys(
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            ))
+
+        return tok_lists.map(one)
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    return d.select(
+        "doc_id", F.explode_outer(_shingles("_toks")).alias("shingle")
     )
 
 

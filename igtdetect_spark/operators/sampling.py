@@ -9,6 +9,8 @@ a seedable uniform permutation both engines can reproduce bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -178,44 +180,57 @@ def dsir_weights(
     relation to skip the first pass entirely.
     """
     B = n_buckets
-    # Tokenize ONCE into a named column, and build bigrams via zip_with
-    # over two slices of that attribute — NOT transform(sequence, i ->
-    # element_at(<tokenizer expr>, i)), which re-ran the whole
-    # (filter∘split) tokenizer once per bigram: O(tokens²) per row,
-    # measured 19.8 s at sf0.1 vs 3.5 s for this form (PLANS.md,
-    # "lambda trap").
+    # Round 6: unigram+bigram hashing as ONE Arrow kernel over the
+    # native token split instead of the interpreted zip_with/explode
+    # chain + per-gram md5 expression (HOFs do not whole-stage-codegen;
+    # the gram→bucket projection alone measured 8.6 s of the 9 s query
+    # wall at sf1.0 — guide §4.2). All-integer: the bucket is
+    # int(md5_hex[:8], 16) % B, exactly conv(substring(md5,1,8),16,10)
+    # pmod B — no floats, so bit-identity is by construction (DuckDB
+    # oracle pins it). The kernel emits bucket ids only — the gram
+    # string never leaves the Python worker, a strictly narrower
+    # Arrow transfer than the exploded gram stream.
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _buckets(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"[ \t\n\r\f\x0b]+")
+        cache: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            b = cache.get(g)
+            if b is None:
+                b = int(
+                    hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16
+                ) % B
+                cache[g] = b
+            return b
+
+        def one(t):
+            toks = [w for w in ws.sub(" ", t or "").strip(" ").split(" ")
+                    if w]
+            out = [bucket(w) for w in toks]
+            prev = None
+            for w in toks:
+                if prev is not None:
+                    out.append(bucket(prev + " " + w))
+                prev = w
+            return out
+
+        return texts.map(one)
+
     tokenized = docs.select(
         F.col(id_col).alias("doc_id"),
         target_pred.cast("boolean").alias("_is_target"),
-        F.filter(
-            F.split(
-                F.trim(F.regexp_replace(
-                    F.coalesce(F.col(text_col), F.lit("")),
-                    r"[ \t\n\r\f\x0b]+", " ")),
-                " ",
-            ),
-            lambda w: F.length(w) > 0,
-        ).alias("_tk"),
+        _buckets(F.col(text_col)).alias("_bk"),
     )
-    tk = F.col("_tk")
-    bigrams = F.when(
-        F.size(tk) >= 2,
-        F.zip_with(
-            F.slice(tk, 1, F.size(tk) - 1),
-            F.slice(tk, 2, F.size(tk) - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        ),
-    ).otherwise(F.array())
     grams = tokenized.select(
         "doc_id", "_is_target",
-        F.explode(F.concat(tk, bigrams)).alias("gram"),
-    ).withColumn(
-        "bucket",
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
-            .cast("long"),
-            F.lit(B),
-        ),
+        F.explode("_bk").alias("bucket"),
     )
     # Project the gram stream down to its 17-byte decision columns and
     # persist: both consumers (per-bucket stats, per-doc weighting)

@@ -32,20 +32,19 @@ def test_fused_detect_plan_has_zero_exchanges(spark, ctx):
 
 
 def test_minhash_signature_plan_has_zero_exchanges(spark):
-    """The whole minhash signature stage is narrow native projections —
-    no explode×perms blowup, no groupBy shuffle, and (since round 3) no
-    Python evaluation at all: md5/conv/array_min run in codegen."""
+    """The whole minhash signature stage is narrow — no explode×perms
+    blowup, no groupBy shuffle, and (since round 6) exactly ONE
+    vectorized Python stage: the shingle→hash→band Arrow kernel
+    (never a row-pickling BatchEvalPython; the interpreted
+    17-higher-order-transform chain it replaced measured 8 s at
+    sf1.0)."""
     from igtdetect_spark.operators.dedup import minhash_band_hashes
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(minhash_band_hashes(docs))
     assert "Exchange" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan
-    # the per-shingle base-hash projection must NOT be inlined into the
-    # 16 per-perm minima (that would recompute md5 n_perms times): the
-    # conv(...md5...) base hash appears exactly once in the plan
-    assert plan.count("conv(substring(md5") == 1
 
 
 def test_minhash_md5_scheme_plan_is_also_native(spark):
@@ -273,7 +272,12 @@ def test_substring_dup_spans_two_shuffle_shape(spark):
     df = q_substring_dup_spans(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # round 6: gram construction + md5 is one vectorized Arrow kernel
+    # living inside the persisted gram relation (InMemoryTableScan
+    # subtrees are elided from this rendering) — the visible plan must
+    # stay free of row-pickling BatchEvalPython stages
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan, plan
     # gram-side exchanges (agg + join probe) + one doc_id exchange; the
     # island groupBy must NOT add a fourth (doc_id partitioning satisfies
     # the (doc_id, _isl) clustering)
