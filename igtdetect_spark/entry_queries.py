@@ -20,9 +20,38 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .operators.scale import spread_small_scan
     from .shipping import ensure_package_shipped
 
     ensure_package_shipped(spark)  # executors import the zipped package
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Round 6: the driver tables are single-row-group parquet at every
+    # SF, so every map stage over a bare scan runs as ONE task no
+    # matter how many file splits the planner cuts. For the TEXT and
+    # VECTOR tables — whose consumers do expensive per-row kernel work
+    # before their first exchange — round-robin the scan across the
+    # default parallelism (a no-op past 64 MB, so cluster-scale inputs
+    # keep their native splits; operators/scale.py:spread_small_scan).
+    # The relational tables stay raw: their consumers' first operation
+    # is a keyed aggregate/window, where the spread just inserts a
+    # second full exchange before the keyed one (measured +0.6-1.6 s
+    # on span_islands_events / revenue_topk and friends).
+    if name in ("documents", "embeddings"):
+        df = spread_small_scan(df)
+    return df
+
+
+def _t_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Un-spread scan for consumers where the round-robin spread was
+    measured a LOSS: the iterative graph kernels derive their edge
+    tables from doc_id alone (no text crosses any map stage) and
+    re-execute the base subtree once per iteration — each re-execution
+    would pay the exchange while the per-iteration stage barriers, not
+    scan parallelism, are the wall (hits_scores 5.6 → 8.3 s with the
+    spread, same-session A/B)."""
+    from .shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1004,7 +1033,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on term instead (see operators/scale.py)."""
     from .operators.scale import maybe_broadcast, plan_size_bytes
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     _vocab_bound = plan_size_bytes(docs)
     toks = docs.select(
         "source",
@@ -1970,7 +1999,9 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle)."""
     from .operators.sampling import mixture_resample
 
-    return mixture_resample(_t(spark, sf_dir, "documents"))
+    # _t_raw: first op is a keyed cell aggregate + broadcast verdict
+    # map — the small-scan spread just inserts an extra exchange
+    return mixture_resample(_t_raw(spark, sf_dir, "documents"))
 
 
 def _sql_mixture_resample() -> str:
@@ -2023,7 +2054,7 @@ def q_mixture_resample_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back on."""
     from .operators.sampling import mixture_resample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     cells = docs.select("lang", "source").distinct()
     w = Window.orderBy("lang", "source")
     rec = cells.withColumn("_r", F.row_number().over(w).cast("long"))
@@ -3374,7 +3405,7 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import link_graph, synthetic_linked_pages
 
     return link_graph(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -3446,7 +3477,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return robots_filter(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents")),
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents")),
         robots_rules_df(spark),
     )
 
@@ -3831,7 +3862,7 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import anchor_text_profile, synthetic_linked_pages
 
     return anchor_text_profile(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -3867,7 +3898,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     from .operators.webpages import pagerank, synthetic_linked_pages
 
-    return pagerank(synthetic_linked_pages(_t(spark, sf_dir, "documents")))
+    return pagerank(synthetic_linked_pages(_t_raw(spark, sf_dir, "documents")))
 
 
 def _sql_pagerank(iterations: int = 3, damping_ppm: int = 850_000) -> str:
@@ -4018,7 +4049,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import host_graph, synthetic_linked_pages
 
     return host_graph(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -4140,7 +4171,7 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer join; both sides crawl-sized, nothing broadcast."""
     from .operators.webpages import snapshot_upsert
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     d = F.col("doc_id")
     h = F.md5(d.cast("string"))
     from .operators.webpages import _nib
@@ -4348,7 +4379,7 @@ def q_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return link_spam_scores(
-        host_graph(synthetic_linked_pages(_t(spark, sf_dir, "documents")))
+        host_graph(synthetic_linked_pages(_t_raw(spark, sf_dir, "documents")))
     )
 
 
@@ -4520,7 +4551,7 @@ def q_host_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import host_quality_gate, synthetic_host_pages
 
     return host_quality_gate(
-        synthetic_host_pages(_t(spark, sf_dir, "documents"))
+        synthetic_host_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -5144,7 +5175,7 @@ def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import synthetic_linked_pages
     from .sources.warc import parse_warc, wat_records
 
-    pages = synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    pages = synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     w = parse_warc(wat_records(pages), with_payload=True)
     return w.select(
         "url",
@@ -5537,7 +5568,7 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return crawl_budget(
         domain_rollup(
-            synthetic_domain_pages(_t(spark, sf_dir, "documents")),
+            synthetic_domain_pages(_t_raw(spark, sf_dir, "documents")),
             public_suffix_df(spark),
         )
     )
@@ -5679,7 +5710,7 @@ def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import crawl_depth, synthetic_linked_pages
 
     return crawl_depth(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -5733,7 +5764,7 @@ def q_bowtie_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import bowtie_classes, synthetic_linked_pages
 
     return bowtie_classes(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -5767,7 +5798,7 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import hits_scores, synthetic_linked_pages
 
     return hits_scores(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -5832,7 +5863,7 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import synthetic_linked_pages, trustrank
 
     return trustrank(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -6091,7 +6122,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return triangle_counts(
         synthetic_linked_pages(
-            _t(spark, sf_dir, "documents"), targets_mod=48
+            _t_raw(spark, sf_dir, "documents"), targets_mod=48
         )
     )
 
@@ -6160,7 +6191,7 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         trustrank,
     )
 
-    pages = synthetic_linked_pages(_t(spark, sf_dir, "documents"))
+    pages = synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
     pr0, tr0 = pagerank(pages), trustrank(pages)
     pr = pr0.select("url", "rank_e6")
     tr = tr0.select("url", "trust_e6")
@@ -6227,7 +6258,7 @@ def q_clustering_coeffs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tri = triangle_counts(
         synthetic_linked_pages(
-            _t(spark, sf_dir, "documents"), targets_mod=48
+            _t_raw(spark, sf_dir, "documents"), targets_mod=48
         )
     )
     per_node = tri.filter(F.col("degree") >= 2).select(
@@ -6276,7 +6307,7 @@ def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return landmark_closeness(
         synthetic_linked_pages(
-            _t(spark, sf_dir, "documents"), targets_mod=48
+            _t_raw(spark, sf_dir, "documents"), targets_mod=48
         )
     )
 
@@ -7053,7 +7084,7 @@ def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return robots_rfc9309(
-        synthetic_linked_pages(_t(spark, sf_dir, "documents")),
+        synthetic_linked_pages(_t_raw(spark, sf_dir, "documents")),
         rfc9309_rules_df(spark),
     )
 

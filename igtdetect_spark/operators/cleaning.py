@@ -312,6 +312,9 @@ def span_corruption(
 
     import pandas as _pd
 
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
     B, M = int(block_tokens), int(mask_nibbles)
 
     def _corrupt(batches):

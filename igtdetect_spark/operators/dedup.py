@@ -46,6 +46,9 @@ def normalized_text(col):
 def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """doc_id + md5 fingerprint of normalized text."""
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
@@ -112,6 +115,9 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     non-codegen Filter re-evaluating the generator input — and the
     kernel's array is never null/empty by construction (the short-doc
     branch emits a 1-element array), so outer semantics are identical."""
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
 
     @pandas_udf("array<string>")
     def _shingles(tok_lists: pd.Series) -> pd.Series:
@@ -229,7 +235,12 @@ def release_plan_caches(df: DataFrame) -> int:
     handles released."""
     handles = getattr(df, "_plan_cache_handles", None) or []
     for h in handles:
-        h.unpersist()
+        # blocking: a fire-and-forget unpersist leaves the entry
+        # visible in getPersistentRDDs for an arbitrary while (racy
+        # leak checks) and lets block cleanup bleed into the NEXT
+        # timed query of a bench loop — release deterministically,
+        # outside any timed window by contract.
+        h.unpersist(blocking=True)
     if handles:
         df._plan_cache_handles = []
     return len(handles)
@@ -379,6 +390,9 @@ def minhash_band_hashes(
     # ceil: a trailing partial band still contributes (perms not evenly
     # divisible by band_size must not be silently dropped)
     n_bands = -(-n_perms // band_size)
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
 
     if scheme == "affine":
         # Round 6: the shingle→hash→16-permutation→band chain runs as
@@ -560,6 +574,9 @@ def simhash_docs(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, simhash BIGINT): 64-bit SimHash over normalized tokens,
     md5-based token hashes (deterministic across runs/engines). One
     vectorized Arrow kernel (``simhash_batch``) per batch."""
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -854,6 +871,9 @@ def positional_ngram_hashes(
     InferFiltersFromGenerate reason as ``word_shingles``."""
     if gram_hash not in ("md5", "i64"):
         raise ValueError(f"gram_hash must be 'md5' or 'i64', got {gram_hash!r}")
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
     toks = F.split(normalized_text(F.col(text_col)), " ")
     d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     if gram_hash == "md5":
@@ -893,20 +913,45 @@ def positional_ngram_hashes(
             return tok_lists.map(one)
 
         grams = _gram_md5("_toks")
-    else:
-        grams = F.when(
-            F.size("_toks") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - n),
-                lambda i: F.xxhash64(
-                    F.array_join(F.slice("_toks", i + 1, n), " ")
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        return (
+            d.select(
+                "doc_id", F.posexplode_outer(grams).alias("_p", "gram")
+            )
+            .filter(F.col("gram").isNotNull())
+            .select(
+                "doc_id", (F.col("_p") + 1).cast("long").alias("pos"),
+                "gram",
+            )
+        )
+    # i64: gram STRINGS built in the kernel (plain joins — identical
+    # bytes to array_join∘slice), the hash applied as native codegen
+    # xxhash64 on the exploded flat column: Spark's xxhash64 has no
+    # Python twin, and hashing per element inside a transform was the
+    # interpreted-HOF wall (guide §4.2).
+    @pandas_udf("array<string>")
+    def _gram_strs(tok_lists: pd.Series) -> pd.Series:
+        def one(toks):
+            if toks is None or len(toks) < n:
+                return []
+            toks = list(toks)
+            return [
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)
+            ]
+
+        return tok_lists.map(one)
+
     return (
-        d.select("doc_id", F.posexplode_outer(grams).alias("_p", "gram"))
-        .filter(F.col("gram").isNotNull())
-        .select("doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "gram")
+        d.select(
+            "doc_id", F.posexplode_outer(_gram_strs("_toks")).alias(
+                "_p", "_g"
+            )
+        )
+        .filter(F.col("_g").isNotNull())
+        .select(
+            "doc_id", (F.col("_p") + 1).cast("long").alias("pos"),
+            F.xxhash64(F.col("_g")).alias("gram"),
+        )
     )
 
 
@@ -1054,11 +1099,15 @@ def remove_duplicated_spans(
     dedup domain; callers needing original-byte surgery map offsets
     back through their own tokenizer).
     """
+    from .scale import spread_small_scan
+
     sp = spans.groupBy(F.col("doc_id")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    d = spread_small_scan(docs).select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    )
     joined = d.join(sp, "doc_id", "left").withColumn(
         "_spans", F.coalesce("_spans", F.array())
     )

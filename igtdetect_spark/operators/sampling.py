@@ -194,6 +194,10 @@ def dsir_weights(
 
     from pyspark.sql.functions import pandas_udf
 
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
+
     @pandas_udf("array<int>")
     def _buckets(texts: pd.Series) -> pd.Series:
         import re as _re
@@ -440,6 +444,9 @@ def budget_select(
 
     Output: (doc_id, n_tokens, score_e6) of admitted documents.
     """
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
     tk = F.filter(
         F.split(
             F.trim(F.regexp_replace(

@@ -69,6 +69,65 @@ def broadcast_bound_bytes(spark) -> int:
     return int(raw)
 
 
+#: Upper bound (bytes, Catalyst scan estimate) under which
+#: :func:`spread_small_scan` round-robins a scan across the default
+#: parallelism.  64 MB: an input this small is at most a handful of
+#: parquet row groups — often ONE, which makes every downstream map
+#: stage a single task no matter how many file splits the planner
+#: cuts (splits without a row-group start yield zero rows).  At
+#: cluster scale inputs are far past the bound and the helper is a
+#: no-op by construction, so it cannot shrink real parallelism.
+DEFAULT_SPREAD_BOUND = 64 * 1024 * 1024
+
+_SPREAD_CONF_KEY = "igtdetect.spreadSmallScanBytes"
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` across ``defaultParallelism`` iff its scan
+    estimate is under the spread bound (conf
+    ``igtdetect.spreadSmallScanBytes``, 0 disables).
+
+    Why: a small parquet input is typically a single row group, and a
+    row group is the vectorized reader's atomic unit — the planner's
+    file SPLITS all map to the same row group, so exactly one task
+    carries every row and an expensive per-row kernel runs serially on
+    one core (measured 2× on the Arrow-kernel operators at bench
+    scale).  The round-robin exchange moves only the pruned columns
+    (Catalyst inserts the pruning Project below the repartition) and
+    costs far less than the recovered parallelism.  Deterministic
+    under retries via Spark's sort-before-repartition (guide §2.5);
+    row order is irrelevant to every consumer here (aggregates,
+    hash-compared outputs).  Streaming frames and over-bound inputs
+    pass through untouched."""
+    if getattr(df, "isStreaming", False):
+        return df
+    spark = df.sparkSession
+    try:
+        # idempotence: a frame that IS already a repartition (e.g. a
+        # source helper spread it before an operator-level call) must
+        # not pay a second exchange
+        if df._jdf.queryExecution().logical().getClass() \
+                .getSimpleName() in ("Repartition",
+                                     "RepartitionByExpression"):
+            return df
+    except Exception:
+        pass
+    try:
+        raw = spark.conf.get(_SPREAD_CONF_KEY)
+    except Exception:
+        raw = None
+    bound = DEFAULT_SPREAD_BOUND if raw is None else int(raw)
+    if bound <= 0:
+        return df
+    try:
+        size = plan_size_bytes(df)
+    except Exception:
+        return df
+    if size <= bound:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def maybe_broadcast(small: DataFrame, *, bound_bytes: int) -> DataFrame:
     """Return ``F.broadcast(small)`` iff ``bound_bytes`` (a sound upper
     bound on ``small``'s materialized size) fits under the session's

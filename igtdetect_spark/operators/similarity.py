@@ -270,7 +270,11 @@ def embedding_neardup_pairs(
     sized for ~10⁹ vectors; small corpora should drop band_planes so
     buckets stay populated (the graded query uses 4×4). The threshold
     compares floor(sim·1e6) so the cut is bit-stable across engines."""
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    from .scale import spread_small_scan
+
+    embeddings = spread_small_scan(
+        embeddings.filter(F.col(vec_col).isNotNull())
+    )
     thr_e6 = int(threshold * 1e6)
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_bands * band_planes, dim))
@@ -586,6 +590,9 @@ def semdedup(
         )
     )
     Cd = np.asarray(C, dtype=np.float64)
+    from .scale import spread_small_scan
+
+    embeddings = spread_small_scan(embeddings)
 
     # Assignment as one vectorized numpy kernel per batch instead of a
     # transform-over-centroids of interpreted aggregate/zip_with folds

@@ -313,6 +313,9 @@ def gopher_filters(
     import math
     import re as _re
 
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
     mw, xw = int(min_words), int(max_words)
 
     @pandas_udf(
@@ -474,6 +477,10 @@ def repetition_ratios(
     import math
     import re as _re
 
+    from .scale import spread_small_scan
+
+    docs = spread_small_scan(docs)
+
     @pandas_udf(
         "struct<n_lines:int,dup_line_frac_e6:bigint,"
         "dup_line_char_frac_e6:bigint,top_bigram_char_frac_e6:bigint,"
@@ -599,10 +606,11 @@ def bigram_lm_scores(
     production run would set them from measured NLL terciles the same
     way CCNet does with its Wikipedia LM.
     """
-    from .scale import maybe_broadcast, plan_size_bytes
+    from .scale import maybe_broadcast, plan_size_bytes, spread_small_scan
 
     if corpus_bound_bytes is None:
         corpus_bound_bytes = 2 * plan_size_bytes(docs)
+    docs = spread_small_scan(docs)
     tk = F.filter(
         _tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
         lambda w: F.length(w) > 0,
@@ -618,6 +626,11 @@ def bigram_lm_scores(
     c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     vrel = c1.agg(F.count(F.lit(1)).alias("V"))
 
+    # NOTE (round 6): building the pairs in an Arrow kernel
+    # (array<struct<w1,w2>> per doc) was measured 2× SLOWER than this
+    # interpreted zip_with (6.5 → 12.4 s at sf1.0) — per-pair Python
+    # dict/struct construction outweighs the HOF overhead, and the
+    # subtree runs in both consuming branches. Kept native.
     pairs = tokenized.filter(F.size(col) >= 2).select(
         "doc_id",
         F.explode(
@@ -711,10 +724,11 @@ def nb_domain_scores(
     """
     from pyspark.sql import Window
 
-    from .scale import maybe_broadcast, plan_size_bytes
+    from .scale import maybe_broadcast, plan_size_bytes, spread_small_scan
 
     if corpus_bound_bytes is None:
         corpus_bound_bytes = plan_size_bytes(docs)
+    docs = spread_small_scan(docs)
     tk = F.filter(
         _tokens(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
         lambda w: F.length(w) > 0,

@@ -1149,9 +1149,16 @@ class TestRepetitionRatios:
         from igtdetect_spark.operators.text_analysis import repetition_ratios
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        plan = str(
-            repetition_ratios(docs)._jdf.queryExecution().executedPlan()
-        )
+        # the cluster-scale contract: the small-scan round-robin spread
+        # only fires on tiny bench inputs (no-op past 64 MB), so pin
+        # the shape with it disabled
+        spark.conf.set("igtdetect.spreadSmallScanBytes", "0")
+        try:
+            plan = str(
+                repetition_ratios(docs)._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.spreadSmallScanBytes")
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
         assert plan.count("ArrowEvalPython") == 1, plan

@@ -31,6 +31,22 @@ def test_fused_detect_plan_has_zero_exchanges(spark, ctx):
     assert "MapInPandas" in plan
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_spread(spark):
+    """Pin the cluster-scale plan shape: disable the small-scan
+    round-robin spread (``spread_small_scan``), which fires only on
+    tiny (single-row-group) bench inputs and is a no-op past 64 MB —
+    the zero-exchange contracts below are 100 TB claims."""
+    spark.conf.set("igtdetect.spreadSmallScanBytes", "0")
+    try:
+        yield
+    finally:
+        spark.conf.unset("igtdetect.spreadSmallScanBytes")
+
+
 def test_minhash_signature_plan_has_zero_exchanges(spark):
     """The whole minhash signature stage is narrow — no explode×perms
     blowup, no groupBy shuffle, and (since round 6) exactly ONE
@@ -41,17 +57,24 @@ def test_minhash_signature_plan_has_zero_exchanges(spark):
     from igtdetect_spark.operators.dedup import minhash_band_hashes
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(minhash_band_hashes(docs))
+    with _no_spread(spark):
+        plan = _plan(minhash_band_hashes(docs))
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan
+    # at bench scale the spread DOES fire, and adds only the
+    # round-robin exchange — never a hash/range repartition
+    plan = _plan(minhash_band_hashes(docs))
+    assert "roundrobin" in plan.lower(), plan
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_minhash_md5_scheme_plan_is_also_native(spark):
     from igtdetect_spark.operators.dedup import minhash_band_hashes
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(minhash_band_hashes(docs, scheme="md5"))
+    with _no_spread(spark):
+        plan = _plan(minhash_band_hashes(docs, scheme="md5"))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
@@ -61,7 +84,8 @@ def test_simhash_plan_has_zero_exchanges(spark):
     from igtdetect_spark.operators.dedup import simhash_docs
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = _plan(simhash_docs(docs))
+    with _no_spread(spark):
+        plan = _plan(simhash_docs(docs))
     assert "Exchange" not in plan
 
 
@@ -321,7 +345,8 @@ def test_c4_clean_and_pii_redact_are_zero_shuffle_maps(spark):
     from igtdetect_spark.entry_queries import q_c4_clean, q_pii_redact
 
     for q in (q_c4_clean, q_pii_redact):
-        plan = _plan(q(spark, SF_DIR))
+        with _no_spread(spark):
+            plan = _plan(q(spark, SF_DIR))
         assert "Exchange" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
@@ -494,7 +519,8 @@ def test_link_resolve_plan_is_zero_exchange_native(spark):
     flat map (explode), no shuffle, no Python evaluation."""
     from igtdetect_spark.entry_queries import q_link_resolve
 
-    plan = _plan(q_link_resolve(spark, SF_DIR))
+    with _no_spread(spark):
+        plan = _plan(q_link_resolve(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
@@ -644,3 +670,27 @@ def test_revisit_export_is_one_join_native_render(spark):
     plan = _plan(q_revisit_export(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_spread_small_scan_is_scale_adaptive(spark):
+    """The round-robin spread fires only under the byte bound (tiny
+    bench inputs), never rewrites the partitioning key-wise, is
+    idempotent, and is a strict no-op when disabled or over-bound —
+    the cluster-scale guarantee that it cannot shrink parallelism."""
+    from igtdetect_spark.operators.scale import spread_small_scan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spread = spread_small_scan(docs)
+    plan = _plan(spread)
+    assert "roundrobin" in plan.lower(), plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # idempotent: a second application adds no second exchange
+    assert _plan(spread_small_scan(spread)).lower().count(
+        "roundrobinpartitioning"
+    ) == plan.lower().count("roundrobinpartitioning")
+    # over-bound / disabled → untouched frame
+    spark.conf.set("igtdetect.spreadSmallScanBytes", "1")
+    try:
+        assert spread_small_scan(docs) is docs
+    finally:
+        spark.conf.unset("igtdetect.spreadSmallScanBytes")

@@ -224,10 +224,16 @@ class TestExtractionFunnel:
     def test_single_python_stage_zero_exchange(self, spark):
         from igtdetect_spark.entry_queries import q_extraction_funnel
 
-        plan = str(
-            q_extraction_funnel(spark, "/root/testdata/sf0.001")
-            ._jdf.queryExecution().executedPlan()
-        )
+        # cluster-scale contract: pin the shape with the bench-only
+        # small-scan spread disabled (no-op past 64 MB)
+        spark.conf.set("igtdetect.spreadSmallScanBytes", "0")
+        try:
+            plan = str(
+                q_extraction_funnel(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.spreadSmallScanBytes")
         assert "Exchange" not in plan, plan
         assert plan.count("MapInPandas") == 1, plan
         assert "BatchEvalPython" not in plan, plan

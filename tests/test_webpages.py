@@ -848,10 +848,16 @@ class TestRecrawlDelta:
     def test_single_exchange_plan(self, spark):
         from igtdetect_spark.entry_queries import q_recrawl_delta
 
-        plan = str(
-            q_recrawl_delta(spark, "/root/testdata/sf0.001")
-            ._jdf.queryExecution().executedPlan()
-        )
+        # cluster-scale contract: pin the shape with the bench-only
+        # small-scan spread disabled (no-op past 64 MB)
+        spark.conf.set("igtdetect.spreadSmallScanBytes", "0")
+        try:
+            plan = str(
+                q_recrawl_delta(spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan()
+            )
+        finally:
+            spark.conf.unset("igtdetect.spreadSmallScanBytes")
         assert plan.count("Exchange") == 1, plan
         assert "Window" in plan, plan
         assert "BatchEvalPython" not in plan, plan
