@@ -1118,7 +1118,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import stratified_sample
 
     return stratified_sample(
-        _t(spark, sf_dir, "documents"), n_per_group=50, salt_parts=8
+        _t_raw(spark, sf_dir, "documents"), n_per_group=50, salt_parts=8
     )
 
 
@@ -6515,7 +6515,7 @@ def q_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.webpages import dust_rules, synthetic_param_pages
 
     return dust_rules(
-        synthetic_param_pages(_t(spark, sf_dir, "documents"))
+        synthetic_param_pages(_t_raw(spark, sf_dir, "documents"))
     )
 
 
@@ -6589,7 +6589,7 @@ def q_crawl_trap_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_param_pages,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_raw(spark, sf_dir, "documents")
     clean = docs.select(
         F.concat(
             F.lit("https://clean"),

@@ -167,34 +167,60 @@ def ngram_jaccard_pairs(
     end-to-end); at cluster scale prefer writing the shingle relation to
     an actual temp table and pass ``materialize=False``."""
     sh = word_shingles(docs, n, id_col, text_col)
+    # Round 6: ONE aggregate to per-shingle sorted doc lists replaces
+    # the previous shape (df-count aggregate + prune join re-executed
+    # per consuming branch + shingle-string SMJ self-join — the prune
+    # join alone ran three times). Every downstream consumer derives
+    # from the doc-list relation: doc sizes by exploding the lists,
+    # common counts by exploding the within-list pairs (sorted, so
+    # (i<j) positions ARE (doc_a<doc_b) values — identical pairs and
+    # counts to the self-join by construction; the DuckDB oracle still
+    # spells the join form and hash-matches). One shuffle of the
+    # shingle relation instead of three, no sort. ``materialize``
+    # persists the doc-list relation (the one multi-consumer handle —
+    # callers release via ``release_plan_caches``); at cluster scale
+    # stage it to a temp table and pass materialize=False.
+    # NULL-shingle rows (NULL-text docs) never satisfy the join form's
+    # a.shingle == b.shingle (NULL equality), so they pair with
+    # nothing; they are dropped before the grouping. Doc SIZES follow
+    # the join form too: with max_df the prune (inner) join dropped
+    # NULL-shingle rows from the counted relation, without it the raw
+    # relation was counted including them — both reproduced exactly
+    # (hostile-docs suite pins this).
+    nonnull = sh.filter(F.col("shingle").isNotNull())
+    grp = nonnull.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col("doc_id"))).alias("_ds")
+    )
     if max_df:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    # persist exactly ONE handle (the relation the downstream branches
-    # consume) — a second pre-prune persist was measured marginal and
-    # doubles the cache per invocation. Spark has no safe point to
-    # unpersist before the returned plan is consumed, so the handle is
-    # attached to the result; callers release it with
-    # ``release_plan_caches(df)`` after their action (bench does).
+        grp = grp.filter(F.size("_ds") <= max_df)
+    grp = grp.select("_ds")
     if materialize:
-        sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        grp = grp.persist()
+    size_src = (
+        grp.select(F.explode("_ds").alias("doc_id"))
+        if max_df
+        else sh.select("doc_id")
+    )
+    sizes = size_src.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pair_expr = F.flatten(
+        F.transform(
+            "_ds",
+            lambda x, i: F.transform(
+                F.slice("_ds", i + 2, F.size("_ds")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        grp.filter(F.size("_ds") >= 2)
+        .select(F.explode(pair_expr).alias("_p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("_p.a").alias("doc_a"),
+            F.col("_p.b").alias("doc_b"),
         )
         .agg(F.count("*").alias("n_common"))
     )
+    sh = grp  # the handle attached below
     out = (
         common.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
@@ -471,25 +497,37 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
 
-    NOTE (round 6): persisting the band relation before the self-join
-    was measured FLAT-to-slower at sf1.0 (8.4 → 9.1 s) — the band
-    signature pass is map-only whole-stage codegen and cheaper to
-    re-run than to cache-serialize, so both sides keep their own
-    scan."""
+    Round 6: candidate pairs come from ONE aggregate to per-bucket
+    sorted doc lists (pairs exploded from each list) instead of a
+    band-relation self-join — the signature kernel ran once per join
+    side and the join shuffled the band relation twice (the
+    ngram_jaccard doc-list shape). Sorted lists make (i<j) positions
+    exactly the (doc_a<doc_b) value pairs of the join form, so the
+    candidate set is identical by construction (DuckDB oracle still
+    spells the join and hash-matches). Candidate volume is unchanged
+    (Σ n_bucket² either way)."""
     bands = minhash_band_hashes(
         docs, n_perms, band_size, shingle_n, id_col, text_col, scheme
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    grp = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.col("doc_id"))).alias("_ds"))
+        .filter(F.size("_ds") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "_ds",
+            lambda x, i: F.transform(
+                F.slice("_ds", i + 2, F.size("_ds")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        grp.select(F.explode(pair_expr).alias("_p"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("_p.a").alias("doc_a"),
+            F.col("_p.b").alias("doc_b"),
         )
         .distinct()
     )
@@ -798,6 +836,11 @@ def simhash_neardup_pairs(
     # per branch (it previously also fed two rescore joins — 4 scans
     # per evaluation; guide §2.4/§4). Narrow: (doc_id, simhash BIGINT).
     # Callers release via release_plan_caches after their action.
+    # NOTE: the doc-list aggregate shape that won for ngram_jaccard /
+    # minhash_lsh_pairs was measured SLOWER here (2.9 → 5.7 s at
+    # sf1.0) — the 2^16-value band keys make millions of tiny buckets,
+    # where collect_list + per-list pair explosion costs more than the
+    # equi-join it replaces. Kept the join.
     sig = simhash_docs(docs, id_col, text_col).persist()
 
     # 4 rows/doc: (band, band value). Arithmetic shiftright + mask is
