@@ -2341,50 +2341,79 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one corpus, reported as cumulative survivor counts: quality
     (Gopher gates) → exact-dup keep-one → near-dup representative →
     benchmark-contamination clean. One row of five BIGINTs; every gate
-    reuses the exact operator the standalone query grades."""
+    reuses the exact operator the standalone query grades.
+
+    Round 6 (§2.4): the fingerprint subtree fed BOTH the keep-one
+    aggregate and the per-doc join — Catalyst re-executes duplicated
+    subtrees, so normalize+md5 ran twice over the corpus (noop-isolated
+    6.1 s of the funnel's 12 s); the narrow (doc_id, md5) relation is
+    now persisted and released per invocation. The flags join starts
+    from gopher's 1:1 output instead of a fifth corpus scan, and the
+    contamination gate — whose shared-gram COUNTS the funnel prunes
+    anyway — joins against the eval set's DISTINCT shingles and
+    dedups doc_id in ONE exchange instead of two (pair aggregate +
+    distinct). The near-dup kernel's persist handles are carried to
+    the returned frame (the q_clustering_coeffs lesson)."""
     from .operators.dedup import (
-        contamination_screen,
-        fingerprint_docs,
+        attach_plan_cache,
+        doc_tokens,
         neardup_clusters,
-        normalized_text,
+        word_shingles,
     )
     from .operators.text_analysis import gopher_filters
 
     docs = _t(spark, sf_dir, "documents")
     gt = gopher_filters(docs).select("doc_id", "gopher_pass")
-    fp = fingerprint_docs(docs)
+    # ONE persisted tokenize pass feeds the fingerprint, the minhash
+    # kernel, the corpus 13-gram shingles AND the eval-set slice —
+    # md5(array_join(_toks, " ")) == md5(normalized_text) exactly
+    # (normalize output is trimmed/single-spaced, so split⁻¹ == join)
+    toks = doc_tokens(docs).persist()
+    fp = toks.select(
+        "doc_id", F.md5(F.array_join("_toks", " ")).alias("fingerprint")
+    )
     keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("_keep"))
     ex = fp.join(keep, "fingerprint").select(
         "doc_id", (F.col("doc_id") == F.col("_keep")).alias("exact_keep")
     )
-    nd = neardup_clusters(docs).select(
-        "doc_id", F.col("is_representative").alias("is_rep")
+    ndf = neardup_clusters(docs, tokens=toks)
+    nd = ndf.select("doc_id", F.col("is_representative").alias("is_rep"))
+    ev_toks = toks.filter(F.col("doc_id") % 41 == 0).select(
+        "doc_id",
+        F.split(
+            F.array_join(F.slice("_toks", 5, 26), " "), " "
+        ).alias("_toks"),
     )
-    norm_toks = F.split(normalized_text(F.col("text")), " ")
-    evalset = docs.filter(F.col("doc_id") % 41 == 0).select(
-        F.col("doc_id").alias("eval_id"),
-        F.array_join(F.slice(norm_toks, 5, 26), " ").alias("text"),
+    # same kernel the contamination_screen operator uses; a doc is
+    # contaminated iff it shares ANY shingle with ANY eval item, so the
+    # distinct-shingle probe yields the identical doc_id set
+    ev_sh = (
+        word_shingles(None, _SUBSTR_N, tokens=ev_toks)
+        .select("shingle").distinct()
     )
     cont = (
-        contamination_screen(docs, evalset, n=_SUBSTR_N)
+        word_shingles(None, _SUBSTR_N, tokens=toks)
+        .join(F.broadcast(ev_sh), "shingle")
         .select("doc_id").distinct().withColumn("_c", F.lit(1))
     )
     flags = (
-        docs.select("doc_id")
-        .join(gt, "doc_id")
-        .join(ex, "doc_id")
+        gt.join(ex, "doc_id")
         .join(nd, "doc_id")
         .join(cont, "doc_id", "left")
     )
     q, e = F.col("gopher_pass"), F.col("exact_keep")
     r, nc = F.col("is_rep"), F.col("_c").isNull()
-    return flags.agg(
+    out = flags.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(q.cast("long")).alias("n_quality"),
         F.sum((q & e).cast("long")).alias("n_after_exact"),
         F.sum((q & e & r).cast("long")).alias("n_after_neardup"),
         F.sum((q & e & r & nc).cast("long")).alias("n_clean"),
     )
+    attach_plan_cache(out, toks)
+    for h in getattr(ndf, "_plan_cache_handles", []):
+        attach_plan_cache(out, h)
+    return out
 
 
 def _sql_curation_funnel() -> str:

@@ -96,9 +96,33 @@ def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, _toks): the normalized-token relation every shingle /
+    minhash kernel consumes — ``split(normalized_text(text), " ")``,
+    computed in the JVM scan (Java and Python lower()/regex semantics
+    are NOT interchangeable; string joins are).  Factored out so a
+    multi-gate composition (e.g. the curation funnel) can persist ONE
+    tokenize pass and hand it to several kernels via their ``tokens=``
+    hook instead of re-running the normalize regexes per branch
+    (guide §2.4 — the normalize projection alone measures ~1.5 s per
+    pass at sf1.0)."""
+    from .scale import spread_small_scan
+
+    return spread_small_scan(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
+    )
+
+
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  tokens: DataFrame | None = None) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    ``tokens``: optional pre-tokenized (doc_id, _toks) relation (from
+    :func:`doc_tokens`, typically persisted by a multi-gate caller);
+    when given, ``docs`` is not touched.
 
     Round 6: the shingle array is built by one Arrow kernel over the
     native token split instead of the interpreted transform-over-
@@ -115,9 +139,6 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     non-codegen Filter re-evaluating the generator input — and the
     kernel's array is never null/empty by construction (the short-doc
     branch emits a 1-element array), so outer semantics are identical."""
-    from .scale import spread_small_scan
-
-    docs = spread_small_scan(docs)
 
     @pandas_udf("array<string>")
     def _shingles(tok_lists: pd.Series) -> pd.Series:
@@ -134,10 +155,7 @@ def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
         return tok_lists.map(one)
 
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
-    )
+    d = tokens if tokens is not None else doc_tokens(docs, id_col, text_col)
     return d.select(
         "doc_id", F.explode_outer(_shingles("_toks")).alias("shingle")
     )
@@ -385,6 +403,7 @@ def minhash_band_hashes(
     text_col: str = "text",
     scheme: str = "affine",
     extra_cols: tuple[str, ...] = (),
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, *extra_cols, band, band_hash): minhash signatures folded
     into LSH bands. Docs sharing any band_hash are near-duplicate
@@ -418,7 +437,8 @@ def minhash_band_hashes(
     n_bands = -(-n_perms // band_size)
     from .scale import spread_small_scan
 
-    docs = spread_small_scan(docs)
+    if tokens is None:
+        docs = spread_small_scan(docs)
 
     if scheme == "affine":
         # Round 6: the shingle→hash→16-permutation→band chain runs as
@@ -440,10 +460,17 @@ def minhash_band_hashes(
                 )
             )
 
-        d = docs.select(
-            F.col(id_col).alias("doc_id"), *extra_cols,
-            F.split(normalized_text(F.col(text_col)), " ").alias("_toks"),
-        )
+        if tokens is not None:
+            if extra_cols:
+                raise ValueError("tokens= does not carry extra_cols")
+            d = tokens
+        else:
+            d = docs.select(
+                F.col(id_col).alias("doc_id"), *extra_cols,
+                F.split(
+                    normalized_text(F.col(text_col)), " "
+                ).alias("_toks"),
+            )
         return d.select(
             "doc_id", *extra_cols,
             F.posexplode_outer(_bands("_toks")).alias(
@@ -451,6 +478,8 @@ def minhash_band_hashes(
             ),
         )
 
+    if tokens is not None:
+        raise ValueError("tokens= is only supported for scheme='affine'")
     sh = shingle_arrays(docs, shingle_n, id_col, text_col, extra_cols)
     if scheme == "md5":
         d = sh.select("doc_id", *extra_cols, F.col("shingles").alias("_hs"))
@@ -494,6 +523,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     scheme: str = "affine",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing ≥1 LSH band.
 
@@ -507,7 +537,8 @@ def minhash_lsh_pairs(
     spells the join and hash-matches). Candidate volume is unchanged
     (Σ n_bucket² either way)."""
     bands = minhash_band_hashes(
-        docs, n_perms, band_size, shingle_n, id_col, text_col, scheme
+        docs, n_perms, band_size, shingle_n, id_col, text_col, scheme,
+        tokens=tokens,
     )
     grp = (
         bands.groupBy("band", "band_hash")
@@ -758,6 +789,7 @@ def neardup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     scheme: str = "affine",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, is_representative): the
     pairs → clusters → keep-one step of a near-dup pipeline. Documents
@@ -772,11 +804,16 @@ def neardup_clusters(
     one window on cluster_id for sizes.
     """
     pairs = minhash_lsh_pairs(
-        docs, n_perms, band_size, shingle_n, id_col, text_col, scheme
+        docs, n_perms, band_size, shingle_n, id_col, text_col, scheme,
+        tokens=tokens,
     )
     comp = connected_components(pairs)
+    base = (
+        tokens.select("doc_id") if tokens is not None
+        else docs.select(F.col(id_col).alias("doc_id"))
+    )
     out = (
-        docs.select(F.col(id_col).alias("doc_id"))
+        base
         .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .select(
             "doc_id",
@@ -784,12 +821,19 @@ def neardup_clusters(
         )
     )
     w = Window.partitionBy("cluster_id")
-    return out.select(
+    out = out.select(
         "doc_id",
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
     )
+    # forward any persist handles the pair pipeline attaches (none
+    # today — CC localCheckpoints the pair relation and checkpoint RDDs
+    # are GC-reclaimed — but a future materialize step must not leak
+    # silently through the discarded ``pairs`` object)
+    for h in getattr(pairs, "_plan_cache_handles", []):
+        attach_plan_cache(out, h)
+    return out
 
 
 # ---------------------------------------------------------------------------

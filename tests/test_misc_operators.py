@@ -7,6 +7,8 @@ import sqlite3
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from igtdetect_spark.config import DEFAULT_CONFIG, REF_SAMPLE_TEST
 from igtdetect_spark.flagship import get_lexicons, get_synthetic_model
 
@@ -232,6 +234,47 @@ class TestWordOverlap:
         }
         assert pairs["affine"] == pairs["md5"]
         assert pairs["affine"]  # non-trivial: the corpus plants near-dups
+
+    def test_pretokenized_hook_is_equivalent(self, spark):
+        """The ``tokens=`` hook (round 6: one persisted tokenize pass
+        shared by several kernels in the curation funnel) must yield
+        bit-identical rows to the self-tokenizing paths, including the
+        NULL-text and short-doc branches."""
+        from igtdetect_spark.operators.dedup import (
+            doc_tokens,
+            minhash_band_hashes,
+            word_shingles,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100).unionByName(spark.createDataFrame(
+            [(90001, None), (90002, "one two"), (90003, "")],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit("en"))
+         .withColumn("source", F.lit("t"))
+         .withColumn("n_chars", F.lit(0).cast("long")))
+        toks = doc_tokens(docs)
+        for direct, hooked in (
+            (word_shingles(docs, 3),
+             word_shingles(None, 3, tokens=toks)),
+            (minhash_band_hashes(docs),
+             minhash_band_hashes(None, tokens=toks)),
+        ):
+            a = sorted(map(tuple, direct.collect()))
+            b = sorted(map(tuple, hooked.collect()))
+            assert a == b and a
+
+    def test_curation_funnel_token_cache_is_releasable(self, spark):
+        """The funnel's persisted tokenize pass must be attached to the
+        returned frame and released by release_plan_caches — not left
+        behind per invocation."""
+        from igtdetect_spark.entry_queries import q_curation_funnel
+        from igtdetect_spark.operators.dedup import release_plan_caches
+
+        df = q_curation_funnel(spark, "/root/testdata/sf0.001")
+        df.count()
+        assert release_plan_caches(df) >= 1
 
     def test_ngram_shingle_cache_is_releasable(self, spark):
         """The persisted shingle relation must be releasable after the
