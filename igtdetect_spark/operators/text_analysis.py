@@ -744,12 +744,27 @@ def nb_domain_scores(
     # NOTE (round 6): persisting a per-(doc, label, term) tf proxy and
     # deriving vocab/T_l/ctl from it was measured SLOWER (5.7 → 6.8 s
     # at sf1.0): the proxy shuffles near-unique string keys corpus-wide
-    # while each branch below is map-side-reduced before its exchange,
-    # so re-running the cheap tokenize scan per branch wins.
+    # while each branch below is map-side-reduced before its exchange.
+    # What DOES win (this round): vocab, V and T_l all derive EXACTLY
+    # from the (term, label) count relation — vocab = its distinct
+    # terms (every term occurs under its doc's label), T_l = Σ_t c(t,l)
+    # — so materializing that one BOUNDED relation (vocabulary ×
+    # labels) replaces three of the four tokenize+explode+aggregate
+    # passes (guide §2.4 / §8 "decide with small rows"). Integer counts
+    # → the derivation is bit-exact. Only the per-doc tf aggregate
+    # still scans the token stream (it is per-doc, not derivable).
+    # EAGER localCheckpoint, not lazy persist: three broadcast
+    # exchanges consume this relation concurrently, and a lazy cache
+    # stampedes — each broadcast thread re-ran the full explode
+    # aggregate before the cache won (measured 8 → 23 s cold); the CC
+    # kernel sets the eager-materialization precedent.
     tf = stream.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    vocab = stream.groupBy("term").agg(F.lit(1).alias("_one"))
+    ctl = stream.groupBy(
+        "term", F.col("_lab").alias("label")
+    ).agg(F.count(F.lit(1)).alias("ctl")).localCheckpoint(eager=True)
+    vocab = ctl.select("term").distinct()
     vrel = vocab.agg(F.count(F.lit(1)).alias("V"))
     labels = (
         tokenized.groupBy(F.col("_lab").alias("label"))
@@ -761,9 +776,7 @@ def nb_domain_scores(
         )
         .join(
             F.broadcast(
-                stream.groupBy(F.col("_lab").alias("label")).agg(
-                    F.count(F.lit(1)).alias("T_l")
-                )
+                ctl.groupBy("label").agg(F.sum("ctl").alias("T_l"))
             ),
             "label",
         )
@@ -776,9 +789,6 @@ def nb_domain_scores(
             ).alias("prior_e6"),
         )
     )
-    ctl = stream.groupBy(
-        "term", F.col("_lab").alias("label")
-    ).agg(F.count(F.lit(1)).alias("ctl"))
     grid = (
         vocab.select("term")
         .crossJoin(F.broadcast(labels))

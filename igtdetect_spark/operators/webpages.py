@@ -833,10 +833,23 @@ def _bfs_depths(
     """Shared frontier-BFS kernel (the hop loop of :func:`crawl_depth`,
     reused by :func:`bowtie_classes` on both edge directions).
     ``edges`` is (src_id, dst_id), ``seeds`` is (id).  Returns the
-    visited (id, depth) relation plus the per-hop persisted frontier
-    handles the caller must attach for release."""
+    visited (id, depth) relation plus an (empty) handle list — kept for
+    caller compatibility.
+
+    Round 6: each hop's frontier is an EAGER ``localCheckpoint``, not a
+    lazy persist.  A persisted frontier caches DATA but not PLAN: hop
+    h's logical tree inlined the full history of hops 0..h−1 (the
+    visited anti-join side is the union of every prior frontier), so
+    the plan grew multiplicatively — the landmark plan reached ~1300
+    join nodes and Catalyst optimization time, not execution, dominated
+    the wall (guide §5 driver costs; the CC kernel's checkpoint
+    discipline).  Checkpointing truncates lineage per hop, keeping
+    every hop's plan O(1).  Same executor-loss caveat as
+    ``connected_components``: on a real cluster prefer reliable
+    checkpoints for deep crawls."""
     frontiers = [
-        seeds.select("id", F.lit(0).cast("long").alias("depth")).persist()
+        seeds.select("id", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint(eager=True)
     ]
     visited = frontiers[0]
     for hop in range(1, max_hops + 1):
@@ -849,11 +862,11 @@ def _bfs_depths(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .select("id", F.lit(hop).cast("long").alias("depth"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         frontiers.append(nxt)
         visited = visited.unionByName(nxt)
-    return visited, frontiers
+    return visited, []
 
 
 def bowtie_classes(
@@ -1091,11 +1104,14 @@ def _bfs_depths_multi(
     visited relations are keyed ``(lm, id)`` so each landmark's BFS
     runs independently inside ONE set of joins (the landmark id rides
     along as a grouping column — |landmarks| × the single-source work,
-    not |landmarks| sequential jobs).  ``seeds`` is (lm, id)."""
+    not |landmarks| sequential jobs).  ``seeds`` is (lm, id).
+
+    Round 6: per-hop eager ``localCheckpoint`` instead of lazy persist
+    — see :func:`_bfs_depths` (plan lineage, not data, was the wall)."""
     frontiers = [
         seeds.select(
             "lm", "id", F.lit(0).cast("long").alias("depth")
-        ).persist()
+        ).localCheckpoint(eager=True)
     ]
     visited = frontiers[0]
     for hop in range(1, max_hops + 1):
@@ -1110,11 +1126,11 @@ def _bfs_depths_multi(
             .distinct()
             .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
             .select("lm", "id", F.lit(hop).cast("long").alias("depth"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         frontiers.append(nxt)
         visited = visited.unionByName(nxt)
-    return visited, frontiers
+    return visited, []
 
 
 #: Fixed landmark page ids for :func:`landmark_closeness` — a

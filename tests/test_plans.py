@@ -557,13 +557,20 @@ def test_triangle_count_wedge_join_is_equi_keyed(spark):
 
 def test_landmark_closeness_is_anti_joined_bfs(spark):
     """Multi-source BFS: each hop anti-joins the frontier against the
-    visited set (LeftAnti in the plan) so settled (lm, id) pairs never
-    re-expand; the landmark key rides as a column — ONE set of joins,
-    not |landmarks| jobs — and nothing runs in Python."""
+    visited set so settled (lm, id) pairs never re-expand — behavior
+    pinned by the depth tests; since round 6 the hops execute EAGERLY
+    as localCheckpoints (plan-lineage truncation), so the FINAL plan
+    must consume the materialized frontiers (ExistingRDD scans, a
+    bounded union — not a re-derivation of the hop joins), and nothing
+    runs in Python."""
     from igtdetect_spark.entry_queries import q_landmark_closeness
 
     plan = _plan(q_landmark_closeness(spark, SF_DIR))
-    assert "LeftAnti" in plan
+    assert "ExistingRDD" in plan
+    # lineage is truncated: the hop joins must NOT be re-planned in
+    # the final query (a LeftAnti here would mean the checkpoint is
+    # not cutting the tree)
+    assert "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 

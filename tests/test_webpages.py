@@ -1830,8 +1830,10 @@ class TestCrawlDepth:
         assert all(got[i] == 0 for i in ids if i % 64 == 0)
         assert 1 in set(got.values())
         assert max(got.values()) <= 4
-        # seeds + 4 per-hop frontiers + the resolved edge relation
-        assert release_plan_caches(out) == 6
+        # the resolved edge relation is the ONLY persist handle —
+        # per-hop frontiers are eager localCheckpoints (round 6:
+        # lineage truncation), reclaimed by GC reference tracking
+        assert release_plan_caches(out) == 1
 
     def test_min_depth_not_last_write(self, spark):
         # a page reachable at hops 2 AND 3 must report 2 — the
@@ -2488,8 +2490,9 @@ class TestBowtieClasses:
         # but are never targets give in/disconnected
         classes = {r["cls"] for r in got.values()}
         assert classes == {"core", "in", "out", "disconnected"}
-        # 2 BFS runs × (seeds + 4 frontiers) + the shared edge relation
-        assert release_plan_caches(out) == 11
+        # the shared edge relation is the only persist handle (per-hop
+        # frontiers are eager localCheckpoints since round 6)
+        assert release_plan_caches(out) == 1
 
 
 def _planted_pages(spark, edges, n):
