@@ -743,7 +743,13 @@ def pagerank(
     teleport = 1_000_000 - damping_ppm
     ranks = nodes.select("id", F.lit(1_000_000).cast("long").alias("rank_e6"))
     for _ in range(iterations):
-        ranks = _pagerank_iter(er, nodes, ranks, damping_ppm, teleport)
+        # eager localCheckpoint per round (round 6): the rank chain's
+        # PLAN otherwise inlines every prior iteration (persist caches
+        # data, not lineage) and Catalyst optimization cost compounds —
+        # the _bfs_depths lesson applied to the power iteration
+        ranks = _pagerank_iter(
+            er, nodes, ranks, damping_ppm, teleport
+        ).localCheckpoint(eager=True)
     out = (
         ranks.join(ids, ranks.id == ids._nid)
         .join(deg, ranks.id == deg.src_id, "left")
@@ -1394,6 +1400,8 @@ def trustrank(
                 (seed_mass + F.coalesce(F.col("_in"), F.lit(0)))
                 .cast("long").alias("trust_e6"),
             )
+            # per-round lineage truncation — see pagerank
+            .localCheckpoint(eager=True)
         )
     out = (
         trust.join(ids, trust.id == ids._nid)
@@ -1411,20 +1419,23 @@ def trustrank(
 def _l1_normalize_e6(
     nodes: DataFrame, raw: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """(id, s) plus the persisted handle: left-join ``raw`` sums onto
-    the full node set (absent → 0) and L1-normalize to micro-units
-    with integral division.  The joined relation is PERSISTED because
-    it is consumed TWICE — by the 1-row global sum and by the
+    """(id, s) plus the materialized handle: left-join ``raw`` sums
+    onto the full node set (absent → 0) and L1-normalize to micro-units
+    with integral division.  The joined relation is MATERIALIZED
+    because it is consumed TWICE — by the 1-row global sum and by the
     normalized projection; without it every half-iteration recomputes
     the whole upstream chain twice and the fan-out compounds
     exponentially across iterations (measured at sf0.1, 2 iterations:
-    10.3 s → fixed by this persist).  The global sum itself comes back
-    via a broadcast cross join — a scalar exchange, not a data
+    10.3 s).  Round 6: eager ``localCheckpoint`` instead of persist —
+    a persist caches data but hits_scores' PLAN still inlined every
+    prior half-iteration (33k plan lines, 4349 exchanges; Catalyst
+    time, not execution, was the wall).  The global sum itself comes
+    back via a broadcast cross join — a scalar exchange, not a data
     shuffle."""
     full = (
         nodes.join(raw, "id", "left")
         .select("id", F.coalesce(F.col("_raw"), F.lit(0)).alias("_raw"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     tot = full.agg(F.sum("_raw").alias("_tot"))
     norm = full.crossJoin(F.broadcast(tot)).select(
