@@ -1938,16 +1938,27 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of substring dedup: corpus text with every
     duplicated-13-gram span dropped (remove-all policy), plus
     removed/kept token counts. Chains the span detector with the native
-    exists-filter reconstruction — still two shuffles end-to-end."""
+    exists-filter reconstruction — still two shuffles end-to-end.
+
+    Round 6 (§2.4): the detector's gram kernel and the removal's token
+    reconstruction both start from the same normalize+split projection
+    (~1.5 s per pass at sf1.0) — ONE persisted token relation now feeds
+    both via the ``tokens=`` hook."""
     from .operators.dedup import (
+        doc_tokens,
         duplicated_ngram_spans,
         remove_duplicated_spans,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    spans = duplicated_ngram_spans(docs, n=_SUBSTR_N, min_count=2)
-    out = remove_duplicated_spans(docs, spans)
-    out._plan_cache_handles = getattr(spans, "_plan_cache_handles", [])
+    toks = doc_tokens(docs).persist()
+    spans = duplicated_ngram_spans(
+        docs, n=_SUBSTR_N, min_count=2, tokens=toks
+    )
+    out = remove_duplicated_spans(docs, spans, tokens=toks)
+    out._plan_cache_handles = (
+        getattr(spans, "_plan_cache_handles", []) + [toks]
+    )
     return out
 
 
@@ -6224,7 +6235,10 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr0, tr0 = pagerank(pages), trustrank(pages)
     pr = pr0.select("url", "rank_e6")
     tr = tr0.select("url", "trust_e6")
-    j = pr.join(tr, "url")
+    # persisted: j feeds BOTH the 1-row totals and the scored
+    # projection — without it each branch re-runs the two kernels'
+    # output joins (incl. the synthetic-url md5 projection) (§2.4)
+    j = pr.join(tr, "url").persist()
     totals = j.agg(
         F.sum("rank_e6").alias("_sr"), F.sum("trust_e6").alias("_st")
     )
@@ -6251,6 +6265,7 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     for src in (pr0, tr0):
         for h in getattr(src, "_plan_cache_handles", []):
             attach_plan_cache(out, h)
+    attach_plan_cache(out, j)
     return out
 
 

@@ -937,6 +937,7 @@ def positional_ngram_hashes(
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_hash: str = "md5",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, pos, gram): hash of every POSITIONAL word n-gram
     (1-based token position, NOT deduped — the positional twin of
@@ -958,11 +959,10 @@ def positional_ngram_hashes(
     InferFiltersFromGenerate reason as ``word_shingles``."""
     if gram_hash not in ("md5", "i64"):
         raise ValueError(f"gram_hash must be 'md5' or 'i64', got {gram_hash!r}")
-    from .scale import spread_small_scan
-
-    docs = spread_small_scan(docs)
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    d = (
+        tokens if tokens is not None
+        else doc_tokens(docs, id_col, text_col)
+    )
     if gram_hash == "md5":
         # Round 6: gram construction + md5 as one Arrow kernel instead
         # of an interpreted transform-over-sequence (HOFs do not
@@ -1050,6 +1050,7 @@ def duplicated_ngram_spans(
     text_col: str = "text",
     materialize: bool = True,
     gram_hash: str = "md5",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level exact dedup: maximal token spans covered by word
     n-grams occurring ≥ ``min_count`` times in the whole corpus
@@ -1079,7 +1080,9 @@ def duplicated_ngram_spans(
     the span logic, so the hash choice only matters at 2⁶⁴-collision
     probability.
     """
-    g = positional_ngram_hashes(docs, n, id_col, text_col, gram_hash)
+    g = positional_ngram_hashes(
+        docs, n, id_col, text_col, gram_hash, tokens=tokens
+    )
     handles = []
     if materialize:
         g = g.persist()
@@ -1170,6 +1173,7 @@ def remove_duplicated_spans(
     spans: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """The removal half of substring-level dedup: given the spans from
     ``duplicated_ngram_spans`` (1-based inclusive token offsets into the
@@ -1186,14 +1190,12 @@ def remove_duplicated_spans(
     dedup domain; callers needing original-byte surgery map offsets
     back through their own tokenizer).
     """
-    from .scale import spread_small_scan
-
     sp = spans.groupBy(F.col("doc_id")).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
-    toks = F.split(normalized_text(F.col(text_col)), " ")
-    d = spread_small_scan(docs).select(
-        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    d = (
+        tokens if tokens is not None
+        else doc_tokens(docs, id_col, text_col)
     )
     joined = d.join(sp, "doc_id", "left").withColumn(
         "_spans", F.coalesce("_spans", F.array())

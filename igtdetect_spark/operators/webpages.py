@@ -1040,14 +1040,14 @@ def triangle_counts(pages: DataFrame) -> DataFrame:
             F.greatest("src_id", "dst_id").alias("b"),
         )
         .distinct()
-        .persist()  # consumed by the degree agg AND the orientation join
+        .localCheckpoint(eager=True)  # consumed by the degree agg AND the orientation join
     )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .persist()  # consumed by two orientation joins + the output join
+        .localCheckpoint(eager=True)  # consumed by two orientation joins + the output join
     )
     e = (
         und.join(deg.select(F.col("id").alias("a"),
@@ -1062,7 +1062,7 @@ def triangle_counts(pages: DataFrame) -> DataFrame:
         F.when(low, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(low, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(low, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    ).persist()  # consumed THREE times: both wedge sides + closing join
+    ).localCheckpoint(eager=True)  # consumed THREE times: both wedge sides + closing join
     e1, e2 = o.alias("e1"), o.alias("e2")
     wedge = e1.join(
         e2,
@@ -1960,7 +1960,14 @@ def host_quality_gate(
     class, NOT unconditionally broadcastable), with the corpus scan's
     plan size as the sound upper bound. Two exchanges total; page
     rows never shuffle twice.
+
+    Round 6 (§2.4): the scored relation feeds BOTH the host aggregate
+    and the final join — Catalyst re-executed the scoring scan (the
+    full-text strip regex is the dominant per-row cost) once per
+    branch; it is now persisted (narrow: url, host, one BIGINT) and
+    released by the caller via ``release_plan_caches``.
     """
+    from .dedup import attach_plan_cache
     from .scale import maybe_broadcast, plan_size_bytes
 
     score = F.when(
@@ -1974,7 +1981,7 @@ def host_quality_gate(
     ).cast("long")
     scored = pages.select(
         "url", "host", score.alias("score_ppm")
-    )
+    ).persist()
     verdict = scored.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("host_pages"),
         F.sum("score_ppm").alias("_sum"),
@@ -1990,10 +1997,11 @@ def host_quality_gate(
         & (F.col("host_avg_ppm") >= min_avg_score_ppm),
     )
     small = maybe_broadcast(verdict, bound_bytes=plan_size_bytes(pages))
-    return scored.join(small, "host").select(
+    out = scored.join(small, "host").select(
         "url", "host", "score_ppm", "host_pages", "host_avg_ppm",
         F.col("host_kept").alias("kept"),
     )
+    return attach_plan_cache(out, scored)
 
 # ---------------------------------------------------------------------------
 # SURT keys + CDX-style capture index (the Common-Crawl index build)

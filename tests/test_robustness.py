@@ -98,6 +98,74 @@ def test_dedup_ops_survive_hostile_docs(spark):
     assert embedding_neardup_pairs(emb, threshold=0.9).count() == 1
 
 
+def test_quality_kernel_matches_expression_form(spark):
+    """The round-6 quality_scores Arrow kernel must reproduce the
+    original native expression chain bit-for-bit on hostile inputs —
+    NULL text (NULL metrics, quality 0), empty text (try_divide NULL
+    alnum), whitespace-only, mixed case + unicode, vertical tab (the
+    explicit WS class), and a 20+-token stopword-rich doc (clears every
+    gate except distinct-ratio: 6 distinct / 23 tokens < 0.3)."""
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.operators.text_analysis import (
+        EN_STOPWORDS,
+        WS_CLASS,
+        _tokens,
+        quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "a\x0bb\tc\nd"),
+            (5, "The the THE of of in in " + "word " * 15),
+            (6, "Ünïcøde MiXeD CaSe!!! ### 12a3"),
+            (7, "a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+
+    # reference: the pre-kernel expression form, inline
+    t = F.col("text")
+    toks = _tokens(t)
+    lower_toks = _tokens(F.lower(t))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    stopword_hits = F.size(
+        F.array_intersect(F.array_distinct(lower_toks), sw)
+    )
+    alnum_ratio = F.try_divide(
+        F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", "")), F.length(t)
+    )
+    quality = (
+        F.when(n_tokens >= 20, F.lit(1)).otherwise(F.lit(0))
+        + F.when(distinct_ratio >= 0.3, F.lit(1)).otherwise(F.lit(0))
+        + F.when(stopword_hits >= 2, F.lit(1)).otherwise(F.lit(0))
+        + F.when(alnum_ratio >= 0.8, F.lit(1)).otherwise(F.lit(0))
+    )
+    want = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.floor(distinct_ratio * 1e6).cast("long")
+            .alias("distinct_ratio_e6"),
+            stopword_hits.alias("stopword_hits"),
+            F.floor(alnum_ratio * 1e6).cast("long")
+            .alias("alnum_ratio_e6"),
+            quality.cast("int").alias("quality"),
+        ).collect()
+    }
+    assert WS_CLASS == r"[ \t\n\r\f\x0b]+"  # the class both forms share
+    for d in got:
+        assert tuple(got[d]) == tuple(want[d]), d
+    assert got[5]["quality"] == 3 and got[1]["quality"] == 0
+
+
 def test_pydaemon_protocol_signature_guard():
     """Round-4 advice: the pydaemon setup_spark_files clone re-implements
     a specific pyspark wire protocol; a pyspark upgrade must trip the
