@@ -36,11 +36,21 @@ NORM_PATTERN = "[^a-z0-9 ]+"
 
 def normalized_text(col):
     """Deterministic normalization: lowercase, strip non-alphanumerics,
-    collapse whitespace."""
+    collapse whitespace.
+
+    ONE regex pass (round 6): replacing every run of ``[^a-z0-9]+``
+    (space included in the class) with one space is provably equal to
+    the definitional two-pass form the oracle SQL spells
+    (``[^a-z0-9 ]+`` → space, then collapse ``' +'``): any maximal run
+    of non-alphanumerics is an alternation of space and non-space
+    segments — pass 1 turns it into all-spaces, pass 2 into one space,
+    which is exactly what the single class does; alphanumerics are
+    untouched by both.  Value-equality is pinned by
+    ``test_single_pass_normalize_equals_two_pass`` and every
+    dedup-family oracle hash; this drops one full-text JVM regex from
+    every fingerprint/shingle/minhash scan (guide §1.2 per-row cost)."""
     c = F.lower(col)
-    c = F.regexp_replace(c, NORM_PATTERN, " ")
-    c = F.regexp_replace(c, " +", " ")
-    return F.trim(c)
+    return F.trim(F.regexp_replace(c, "[^a-z0-9]+", " "))
 
 
 def fingerprint_docs(docs: DataFrame, id_col: str = "doc_id",

@@ -98,6 +98,41 @@ def test_dedup_ops_survive_hostile_docs(spark):
     assert embedding_neardup_pairs(emb, threshold=0.9).count() == 1
 
 
+def test_single_pass_normalize_equals_two_pass(spark):
+    """normalized_text's single-class regex must equal the definitional
+    two-pass form (strip-then-collapse) the DuckDB oracle spells, on
+    every boundary shape: leading/trailing junk, punctuation islands
+    between spaces, runs of mixed space+symbol, unicode (lowered é is
+    non-alnum → space), NULL and empty."""
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.operators.dedup import (
+        NORM_PATTERN,
+        normalized_text,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            None, "", " ", ".", "a.,b", "a . b", "a  b", "  a!  ",
+            "Héllo, Wörld!!", "x" + " .- " * 50 + "y", "a-b_c d",
+            "...a...", "MiXed CASE 42",
+        ])],
+        "doc_id long, text string",
+    )
+    two_pass = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), NORM_PATTERN, " "),
+            " +", " ",
+        )
+    )
+    rows = docs.select(
+        normalized_text(F.col("text")).alias("one"),
+        two_pass.alias("two"),
+    ).collect()
+    for r in rows:
+        assert r["one"] == r["two"]
+
+
 def test_quality_kernel_matches_expression_form(spark):
     """The round-6 quality_scores Arrow kernel must reproduce the
     original native expression chain bit-for-bit on hostile inputs —
