@@ -6232,7 +6232,16 @@ def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pages = synthetic_linked_pages(_t_raw(spark, sf_dir, "documents"))
-    pr0, tr0 = pagerank(pages), trustrank(pages)
+    # resolve the link graph ONCE for both kernels (each otherwise
+    # re-runs extract_links + the two url joins — §2.4); eager
+    # materialization, not lazy persist, for the same stampede/lineage
+    # reasons as the kernels' own state
+    from .operators.webpages import _resolve_edges
+
+    ids, edges = _resolve_edges(pages)
+    graph = (ids, edges.localCheckpoint(eager=True))
+    pr0 = pagerank(pages, graph=graph)
+    tr0 = trustrank(pages, graph=graph)
     pr = pr0.select("url", "rank_e6")
     tr = tr0.select("url", "trust_e6")
     # persisted: j feeds BOTH the 1-row totals and the scored

@@ -697,7 +697,8 @@ def anchor_text_profile(pages: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    pages: DataFrame, iterations: int = 3, damping_ppm: int = 850_000
+    pages: DataFrame, iterations: int = 3, damping_ppm: int = 850_000,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank power iteration over the crawl's INTERNAL
     link graph (edges whose target is itself a crawled page — the
@@ -726,15 +727,10 @@ def pagerank(
 
     Output: (url, rank_e6, out_deg) — out_deg 0 for pure sinks.
     """
-    ids = pages.select(F.col("url"), F.col("doc_id").alias("_nid"))
-    raw = extract_links(pages)
-    edges = (
-        raw.join(ids.select(F.col("url").alias("src_url"),
-                            F.col("_nid").alias("src_id")), "src_url")
-        .join(ids.select(F.col("url").alias("dst_url"),
-                         F.col("_nid").alias("dst_id")), "dst_url")
-        .select("src_id", "dst_id")
-    )
+    # ``graph``: optional pre-resolved (ids, NON-distinct edges) from
+    # :func:`_resolve_edges` — a composition running several kernels
+    # over the same pages resolves (and materializes) the links once
+    ids, edges = graph if graph is not None else _resolve_edges(pages)
     deg = edges.groupBy("src_id").agg(
         F.count(F.lit(1)).cast("long").alias("out_deg")
     )
@@ -765,13 +761,12 @@ def pagerank(
     return out
 
 
-def _internal_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared link-graph prep for the iterative graph operators: resolve
-    the href flat-map against the page table ONCE (two equi-joins) and
-    return ``(ids, edges)`` where ``ids = (url, _nid)`` and ``edges``
-    is the DISTINCT internal (src_id, dst_id) relation — external
-    targets drop in the inner dst join, exactly like :func:`pagerank`'s
-    edge build."""
+def _resolve_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(ids, edges): url→integer-id resolution of the href flat-map
+    (two equi-joins), NON-distinct — one row per link occurrence,
+    exactly :func:`pagerank`'s edge build.  Compositions that run
+    several graph kernels over the SAME pages (spam_mass) materialize
+    this once and hand it to each kernel's ``graph=`` hook."""
     ids = pages.select(F.col("url"), F.col("doc_id").alias("_nid"))
     raw = extract_links(pages)
     edges = (
@@ -780,9 +775,19 @@ def _internal_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         .join(ids.select(F.col("url").alias("dst_url"),
                          F.col("_nid").alias("dst_id")), "dst_url")
         .select("src_id", "dst_id")
-        .distinct()
     )
     return ids, edges
+
+
+def _internal_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared link-graph prep for the iterative graph operators: resolve
+    the href flat-map against the page table ONCE (two equi-joins) and
+    return ``(ids, edges)`` where ``ids = (url, _nid)`` and ``edges``
+    is the DISTINCT internal (src_id, dst_id) relation — external
+    targets drop in the inner dst join, exactly like :func:`pagerank`'s
+    edge build."""
+    ids, edges = _resolve_edges(pages)
+    return ids, edges.distinct()
 
 
 def crawl_depth(
@@ -1347,6 +1352,7 @@ def trustrank(
     seeds_mod: int = 64,
     iterations: int = 3,
     damping_ppm: int = 850_000,
+    graph: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Integer-exact TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
     VLDB '04): PageRank personalized on a trusted seed set — teleport
@@ -1370,7 +1376,12 @@ def trustrank(
 
     Output: (url, trust_e6, seed).
     """
-    ids, edges = _internal_edges(pages)
+    if graph is not None:
+        # the hook hands NON-distinct resolved edges; this kernel's
+        # contract is the DISTINCT internal relation
+        ids, edges = graph[0], graph[1].distinct()
+    else:
+        ids, edges = _internal_edges(pages)
     deg = edges.groupBy("src_id").agg(
         F.count(F.lit(1)).cast("long").alias("out_deg")
     )
