@@ -785,29 +785,26 @@ def nb_domain_scores(
     stream = tokenized.select(
         "doc_id", "_lab", F.explode("_tk").alias("term")
     )
-    # NOTE (round 6): persisting a per-(doc, label, term) tf proxy and
-    # deriving vocab/T_l/ctl from it was measured SLOWER (5.7 → 6.8 s
-    # at sf1.0): the proxy shuffles near-unique string keys corpus-wide
-    # while each branch below is map-side-reduced before its exchange.
-    # What DOES win (this round): vocab, V and T_l all derive EXACTLY
-    # from the (term, label) count relation — vocab = its distinct
-    # terms (every term occurs under its doc's label), T_l = Σ_t c(t,l)
-    # — so materializing that one BOUNDED relation (vocabulary ×
-    # labels) replaces three of the four tokenize+explode+aggregate
-    # passes (guide §2.4 / §8 "decide with small rows"). Integer counts
-    # → the derivation is bit-exact. Only the per-doc tf aggregate
-    # still scans the token stream (it is per-doc, not derivable).
-    # EAGER localCheckpoint, not lazy persist: three broadcast
-    # exchanges consume this relation concurrently, and a lazy cache
-    # stampedes — each broadcast thread re-ran the full explode
-    # aggregate before the cache won (measured 8 → 23 s cold); the CC
-    # kernel sets the eager-materialization precedent.
-    tf = stream.groupBy("doc_id", "term").agg(
+    # Round 6, two steps. (1) ONE explode+aggregate pass: the label is
+    # functionally dependent on the doc, so grouping the token stream
+    # by (doc, label, term) has exactly the (doc, term) cardinality —
+    # ``tf`` is a projection of it and ``ctl = Σ_doc tf`` (integer
+    # counts → bit-exact), where the original ran separate passes for
+    # tf, vocab, T_l and ctl (4 explodes → 1; §2.4). (2) vocab, V and
+    # T_l then all derive from the BOUNDED (term, label) relation
+    # (§8 "decide with small rows"). EAGER localCheckpoints, not lazy
+    # persists: three broadcast exchanges consume ctl concurrently and
+    # a lazy cache stampedes (measured 8 → 23 s cold before the fix);
+    # the earlier rejected "tf proxy" experiment differed in that it
+    # lazily persisted the wide proxy and re-derived EVERY branch from
+    # it — measured here: 5.3 → 4.0 s at sf1.0, value-identical.
+    tfl = stream.groupBy("doc_id", "_lab", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
-    ctl = stream.groupBy(
+    ).localCheckpoint(eager=True)
+    tf = tfl.select("doc_id", "term", "tf")
+    ctl = tfl.groupBy(
         "term", F.col("_lab").alias("label")
-    ).agg(F.count(F.lit(1)).alias("ctl")).localCheckpoint(eager=True)
+    ).agg(F.sum("tf").alias("ctl")).localCheckpoint(eager=True)
     vocab = ctl.select("term").distinct()
     vrel = vocab.agg(F.count(F.lit(1)).alias("V"))
     labels = (
