@@ -719,6 +719,10 @@ def bigram_lm_scores(
     # shuffles the near-unique (doc, w1, w2) string keys corpus-wide,
     # while the two consumers of the raw stream are map-side-reduced
     # before any exchange, so re-running the cheap tokenize scan wins.
+    # Re-tested with EAGER localCheckpoint (the shape that won for
+    # nb_domain_scores, whose (doc, term) keys dedupe ~2×): still
+    # slower (2.9 → 4.2 s) — bigram types barely repeat within a doc,
+    # so the materialized relation is as big as the raw stream.
     return per_doc.select(
         "doc_id", "n_bigrams", "nll_e6", "avg_nll_e6",
         F.when(F.col("avg_nll_e6") < F.lit(int(head_below_e6)),

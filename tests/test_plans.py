@@ -603,13 +603,16 @@ def test_search_rank_fusion_windows_stay_query_partitioned(spark):
     """Every window in the fusion runs partitioned by query_id over
     the bounded candidate set — no global (unpartitioned) sort of the
     corpus by quality; the BM25 candidate stage keeps its broadcast
-    query join."""
+    query join.  Since round 6 the quality prior runs as ONE Arrow
+    kernel (quality_scores), so exactly that vectorized Python node is
+    expected — row-at-a-time Python stays banned."""
     from igtdetect_spark.entry_queries import q_search_rank_fusion
 
     plan = _plan(q_search_rank_fusion(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # the quality kernel
     # every Window node must name a partition spec (the unpartitioned
     # form renders as "Window [..., windowspecdefinition(... ORDER BY"
     # with no partition expressions — match on the spec text)
