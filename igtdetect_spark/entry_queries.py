@@ -1171,10 +1171,14 @@ FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import token_stats
 
+    # the e6 average MUST apply ×1e6 BEFORE the divide, like the
+    # oracle: sum·1e6 is exact in doubles, so floor(sum·1e6/n) is the
+    # true fixed-point value, while floor((sum/n)·1e6) loses an ulp on
+    # exact ratios (41/10 → 4099999; 5 docs at sf0.1 hit this)
     return token_stats(_t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "n_distinct", "n_chars",
-        F.floor(F.col("avg_token_len") * 1e6).cast("long")
-        .alias("avg_token_len_e6"),
+        F.floor(F.col("sum_token_len") * 1e6 / F.col("n_tokens"))
+        .cast("long").alias("avg_token_len_e6"),
     )
 
 

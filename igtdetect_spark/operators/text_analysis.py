@@ -36,17 +36,22 @@ def _tokens(text_col):
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, n_distinct, n_chars, avg_token_len)."""
+    """(doc_id, n_tokens, n_distinct, n_chars, sum_token_len,
+    avg_token_len).  ``sum_token_len`` is the EXACT integer character
+    sum — consumers needing a cross-engine-stable fixed-point average
+    must derive it from the integer sum in the same operation order as
+    their oracle (``floor(sum·1e6/n)`` ≠ ``floor((sum/n)·1e6)`` in
+    IEEE doubles: 41/10 → 4099999 vs 4100000 — the round-6 sf0.1
+    token_stats hash miss)."""
     toks = _tokens(F.col(text_col))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.length(text_col).alias("n_chars"),
-        (
-            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-            / F.size(toks)
-        ).alias("avg_token_len"),
+        sum_len.alias("sum_token_len"),
+        (sum_len / F.size(toks)).alias("avg_token_len"),
     )
 
 

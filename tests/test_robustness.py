@@ -133,6 +133,28 @@ def test_single_pass_normalize_equals_two_pass(spark):
         assert r["one"] == r["two"]
 
 
+def test_token_stats_e6_average_is_multiply_first(spark):
+    """floor(sum·1e6/n) — multiply BEFORE divide, the oracle's order.
+    An exact decimal ratio like 41/10 is inexact in binary doubles, so
+    floor((41/10)·1e6) = 4099999 while floor(41·1e6/10) = 4100000; the
+    wrong order hash-missed 5 sf0.1 docs (found by the first full
+    sf0.1 mirror, round 6 session 2)."""
+    from igtdetect_spark.entry_queries import q_token_stats
+
+    docs = spark.createDataFrame(
+        # 10 tokens, 41 non-space chars → avg 4.1 exactly
+        [(0, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii aaaaa")],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        row = q_token_stats(spark, d).collect()[0]
+    assert row["n_tokens"] == 10
+    assert row["avg_token_len_e6"] == 4_100_000  # not 4_099_999
+
+
 def test_quality_kernel_matches_expression_form(spark):
     """The round-6 quality_scores Arrow kernel must reproduce the
     original native expression chain bit-for-bit on hostile inputs —
