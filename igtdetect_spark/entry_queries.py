@@ -782,9 +782,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5,
         max_df=_NGRAM_MAX_DF,
     )
+    # ×1e6 BEFORE the divide, exactly like the oracle: n_common·1e6 is
+    # exact in doubles, while floor(jaccard·1e6) of the pre-divided
+    # double loses an ulp on exact decimal ratios (the token_stats
+    # lesson; the threshold FILTER compares the plain quotient on both
+    # engines, so it stays on the operator's jaccard column)
     out = pairs.select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b",
-        F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"),
+        F.floor(
+            F.col("n_common") * 1e6
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        ).cast("long").alias("jaccard_e6"),
     )
     # propagate the shingle-relation cache handle so callers can release
     # it after the consuming action (operators/dedup.release_plan_caches)

@@ -149,13 +149,20 @@ def synthetic_layout_pages(
     has an all-blank interior gutter ending at column 20 whose start
     varies with the longest token. Documents with no tokens produce no
     page."""
+    # The oracle spells RE2's \s, which EXCLUDES \x0b (vertical tab);
+    # Java's \s includes it, so the class must be written out or the
+    # two engines tokenize a \x0b-bearing document differently (found
+    # by the adversarial exact-ratio mirror, round 6 — the same
+    # \s-divergence WS_CLASS guards against, in the opposite
+    # direction: here the FROZEN oracle has RE2 semantics, so the
+    # Spark side matches RE2, not Java).
     toks = F.slice(
         F.filter(
             F.split(
                 F.trim(
                     F.regexp_replace(
                         F.coalesce(F.col(text_col), F.lit("")),
-                        r"\s+", " ",
+                        "[ \t\n\f\r]+", " ",
                     )
                 ),
                 " ",

@@ -155,6 +155,38 @@ def test_token_stats_e6_average_is_multiply_first(spark):
     assert row["avg_token_len_e6"] == 4_100_000  # not 4_099_999
 
 
+def test_ngram_jaccard_e6_is_multiply_first(spark):
+    """jaccard_e6 must be floor(n_common·1e6/union) — multiply first,
+    the oracle's order.  A pair with jaccard exactly 3/5 = 0.6 (inexact
+    in binary doubles) floors to 600000 multiply-first but 599999 from
+    the pre-divided double."""
+    from pyspark.sql import functions as F
+
+    from igtdetect_spark.entry_queries import q_ngram_jaccard
+    from igtdetect_spark.operators.dedup import release_plan_caches
+
+    # two 6-token docs sharing exactly 3 of 5 total distinct 3-gram
+    # shingles: doc0 {abc,bcd,cde,def}, doc1 {abc,bcd,cde,ce-zz} →
+    # n_common=3, n_a=n_b=4, union=5, jaccard=0.6
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e zz")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")) \
+     .withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.lit(0).cast("long"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        df = q_ngram_jaccard(spark, d)
+        rows = df.collect()
+        release_plan_caches(df)
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    r = by_pair[(0, 1)]
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (3, 4, 4)
+    assert r["jaccard_e6"] == 600_000  # not 599_999
+
+
 def test_quality_kernel_matches_expression_form(spark):
     """The round-6 quality_scores Arrow kernel must reproduce the
     original native expression chain bit-for-bit on hostile inputs —
