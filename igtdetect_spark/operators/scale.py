@@ -81,24 +81,45 @@ DEFAULT_SPREAD_BOUND = 64 * 1024 * 1024
 
 _SPREAD_CONF_KEY = "igtdetect.spreadSmallScanBytes"
 
+#: Upper bound for the LAYOUT-aware branch of
+#: :func:`spread_small_scan`: an input OVER the small-scan bound can
+#: still be task-starved when its physical layout has fewer parquet
+#: row groups than cores (a 150 MB single-row-group file runs every
+#: map stage as ONE task — splits without a row-group start yield
+#: zero rows).  Decided from the actual footers, not the size, and
+#: only when the file COUNT is already below the parallelism — at
+#: cluster scale inputs are many files, so the gate skips without
+#: opening anything.  Conf ``igtdetect.spreadStarvedScanBytes``,
+#: 0 disables; the 1 GiB default keeps the round-robin exchange
+#: bounded.
+DEFAULT_STARVED_BOUND = 1024 * 1024 * 1024
+
+_STARVED_CONF_KEY = "igtdetect.spreadStarvedScanBytes"
+
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin ``df`` across ``defaultParallelism`` iff its scan
-    estimate is under the spread bound (conf
-    ``igtdetect.spreadSmallScanBytes``, 0 disables).
+    """Spread a task-starved scan across ``defaultParallelism`` via a
+    hash exchange on the leading (id) column.  Fires when the scan
+    estimate is under ``igtdetect.spreadSmallScanBytes`` (0 disables),
+    or — the layout-aware branch — when a larger input's parquet
+    footers show fewer row groups than half the cores (under
+    ``igtdetect.spreadStarvedScanBytes``).
 
-    Why: a small parquet input is typically a single row group, and a
-    row group is the vectorized reader's atomic unit — the planner's
-    file SPLITS all map to the same row group, so exactly one task
-    carries every row and an expensive per-row kernel runs serially on
-    one core (measured 2× on the Arrow-kernel operators at bench
-    scale).  The round-robin exchange moves only the pruned columns
+    Why: a single-row-group parquet input (the driver tables, at EVERY
+    SF) gives the vectorized reader exactly one non-empty task no
+    matter how many file splits the planner cuts, so an expensive
+    per-row kernel runs serially on one core (measured 2× on the
+    Arrow-kernel operators at bench scale, 2-4× on the 150 MB
+    relational scans).  The exchange moves only the pruned columns
     (Catalyst inserts the pruning Project below the repartition) and
-    costs far less than the recovered parallelism.  Deterministic
-    under retries via Spark's sort-before-repartition (guide §2.5);
-    row order is irrelevant to every consumer here (aggregates,
-    hash-compared outputs).  Streaming frames and over-bound inputs
-    pass through untouched."""
+    costs far less than the recovered parallelism.  HASH on the id
+    column, not round-robin: round-robin sorts each input partition
+    first for retry determinism (sortBeforeRepartition) and that sort
+    runs on the one starved task; the id-hash exchange is
+    value-deterministic with no sort.  Row order is irrelevant to
+    every consumer here (aggregates, hash-compared outputs).
+    Streaming frames, natively-parallel and disabled inputs pass
+    through untouched."""
     if getattr(df, "isStreaming", False):
         return df
     spark = df.sparkSession
@@ -123,8 +144,59 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
         size = plan_size_bytes(df)
     except Exception:
         return df
+    par = spark.sparkContext.defaultParallelism
     if size <= bound:
-        return df.repartition(spark.sparkContext.defaultParallelism)
+        # HASH on the leading column, not round-robin: round-robin
+        # first SORTS each input partition for retry determinism
+        # (spark.sql.execution.sortBeforeRepartition), and on a
+        # single-row-group input that sort runs on the one starved
+        # task — pure overhead at every size (measured 4.9 s vs 1.5 s
+        # on a 6M-row file; ~0.3 s even at 600k).  The hash exchange
+        # is value-deterministic with no sort, and the driver tables
+        # all lead with a near-unique id column.
+        return df.repartition(par, F.col(df.columns[0]))
+    # Layout-aware branch (round 6, session 2): over-bound inputs can
+    # still be task-starved — the driver tables are SINGLE-ROW-GROUP
+    # parquet at every SF, and a row group is the vectorized reader's
+    # atomic unit, so a 150 MB single-group file runs every map stage
+    # as one task no matter how many splits the planner cuts.  Decide
+    # from the physical layout: when the input is few files (cheap
+    # gate — cluster-scale inputs are many files and skip here without
+    # touching a footer) AND their total row-group count is under half
+    # the parallelism, the scan cannot feed the cores and the
+    # round-robin exchange pays for itself.
+    try:
+        raw = spark.conf.get(_STARVED_CONF_KEY)
+    except Exception:
+        raw = None
+    cap = DEFAULT_STARVED_BOUND if raw is None else int(raw)
+    if cap <= 0 or size > cap:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= par:
+        return df
+    try:
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for f in files:
+            path = urlparse(f).path or f
+            groups += pq.ParquetFile(path).num_row_groups
+            if groups >= par:
+                return df
+    except Exception:
+        return df
+    if groups < max(2, par // 2):
+        # same hash-on-leading-column exchange as the small branch
+        # (see above); a pathological low-cardinality leading column
+        # still spreads across min(par, n_distinct) tasks and the
+        # conf can disable the branch outright
+        return df.repartition(par, F.col(df.columns[0]))
     return df
 
 

@@ -13,6 +13,19 @@ def _plan(df) -> str:
     return str(df._jdf.queryExecution().executedPlan())
 
 
+def _n_planner_shuffles(plan: str) -> int:
+    """Count planner-inserted hash exchanges (ENSURE_REQUIREMENTS),
+    excluding the explicit spread repartition (REPARTITION_BY_NUM) —
+    the round-6 small-scan spread is an id-hash exchange, and the
+    structural shuffle-shape assertions are about the QUERY's keyed
+    exchanges, not the scan spread."""
+    return sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and "REPARTITION_BY_NUM" not in line
+    )
+
+
 @pytest.fixture(scope="module")
 def ctx(spark):
     from igtdetect_spark.plans.pipeline import DetectContext
@@ -62,11 +75,15 @@ def test_minhash_signature_plan_has_zero_exchanges(spark):
     assert "Exchange" not in plan
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan
-    # at bench scale the spread DOES fire, and adds only the
-    # round-robin exchange — never a hash/range repartition
+    # at bench scale the spread DOES fire: ONE hash exchange on the
+    # leading id column (round-6 session 2: round-robin's
+    # sort-before-repartition ran on the single starved input task —
+    # pure overhead; the id-hash exchange is value-deterministic with
+    # no sort), and never a range repartition or a second exchange
     plan = _plan(minhash_band_hashes(docs))
-    assert "roundrobin" in plan.lower(), plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.lower().count("exchange hashpartitioning(doc_id") == 1, plan
+    assert "roundrobin" not in plan.lower(), plan
+    assert "rangepartitioning" not in plan.lower(), plan
 
 
 def test_minhash_md5_scheme_plan_is_also_native(spark):
@@ -159,7 +176,7 @@ def test_asof_join_plan_is_one_shuffle_no_join(spark):
     # key exchange for the window + the events-dedup window share the
     # same (user_id)-prefixed partitioning; allow the dedup's own
     # exchange but nothing beyond.
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert _n_planner_shuffles(plan) <= 2
 
 
 def test_simhash_neardup_plan_is_bucketed_not_allpairs(spark):
@@ -181,7 +198,7 @@ def test_stratified_sample_salted_has_bounded_windows(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(stratified_sample(docs, n_per_group=10, salt_parts=8))
     assert plan.count("Window") >= 2
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert _n_planner_shuffles(plan) <= 2
 
 
 def test_hopping_counts_plan_is_expand_plus_bounded_exchanges(spark):
@@ -193,7 +210,7 @@ def test_hopping_counts_plan_is_expand_plus_bounded_exchanges(spark):
     plan = _plan(q_hopping_counts(spark, SF_DIR))
     assert plan.count("Expand") == 1
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert _n_planner_shuffles(plan) <= 2
 
 
 def test_tfidf_plan_broadcasts_df_and_never_sortmerges(spark):
@@ -284,7 +301,7 @@ def test_contamination_screen_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan
     # the corpus side reaches the join without an exchange: the only
     # hash exchanges allowed are the final (doc_id, eval_id) aggregate's
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert _n_planner_shuffles(plan) <= 1, plan
 
 
 def test_substring_dup_spans_two_shuffle_shape(spark):
@@ -305,7 +322,7 @@ def test_substring_dup_spans_two_shuffle_shape(spark):
     # gram-side exchanges (agg + join probe) + one doc_id exchange; the
     # island groupBy must NOT add a fourth (doc_id partitioning satisfies
     # the (doc_id, _isl) clustering)
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert _n_planner_shuffles(plan) <= 3, plan
     from igtdetect_spark.operators.dedup import release_plan_caches
 
     release_plan_caches(df)
@@ -321,7 +338,7 @@ def test_mixture_resample_corpus_side_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert _n_planner_shuffles(plan) <= 2, plan
 
 
 def test_unigram_familiarity_two_aggregate_shape(spark):
@@ -335,7 +352,7 @@ def test_unigram_familiarity_two_aggregate_shape(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert _n_planner_shuffles(plan) <= 2, plan
 
 
 def test_c4_clean_and_pii_redact_are_zero_shuffle_maps(spark):
@@ -396,7 +413,7 @@ def test_dsir_bucket_stats_are_broadcast_and_bounded(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    n_shuffles = plan.count("Exchange hashpartitioning")
+    n_shuffles = _n_planner_shuffles(plan)
     assert n_shuffles <= 2, plan
 
 
@@ -406,7 +423,7 @@ def test_sequence_pack_is_one_stratum_shuffle(spark):
     from igtdetect_spark.entry_queries import q_sequence_pack
 
     plan = _plan(q_sequence_pack(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert _n_planner_shuffles(plan) == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
@@ -539,7 +556,7 @@ def test_domain_rollup_plan_is_broadcast_then_one_exchange(spark):
     # the only SHUFFLES are the distinct-agg's two phases (host grain,
     # then domain grain — both map-side combinable); BroadcastExchange
     # nodes also contain the substring, so count hash exchanges only
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert _n_planner_shuffles(plan) <= 2
 
 
 def test_triangle_count_wedge_join_is_equi_keyed(spark):
@@ -692,15 +709,57 @@ def test_spread_small_scan_is_scale_adaptive(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     spread = spread_small_scan(docs)
     plan = _plan(spread)
-    assert "roundrobin" in plan.lower(), plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    # hash on the leading id column — value-deterministic, no
+    # sort-before-repartition (the round-robin trap: the determinism
+    # sort runs on the single starved input task)
+    assert "hashpartitioning(doc_id" in plan.lower(), plan
+    assert "roundrobin" not in plan.lower(), plan
     # idempotent: a second application adds no second exchange
     assert _plan(spread_small_scan(spread)).lower().count(
-        "roundrobinpartitioning"
-    ) == plan.lower().count("roundrobinpartitioning")
-    # over-bound / disabled → untouched frame
+        "exchange hashpartitioning"
+    ) == plan.lower().count("exchange hashpartitioning")
+    # over the small-scan bound but LAYOUT-STARVED (single-row-group
+    # file, fewer populated tasks than cores) → still spread (round-6
+    # session-2: a 150 MB single-group driver table ran every map
+    # stage as one task; the footer check catches it)
     spark.conf.set("igtdetect.spreadSmallScanBytes", "1")
+    try:
+        # hash on the leading id column, NOT round-robin: round-robin
+        # sorts the (single, starved) input partition first
+        p = _plan(spread_small_scan(docs)).lower()
+        assert "hashpartitioning(doc_id" in p, p
+        assert "roundrobin" not in p, p
+        # starved branch disabled → over-bound input untouched
+        spark.conf.set("igtdetect.spreadStarvedScanBytes", "0")
+        assert spread_small_scan(docs) is docs
+    finally:
+        spark.conf.unset("igtdetect.spreadSmallScanBytes")
+        spark.conf.unset("igtdetect.spreadStarvedScanBytes")
+    # fully disabled → untouched
+    spark.conf.set("igtdetect.spreadSmallScanBytes", "0")
     try:
         assert spread_small_scan(docs) is docs
     finally:
         spark.conf.unset("igtdetect.spreadSmallScanBytes")
+    # a many-row-group over-bound input keeps its native splits: write
+    # one with forced tiny row groups and a 1-byte small bound
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.limit(200).write.option("parquet.block.size", "1024") \
+            .parquet(f"{d}/many.parquet")
+        many = spark.read.parquet(f"{d}/many.parquet")
+        import pyarrow.parquet as pq
+        import glob as _g
+
+        ngroups = sum(
+            pq.ParquetFile(p).num_row_groups
+            for p in _g.glob(f"{d}/many.parquet/*.parquet")
+        )
+        spark.conf.set("igtdetect.spreadSmallScanBytes", "1")
+        try:
+            out = spread_small_scan(many)
+            if ngroups >= spark.sparkContext.defaultParallelism:
+                assert out is many  # natively parallel → no exchange
+        finally:
+            spark.conf.unset("igtdetect.spreadSmallScanBytes")
